@@ -1,0 +1,37 @@
+"""gx-spark: a from-scratch PySpark-native expectation/validation engine.
+
+Public API:
+
+    from gx_spark import ExpectationSuite, EngineOptions, validate
+
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="transcript", mostly=0.99
+    )
+    bundle = validate(spark, df, suite)
+    bundle.success, bundle.suite_result.results, bundle.violations
+"""
+
+from .model import (
+    EngineOptions,
+    ExpectationConfiguration,
+    ExpectationSuite,
+    ExpectationValidationResult,
+    SuiteValidationResult,
+)
+from .executor import ValidationBundle, ValidationRun, validate
+from .registry import list_expectations, register_expectation
+
+__all__ = [
+    "EngineOptions",
+    "ExpectationConfiguration",
+    "ExpectationSuite",
+    "ExpectationValidationResult",
+    "SuiteValidationResult",
+    "ValidationBundle",
+    "ValidationRun",
+    "validate",
+    "list_expectations",
+    "register_expectation",
+]
+
+__version__ = "0.1.0"

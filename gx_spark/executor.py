@@ -1,0 +1,222 @@
+"""ValidationRun: bind batch + suite → plan → execute → EVRs + violations.
+
+The reference's Validator resolves a runtime metric graph with one engine
+round-trip per graph level (ref: validator/validator.py,
+metrics_calculator.py); ours is fully planned up front and executes as:
+
+  job 1   — ONE fused `df.agg(...)` with every bundleable metric of the
+            whole suite (all domains folded in; no `bytes` column touched)
+  job 1b  — optional fused stage-2 agg (z-scores)
+  jobs 2* — data metrics that need their own shape (groupBy value_counts,
+            duplicate detection, anti-joins) — only if the suite asks
+  job 3   — ONE map-only violations pass for every map expectation at once
+  job 4   — ONE small aggregation over the violations output for the
+            partial/complete unexpected lists
+
+vs the reference's V2 path of 2–3 jobs per expectation (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import traceback
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import (
+    EngineOptions,
+    ExpectationConfiguration,
+    ExpectationSuite,
+    ExpectationValidationResult,
+    SuiteValidationResult,
+)
+from .planner import MetricBag, MetricContext
+from .registry import get_expectation
+from .violations import build_violations_df, derive_unexpected_lists
+
+# import for registration side effects
+from .expectations import (  # noqa: F401
+    audio_exp,
+    column_agg,
+    column_map,
+    drift_exp,
+    multicolumn,
+    referential,
+    table,
+)
+
+_RF_ORDER = {"BOOLEAN_ONLY": 0, "BASIC": 1, "SUMMARY": 2, "COMPLETE": 3}
+
+
+def _exception_evr(cfg: ExpectationConfiguration, exc: BaseException) -> ExpectationValidationResult:
+    return ExpectationValidationResult(
+        success=False,
+        expectation_config=cfg,
+        result={},
+        exception_info={
+            "raised_exception": True,
+            "exception_message": f"{type(exc).__name__}: {exc}",
+            "exception_traceback": traceback.format_exc(),
+        },
+    )
+
+
+@dataclass
+class ValidationBundle:
+    """Suite result + the violations DataFrame (un-collected — at scale this
+    is written to the `_violations` table, never brought to the driver)."""
+
+    suite_result: SuiteValidationResult
+    violations: DataFrame | None
+    run_id: str
+    partition_id: int | None = None
+    snapshot_id: str | None = None
+
+    @property
+    def success(self) -> bool:
+        return self.suite_result.success
+
+    def results_df(self, spark: SparkSession) -> DataFrame:
+        """Flattened EVRs as the `_validation_results` schema (FIXTURES.md §4)."""
+        import json
+
+        rows = []
+        for i, r in enumerate(self.suite_result.results):
+            res = r.result
+            rows.append(
+                {
+                    "run_id": self.run_id,
+                    "snapshot_id": self.snapshot_id,
+                    "partition_id": self.partition_id,
+                    "suite_name": self.suite_result.suite_name,
+                    "expectation_index": i,
+                    "expectation_type": r.expectation_config.expectation_type,
+                    "column": str(
+                        r.expectation_config.kwargs.get("column")
+                        or r.expectation_config.kwargs.get("column_list")
+                        or r.expectation_config.kwargs.get("column_A")
+                        or ""
+                    ),
+                    "success": r.success,
+                    "element_count": res.get("element_count"),
+                    "missing_count": res.get("missing_count"),
+                    "unexpected_count": res.get("unexpected_count"),
+                    "unexpected_percent": res.get("unexpected_percent"),
+                    "observed_value": json.dumps(res.get("observed_value"), default=str)
+                    if "observed_value" in res
+                    else None,
+                    "details": json.dumps(res.get("details"), default=str)
+                    if "details" in res
+                    else None,
+                    "exception_raised": bool(r.exception_info.get("raised_exception")),
+                    "exception_message": r.exception_info.get("exception_message"),
+                }
+            )
+        schema = (
+            "run_id string, snapshot_id string, partition_id int, suite_name string, "
+            "expectation_index int, expectation_type string, column string, "
+            "success boolean, element_count long, missing_count long, "
+            "unexpected_count long, unexpected_percent double, observed_value string, "
+            "details string, exception_raised boolean, exception_message string"
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def violations_table(self) -> DataFrame | None:
+        """`_violations` rows (clip_id/index, failed expectation, observed
+        value) per the north rule."""
+        if self.violations is None:
+            return None
+        return self.violations.select(
+            F.get_json_object("index_json", "$.clip_id").alias("clip_id"),
+            "expectation_type",
+            "column",
+            F.col("observed_json").alias("observed_value"),
+        ).withColumn("run_id", F.lit(self.run_id))
+
+
+class ValidationRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        suite: ExpectationSuite,
+        options: EngineOptions | None = None,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.suite = suite
+        self.options = options or EngineOptions()
+        self.tables = tables or {}
+
+    def validate(
+        self,
+        df: DataFrame,
+        run_id: str | None = None,
+        partition_id: int | None = None,
+        snapshot_id: str | None = None,
+    ) -> ValidationBundle:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        ctx = MetricContext(df, self.options, self.tables)
+        finalizers: list[tuple[ExpectationConfiguration, Any]] = []
+        max_rf = "BOOLEAN_ONLY"
+        for i, cfg in enumerate(self.suite.expectations):
+            try:
+                handler = get_expectation(cfg.expectation_type)
+                fin = handler.plan(ctx, cfg, i)
+                finalizers.append((cfg, fin))
+                rf = cfg.kwargs.get("result_format", self.options.result_format)
+                if isinstance(rf, dict):
+                    rf = rf.get("result_format", self.options.result_format)
+                if _RF_ORDER.get(rf, 1) > _RF_ORDER[max_rf]:
+                    max_rf = rf
+            except Exception as exc:  # planning error → exception EVR
+                finalizers.append((cfg, exc))
+
+        bag = MetricBag()
+        ctx.resolve(bag)
+
+        violations = None
+        if ctx.violations and self.options.collect_violations:
+            violations = build_violations_df(
+                ctx.base_df(), ctx.violations, bag,
+                self.options.unexpected_index_column_names,
+            )
+            lists = derive_unexpected_lists(
+                violations, max_rf, self.options.partial_unexpected_count
+            )
+            for idx, entry in lists.items():
+                bag.put(f"viol:{idx}", entry)
+
+        results: list[ExpectationValidationResult] = []
+        for cfg, fin in finalizers:
+            if isinstance(fin, BaseException):
+                results.append(_exception_evr(cfg, fin))
+                continue
+            try:
+                results.append(fin(bag))
+            except Exception as exc:
+                results.append(_exception_evr(cfg, exc))
+
+        suite_result = SuiteValidationResult.from_results(
+            results, self.suite.name, run_id
+        )
+        return ValidationBundle(
+            suite_result=suite_result,
+            violations=violations,
+            run_id=run_id,
+            partition_id=partition_id,
+            snapshot_id=snapshot_id,
+        )
+
+
+def validate(
+    spark: SparkSession,
+    df: DataFrame,
+    suite: ExpectationSuite,
+    options: EngineOptions | None = None,
+    tables: dict[str, DataFrame] | None = None,
+) -> ValidationBundle:
+    """One-shot convenience API."""
+    return ValidationRun(spark, suite, options, tables).validate(df)

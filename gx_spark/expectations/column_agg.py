@@ -1,0 +1,322 @@
+"""Column-aggregate expectations: observed values from the fused bundle.
+
+Every metric here is a single expression inside the ONE `df.agg(...)` pass
+(ref: great_expectations/expectations/metrics/column_aggregate_metrics/*;
+bundling ref: sparkdf_execution_engine.py#resolve_metric_bundle).  Dual-mode
+(SURVEY.md §7 "exact-vs-approx parity"):
+
+  exact  — fixture-parity values (count_distinct, F.percentile, F.median)
+  sketch — mergeable sketch aggregates for 10^12-row scale (hll_sketch_agg,
+           percentile_approx/KLL); merged per-partition by Catalyst's
+           partial+final aggregation, i.e. treeAggregate physics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import ExpectationConfiguration, ExpectationValidationResult
+from ..planner import MetricContext
+from ..registry import register_expectation
+from ..result_format import between_success
+from .base import ColumnAggregateExpectation, domain_col, require_columns, result_format_of
+
+
+class _SimpleAgg(ColumnAggregateExpectation):
+    metric = "column.generic"
+
+    def agg_expr(self, dc: Column, cfg: ExpectationConfiguration, ctx: MetricContext) -> Column:
+        raise NotImplementedError
+
+    def observed_metric(self, ctx, cfg, dk, dom):
+        column = cfg.kwargs["column"]
+        dc = domain_col(dom, column)
+        return ctx.agg(self.metric, dk, column, lambda: self.agg_expr(dc, cfg, ctx))
+
+
+@register_expectation("expect_column_mean_to_be_between")
+class MeanBetween(_SimpleAgg):
+    metric = "column.mean"
+
+    def agg_expr(self, dc, cfg, ctx):
+        return F.avg(dc)
+
+
+@register_expectation("expect_column_median_to_be_between")
+class MedianBetween(_SimpleAgg):
+    metric = "column.median"
+
+    def agg_expr(self, dc, cfg, ctx):
+        if ctx.options.mode == "sketch":
+            return F.percentile_approx(dc, 0.5, ctx.options.quantile_accuracy)
+        return F.median(dc)
+
+
+@register_expectation("expect_column_stdev_to_be_between")
+class StdevBetween(_SimpleAgg):
+    # sample stddev, ddof=1 — matches the reference/pandas (SURVEY.md §2.4)
+    metric = "column.standard_deviation"
+
+    def agg_expr(self, dc, cfg, ctx):
+        return F.stddev_samp(dc)
+
+
+@register_expectation("expect_column_min_to_be_between")
+class MinBetween(_SimpleAgg):
+    metric = "column.min"
+
+    def agg_expr(self, dc, cfg, ctx):
+        return F.min(dc)
+
+
+@register_expectation("expect_column_max_to_be_between")
+class MaxBetween(_SimpleAgg):
+    metric = "column.max"
+
+    def agg_expr(self, dc, cfg, ctx):
+        return F.max(dc)
+
+
+@register_expectation("expect_column_sum_to_be_between")
+class SumBetween(_SimpleAgg):
+    metric = "column.sum"
+
+    def agg_expr(self, dc, cfg, ctx):
+        return F.sum(dc)
+
+
+@register_expectation("expect_column_unique_value_count_to_be_between")
+class UniqueValueCount(_SimpleAgg):
+    metric = "column.distinct_values.count"
+
+    def agg_expr(self, dc, cfg, ctx):
+        if ctx.options.mode == "sketch":
+            return F.hll_sketch_estimate(F.hll_sketch_agg(dc, ctx.options.hll_lgk))
+        return F.count_distinct(dc)
+
+    def observed_to_python(self, observed):
+        return int(observed) if observed is not None else None
+
+
+@register_expectation("expect_column_proportion_of_unique_values_to_be_between")
+class UniqueProportion(ColumnAggregateExpectation):
+    """distinct_count / nonnull_count — both terms live in the same bundle."""
+
+    def observed_metric(self, ctx, cfg, dk, dom):
+        column = cfg.kwargs["column"]
+        dc = domain_col(dom, column)
+        if ctx.options.mode == "sketch":
+            distinct_ref = ctx.agg(
+                "column.distinct_values.count.sketch", dk, column,
+                lambda: F.hll_sketch_estimate(F.hll_sketch_agg(dc, ctx.options.hll_lgk)),
+            )
+        else:
+            distinct_ref = ctx.agg(
+                "column.distinct_values.count", dk, column, lambda: F.count_distinct(dc)
+            )
+        nn_ref = ctx.nonnull_count(column, dk, dom)
+        self._refs = (distinct_ref, nn_ref)
+        return distinct_ref
+
+    def plan(self, ctx, cfg, index):
+        require_columns(ctx, cfg.kwargs["column"])
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        self.observed_metric(ctx, cfg, dk, dom)
+        distinct_ref, nn_ref = self._refs
+        rf = result_format_of(cfg, ctx.options)
+        k = cfg.kwargs
+
+        def finalize(bag):
+            nn = int(bag[nn_ref])
+            observed = (float(bag[distinct_ref]) / nn) if nn else None
+            success = between_success(
+                observed, k.get("min_value"), k.get("max_value"),
+                bool(k.get("strict_min", False)), bool(k.get("strict_max", False)),
+            )
+            result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": observed}
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+@register_expectation("expect_column_quantile_values_to_be_between")
+class QuantileValues(ColumnAggregateExpectation):
+    """kwargs: quantile_ranges={"quantiles":[...], "value_ranges":[[lo,hi],…]}.
+
+    exact mode: F.percentile (linear interpolation — PERCENTILE_CONT
+    semantics, matching the DuckDB oracle); sketch mode: percentile_approx
+    (GK/KLL sketch, mergeable per-partition; ref Spark impl used
+    DataFrame.approxQuantile, the same sketch outside the bundle)."""
+
+    def plan(self, ctx, cfg, index):
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        qr = cfg.kwargs["quantile_ranges"]
+        quantiles = [float(q) for q in qr["quantiles"]]
+        ranges = qr.get("value_ranges")
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        dc = domain_col(dom, column)
+        mode = ctx.options.mode
+        acc = ctx.options.quantile_accuracy
+
+        def builder() -> Column:
+            arr = F.array(*[F.lit(q) for q in quantiles])
+            if mode == "sketch":
+                return F.percentile_approx(dc, arr, acc)
+            return F.percentile(dc, arr)
+
+        ref = ctx.agg("column.quantile_values", dk, [column, quantiles, mode], builder)
+        rf = result_format_of(cfg, ctx.options)
+
+        def finalize(bag):
+            values = bag[ref]
+            values = [float(v) if v is not None else None for v in (values or [])]
+            success = True
+            if ranges is not None:
+                for v, (lo, hi) in zip(values, ranges):
+                    success = success and between_success(v, lo, hi)
+            observed = {"quantiles": quantiles, "values": values}
+            result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": observed}
+            return ExpectationValidationResult(success=bool(success), expectation_config=cfg, result=result)
+
+        return finalize
+
+
+class _DistinctSetBase(ColumnAggregateExpectation):
+    """Distinct-value set expectations.  Exact mode keeps collect_set inside
+    the fused bundle (ObjectHashAggregate — no extra scan); the driver-side
+    set op is on the (small) distinct set only (SURVEY.md §2.7)."""
+
+    def plan(self, ctx, cfg, index):
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        dc = domain_col(dom, column)
+        ref = ctx.agg("column.distinct_values", dk, column, lambda: F.collect_set(dc))
+        rf = result_format_of(cfg, ctx.options)
+        vset = cfg.kwargs.get("value_set")
+
+        def finalize(bag):
+            observed = sorted(bag[ref], key=lambda x: (str(type(x)), x))
+            success = self.check(set(observed), set(vset) if vset is not None else set())
+            result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": observed}
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+    def check(self, observed: set, expected: set) -> bool:
+        raise NotImplementedError
+
+
+@register_expectation("expect_column_distinct_values_to_be_in_set")
+class DistinctInSet(_DistinctSetBase):
+    def check(self, observed, expected):
+        return observed <= expected
+
+
+@register_expectation("expect_column_distinct_values_to_contain_set")
+class DistinctContainSet(_DistinctSetBase):
+    def check(self, observed, expected):
+        return observed >= expected
+
+
+@register_expectation("expect_column_distinct_values_to_equal_set")
+class DistinctEqualSet(_DistinctSetBase):
+    def check(self, observed, expected):
+        return observed == expected
+
+
+@register_expectation("expect_column_most_common_value_to_be_in_set")
+class MostCommonInSet(ColumnAggregateExpectation):
+    """observed_value = list of modal values (ties kept, ref:
+    column_most_common_value.py); success = all modes ∈ value_set (GE's
+    ties_okay semantics: any mode in set when ties_okay=True)."""
+
+    def plan(self, ctx, cfg, index):
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        vset = set(cfg.kwargs["value_set"])
+        ties_okay = bool(cfg.kwargs.get("ties_okay", False))
+
+        def metric(df):
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.filter(F.col(column).isNotNull())
+            counts = d.groupBy(column).count()
+            rows = counts.orderBy(F.desc("count")).limit(1000).collect()
+            if not rows:
+                return []
+            top = rows[0]["count"]
+            return sorted((r[column] for r in rows if r["count"] == top), key=str)
+
+        ref = ctx.data("column.most_common_value", dk, column, metric)
+        rf = result_format_of(cfg, ctx.options)
+
+        def finalize(bag):
+            modes = bag[ref]
+            if ties_okay:
+                success = any(m in vset for m in modes)
+            else:
+                success = all(m in vset for m in modes) and bool(modes)
+            result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": modes}
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+_SPARK_TYPE_ALIASES = {
+    "IntegerType": {"IntegerType", "int"},
+    "LongType": {"LongType", "bigint"},
+    "DoubleType": {"DoubleType", "double"},
+    "FloatType": {"FloatType", "float"},
+    "StringType": {"StringType", "string"},
+    "BooleanType": {"BooleanType", "boolean"},
+    "TimestampType": {"TimestampType", "timestamp"},
+    "DateType": {"DateType", "date"},
+    "BinaryType": {"BinaryType", "binary"},
+    "DecimalType": {"DecimalType"},
+}
+
+
+def _type_matches(actual_type_name: str, expected: str) -> bool:
+    aliases = _SPARK_TYPE_ALIASES.get(expected, {expected})
+    return actual_type_name in aliases or actual_type_name == expected
+
+
+class _TypeCheckBase:
+    """Schema-resolved on Spark — a metadata check, no job (ref: the Spark
+    path of expect_column_values_to_be_of_type resolves dtype, not per-row)."""
+
+    def expected_types(self, cfg) -> list[str]:
+        raise NotImplementedError
+
+    def plan(self, ctx, cfg, index):
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        actual = type(ctx.schema[column].dataType).__name__
+        expected = self.expected_types(cfg)
+        success = any(_type_matches(actual, e) for e in expected)
+        rf = result_format_of(cfg, ctx.options)
+
+        def finalize(bag):
+            result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": actual}
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+@register_expectation("expect_column_values_to_be_of_type")
+class BeOfType(_TypeCheckBase):
+    def expected_types(self, cfg):
+        return [cfg.kwargs["type_"]]
+
+
+@register_expectation("expect_column_values_to_be_in_type_list")
+class BeInTypeList(_TypeCheckBase):
+    def expected_types(self, cfg):
+        return list(cfg.kwargs["type_list"])

@@ -1,0 +1,466 @@
+"""Column-map expectations: per-row predicates compiled to Spark Columns.
+
+Each class defines the condition under which a non-null value is UNEXPECTED
+(ref: great_expectations/expectations/metrics/column_map_metrics/*).  All
+conditions are pure `pyspark.sql.Column` expressions — JVM-side, inside
+WholeStageCodegen; no Python UDFs in the hot path.  Where the reference used
+row-at-a-time Python UDFs on Spark (strftime/dateutil/json parseable), we
+substitute native `try_to_timestamp` / `try_parse_json` (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import ExpectationConfiguration, ExpectationValidationResult
+from ..planner import MetricBag, MetricContext, ViolationSpec
+from ..registry import register_expectation
+from ..result_format import build_map_result, mostly_success
+from .base import (
+    ColumnMapExpectation,
+    Finalizer,
+    require_columns,
+    result_format_of,
+    value_kwargs,
+)
+
+
+@register_expectation("expect_column_values_to_not_be_null")
+class NotBeNull(ColumnMapExpectation):
+    # the ONE map expectation whose denominator is ALL rows
+    # (ref: map_metric_provider.py — filter_column_isnull disabled for nonnull)
+    metric_name = "column_values.nonnull"
+    denominator = "all"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return F.col(cfg.kwargs["column"]).isNull()
+
+
+@register_expectation("expect_column_values_to_be_null")
+class BeNull(ColumnMapExpectation):
+    metric_name = "column_values.null"
+    denominator = "all"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return F.col(cfg.kwargs["column"]).isNotNull()
+
+
+@register_expectation("expect_column_values_to_be_in_set")
+class BeInSet(ColumnMapExpectation):
+    metric_name = "column_values.in_set"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        vs = list(cfg.kwargs["value_set"])
+        if not vs:  # empty set: everything is unexpected (GE semantics)
+            return F.lit(True)
+        return ~F.col(cfg.kwargs["column"]).isin(vs)
+
+
+@register_expectation("expect_column_values_to_not_be_in_set")
+class NotBeInSet(ColumnMapExpectation):
+    metric_name = "column_values.not_in_set"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        vs = list(cfg.kwargs["value_set"])
+        if not vs:
+            return F.lit(False)
+        return F.col(cfg.kwargs["column"]).isin(vs)
+
+
+@register_expectation("expect_column_values_to_be_between")
+class BeBetween(ColumnMapExpectation):
+    metric_name = "column_values.between"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        k = cfg.kwargs
+        c = F.col(k["column"])
+        ok = F.lit(True)
+        if k.get("min_value") is not None:
+            lo = F.lit(k["min_value"])
+            ok = ok & (c > lo if k.get("strict_min") else c >= lo)
+        if k.get("max_value") is not None:
+            hi = F.lit(k["max_value"])
+            ok = ok & (c < hi if k.get("strict_max") else c <= hi)
+        return ~ok
+
+
+@register_expectation("expect_column_values_to_match_regex")
+class MatchRegex(ColumnMapExpectation):
+    metric_name = "column_values.match_regex"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return ~F.col(cfg.kwargs["column"]).rlike(cfg.kwargs["regex"])
+
+
+@register_expectation("expect_column_values_to_not_match_regex")
+class NotMatchRegex(ColumnMapExpectation):
+    metric_name = "column_values.not_match_regex"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return F.col(cfg.kwargs["column"]).rlike(cfg.kwargs["regex"])
+
+
+def _fold_regex(column: str, patterns: list[str], match_on: str) -> Column:
+    """OR/AND-fold of rlike columns (matched = passes)."""
+    cols = [F.col(column).rlike(p) for p in patterns]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out | c) if match_on == "any" else (out & c)
+    return out
+
+
+@register_expectation("expect_column_values_to_match_regex_list")
+class MatchRegexList(ColumnMapExpectation):
+    metric_name = "column_values.match_regex_list"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return ~_fold_regex(
+            cfg.kwargs["column"], list(cfg.kwargs["regex_list"]),
+            cfg.kwargs.get("match_on", "any"),
+        )
+
+
+@register_expectation("expect_column_values_to_not_match_regex_list")
+class NotMatchRegexList(ColumnMapExpectation):
+    metric_name = "column_values.not_match_regex_list"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        # unexpected if it matches ANY of the list (GE semantics)
+        return _fold_regex(cfg.kwargs["column"], list(cfg.kwargs["regex_list"]), "any")
+
+
+@register_expectation("expect_column_values_to_match_like_pattern")
+class MatchLike(ColumnMapExpectation):
+    # SqlAlchemy-only upstream; native on Spark for us (SURVEY.md §2.5)
+    metric_name = "column_values.match_like_pattern"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return ~F.col(cfg.kwargs["column"]).like(cfg.kwargs["like_pattern"])
+
+
+@register_expectation("expect_column_values_to_not_match_like_pattern")
+class NotMatchLike(ColumnMapExpectation):
+    metric_name = "column_values.not_match_like_pattern"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return F.col(cfg.kwargs["column"]).like(cfg.kwargs["like_pattern"])
+
+
+@register_expectation("expect_column_values_to_match_like_pattern_list")
+class MatchLikeList(ColumnMapExpectation):
+    metric_name = "column_values.match_like_pattern_list"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        c = F.col(cfg.kwargs["column"])
+        match_on = cfg.kwargs.get("match_on", "any")
+        cols = [c.like(p) for p in cfg.kwargs["like_pattern_list"]]
+        out = cols[0]
+        for cc in cols[1:]:
+            out = (out | cc) if match_on == "any" else (out & cc)
+        return ~out
+
+
+@register_expectation("expect_column_values_to_not_match_like_pattern_list")
+class NotMatchLikeList(ColumnMapExpectation):
+    metric_name = "column_values.not_match_like_pattern_list"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        c = F.col(cfg.kwargs["column"])
+        cols = [c.like(p) for p in cfg.kwargs["like_pattern_list"]]
+        out = cols[0]
+        for cc in cols[1:]:
+            out = out | cc
+        return out
+
+
+@register_expectation("expect_column_value_lengths_to_be_between")
+class LengthsBetween(ColumnMapExpectation):
+    metric_name = "column_values.value_length.between"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        k = cfg.kwargs
+        ln = F.length(F.col(k["column"]))
+        ok = F.lit(True)
+        if k.get("min_value") is not None:
+            ok = ok & (ln > k["min_value"] if k.get("strict_min") else ln >= k["min_value"])
+        if k.get("max_value") is not None:
+            ok = ok & (ln < k["max_value"] if k.get("strict_max") else ln <= k["max_value"])
+        return ~ok
+
+
+@register_expectation("expect_column_value_lengths_to_equal")
+class LengthsEqual(ColumnMapExpectation):
+    metric_name = "column_values.value_length.equals"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        return F.length(F.col(cfg.kwargs["column"])) != F.lit(cfg.kwargs["value"])
+
+
+# strftime directive → Spark datetime pattern (subset the fixtures exercise;
+# ref upstream used a per-row Python strptime UDF — we stay native)
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    out = fmt
+    for k, v in _STRFTIME_MAP:
+        out = out.replace(k, v)
+    if "%" in out:
+        raise ValueError(f"unsupported strftime directive in {fmt!r}")
+    return out
+
+
+@register_expectation("expect_column_values_to_match_strftime_format")
+class MatchStrftime(ColumnMapExpectation):
+    metric_name = "column_values.match_strftime_format"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        fmt = strftime_to_spark(cfg.kwargs["strftime_format"])
+        return F.try_to_timestamp(F.col(cfg.kwargs["column"]), F.lit(fmt)).isNull()
+
+
+_DATEUTIL_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd",
+    "M/d/yyyy", "M/d/yyyy HH:mm:ss", "MM-dd-yyyy", "yyyyMMdd",
+    "MMM d yyyy", "MMMM d, yyyy", "d MMM yyyy",
+]
+
+
+@register_expectation("expect_column_values_to_be_dateutil_parseable")
+class DateutilParseable(ColumnMapExpectation):
+    metric_name = "column_values.dateutil_parseable"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        c = F.col(cfg.kwargs["column"])
+        attempts = [c.try_cast("timestamp"), c.try_cast("date").cast("timestamp")]
+        attempts += [F.try_to_timestamp(c, F.lit(f)) for f in _DATEUTIL_FORMATS]
+        return F.coalesce(*attempts).isNull()
+
+
+@register_expectation("expect_column_values_to_be_json_parseable")
+class JsonParseable(ColumnMapExpectation):
+    metric_name = "column_values.json_parseable"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        c = F.col(cfg.kwargs["column"])
+        if hasattr(F, "try_parse_json"):  # Spark 4 VARIANT path
+            return F.try_parse_json(c).isNull()
+        # fallback: object/array check via from_json (pre-4.0)
+        return F.from_json(c, "map<string,string>").isNull()
+
+
+@register_expectation("expect_column_value_z_scores_to_be_less_than")
+class ZScoresLessThan(ColumnMapExpectation):
+    """Two-stage: mean/stddev from the stage-1 bundle feed a stage-2 fused
+    aggregate (ref: column_map_metrics/column_value_z_scores.py has the same
+    aggregate dependency, resolved over two engine round-trips)."""
+
+    metric_name = "column_values.z_score"
+
+    def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        from .base import domain_col  # local import to avoid cycle noise
+
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        threshold = float(cfg.kwargs["threshold"])
+        double_sided = bool(cfg.kwargs.get("double_sided", True))
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        ec_ref = ctx.element_count(dk, dom)
+        nn_ref = ctx.nonnull_count(column, dk, dom)
+        dc = domain_col(dom, column)
+        mean_ref = ctx.agg("column.mean", dk, column, lambda: F.avg(dc))
+        std_ref = ctx.agg("column.standard_deviation", dk, column, lambda: F.stddev_samp(dc))
+
+        def zcond(bag: MetricBag) -> Column:
+            mu = float(bag[mean_ref])
+            sd = float(bag[std_ref]) or float("nan")
+            z = (F.col(column) - F.lit(mu)) / F.lit(sd)
+            bad = (F.abs(z) >= threshold) if double_sided else (z >= threshold)
+            return ctx.guard(dom, F.col(column).isNotNull() & bad)
+
+        uc_ref = ctx.agg2(
+            "column_values.z_score.unexpected_count", dk,
+            [column, threshold, double_sided],
+            lambda bag: F.coalesce(F.sum(F.when(zcond(bag), 1).otherwise(0)), F.lit(0)),
+        )
+        rf = result_format_of(cfg, ctx.options)
+        if rf != "BOOLEAN_ONLY":
+            ctx.add_violation(
+                ViolationSpec(index, cfg.expectation_type, column, zcond,
+                              lambda bag: F.col(column))
+            )
+        mostly = cfg.kwargs.get("mostly")
+
+        def finalize(bag: MetricBag) -> ExpectationValidationResult:
+            element_count = int(bag[ec_ref])
+            nonnull_count = int(bag[nn_ref])
+            unexpected_count = int(bag[uc_ref])
+            success = mostly_success(nonnull_count, unexpected_count, mostly)
+            lists = bag.get(f"viol:{index}", {}) or {}
+            result = build_map_result(
+                element_count=element_count, nonnull_count=nonnull_count,
+                unexpected_count=unexpected_count, result_format=rf, **lists,
+            )
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+_DUP_VALUE_CAP = 100_000  # max duplicated values carried back for the violations pass
+
+
+@register_expectation("expect_column_values_to_be_unique")
+class BeUnique(ColumnMapExpectation):
+    """Duplicate detection via two-stage groupBy (NOT the reference's global
+    window, ref: column_map_metrics/column_values_unique.py — a known skew
+    hazard): `groupBy(col).count().filter(>1)`.  Catalyst's partial (map-side)
+    aggregation collapses hot keys per partition before the shuffle, which is
+    exactly the salting the north rule asks for.  In sketch mode the exact
+    pass is preceded by an HLL estimate that can short-circuit a fully-unique
+    column."""
+
+    metric_name = "column_values.unique"
+
+    def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        ec_ref = ctx.element_count(dk, dom)
+        nn_ref = ctx.nonnull_count(column, dk, dom)
+
+        def dup_metric(df) -> dict[str, Any]:
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.filter(F.col(column).isNotNull())
+            dups = d.groupBy(column).count().filter(F.col("count") > 1)
+            row = dups.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
+                F.count(F.lit(1)).alias("ngroups"),
+            ).collect()[0]
+            vals = [r[column] for r in dups.select(column).limit(_DUP_VALUE_CAP).collect()]
+            return {"unexpected_count": int(row["uc"]), "dup_values": vals,
+                    "truncated": row["ngroups"] > len(vals)}
+
+        dup_ref = ctx.data("column_values.unique.dups", dk, column, dup_metric)
+        rf = result_format_of(cfg, ctx.options)
+        if rf != "BOOLEAN_ONLY":
+            def cond(bag: MetricBag) -> Column:
+                vals = bag[dup_ref]["dup_values"]
+                if not vals:
+                    return F.lit(False)
+                return ctx.guard(dom, F.col(column).isin(vals))
+
+            ctx.add_violation(
+                ViolationSpec(index, cfg.expectation_type, column, cond,
+                              lambda bag: F.col(column))
+            )
+        mostly = cfg.kwargs.get("mostly")
+
+        def finalize(bag: MetricBag) -> ExpectationValidationResult:
+            element_count = int(bag[ec_ref])
+            nonnull_count = int(bag[nn_ref])
+            unexpected_count = bag[dup_ref]["unexpected_count"]
+            success = mostly_success(nonnull_count, unexpected_count, mostly)
+            lists = bag.get(f"viol:{index}", {}) or {}
+            result = build_map_result(
+                element_count=element_count, nonnull_count=nonnull_count,
+                unexpected_count=unexpected_count, result_format=rf, **lists,
+            )
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+class _Monotonic:
+    """Shared impl for increasing/decreasing.
+
+    Batch order is ill-defined on a distributed table (SURVEY.md §2.5): we
+    require an explicit `order_by` kwarg at scale; without one we fall back to
+    the file/partition order via monotonically_increasing_id (matches the
+    reference's single-file batches).  Optional `partition_by` gives
+    partition-local monotonicity — the only form that scales to 10^12 rows.
+    """
+
+    direction_increasing = True
+
+    def plan_monotonic(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        from pyspark.sql import Window
+
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        strictly = bool(cfg.kwargs.get("strictly", False))
+        order_by = cfg.kwargs.get("order_by")
+        partition_by = cfg.kwargs.get("partition_by")
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        ec_ref = ctx.element_count(dk, dom)
+        nn_ref = ctx.nonnull_count(column, dk, dom)
+        inc = self.direction_increasing
+
+        def metric(df) -> dict[str, Any]:
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.filter(F.col(column).isNotNull())
+            if order_by is None:
+                d = d.withColumn("__ord", F.monotonically_increasing_id())
+                ocol = "__ord"
+            else:
+                ocol = order_by
+            w = Window.orderBy(ocol)
+            if partition_by:
+                w = Window.partitionBy(*partition_by).orderBy(ocol)
+            prev = F.lag(F.col(column)).over(w)
+            if inc:
+                bad = (F.col(column) <= prev) if strictly else (F.col(column) < prev)
+            else:
+                bad = (F.col(column) >= prev) if strictly else (F.col(column) > prev)
+            badrows = d.withColumn("__prev", prev).filter(bad.isNotNull() & bad)
+            uc = badrows.count()
+            sample = [r[column] for r in badrows.select(column).limit(20).collect()]
+            return {"unexpected_count": uc, "sample": sample}
+
+        m_ref = ctx.data(
+            f"column_values.{'increasing' if inc else 'decreasing'}", dk,
+            [column, strictly, order_by, partition_by], metric,
+        )
+        rf = result_format_of(cfg, ctx.options)
+        mostly = cfg.kwargs.get("mostly")
+
+        def finalize(bag: MetricBag) -> ExpectationValidationResult:
+            element_count = int(bag[ec_ref])
+            nonnull_count = int(bag[nn_ref])
+            m = bag[m_ref]
+            success = mostly_success(nonnull_count, m["unexpected_count"], mostly)
+            result = build_map_result(
+                element_count=element_count, nonnull_count=nonnull_count,
+                unexpected_count=m["unexpected_count"], result_format=rf,
+                partial_unexpected_list=m["sample"],
+            )
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+@register_expectation("expect_column_values_to_be_increasing")
+class BeIncreasing(_Monotonic):
+    direction_increasing = True
+
+    def plan(self, ctx, cfg, index):
+        return self.plan_monotonic(ctx, cfg, index)
+
+
+@register_expectation("expect_column_values_to_be_decreasing")
+class BeDecreasing(_Monotonic):
+    direction_increasing = False
+
+    def plan(self, ctx, cfg, index):
+        return self.plan_monotonic(ctx, cfg, index)

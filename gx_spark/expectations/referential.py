@@ -1,0 +1,137 @@
+"""Referential-integrity expectation (north rule BASELINE.json:14; upstream
+only reachable via value_set indirection / evaluation-parameter URNs,
+SURVEY.md §2.3).
+
+`expect_column_values_to_exist_in_table(column, other_table_name,
+other_column)` — every FK value must exist in the dimension table.
+
+Physics: `fact LEFT ANTI JOIN broadcast(dim.distinct)` — the dim side is
+explicitly broadcast (dimension tables are small); Catalyst/AQE handles the
+skewed-fact case.  In sketch mode a theta-sketch difference estimate
+(`theta_sketch_agg` on both sides) short-circuits the anti-join when the
+difference is zero — one cheap bundled pass instead of a join at 10^12 rows.
+Violation rows are recovered via an isin() probe on the (small) set of
+missing FK values so they ride the fused violations pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import ExpectationConfiguration, ExpectationValidationResult
+from ..planner import MetricBag, MetricContext, ViolationSpec
+from ..registry import register_expectation
+from ..result_format import build_map_result, mostly_success
+from .base import Finalizer, require_columns, result_format_of
+
+_MISSING_VALUE_CAP = 100_000
+
+
+@register_expectation("expect_column_values_to_exist_in_table")
+class ExistInTable:
+    metric_name = "column_values.exist_in_table"
+
+    def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        column = cfg.kwargs["column"]
+        require_columns(ctx, column)
+        other_name = cfg.kwargs["other_table_name"]
+        other_column = cfg.kwargs.get("other_column", column)
+        other_df = ctx.tables[other_name]
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        ec_ref = ctx.element_count(dk, dom)
+        nn_ref = ctx.nonnull_count(column, dk, dom)
+        use_theta = ctx.options.mode == "sketch" and hasattr(F, "theta_sketch_agg")
+
+        def metric(df) -> dict[str, Any]:
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.filter(F.col(column).isNotNull())
+            dim = other_df.select(F.col(other_column).alias(column)).distinct()
+            if use_theta:
+                # cheap prefilter: estimated |fact_keys \ dim_keys|
+                fact_sk = d.agg(F.theta_sketch_agg(column).alias("s")).collect()[0]["s"]
+                dim_sk = other_df.agg(F.theta_sketch_agg(other_column).alias("s")).collect()[0]["s"]
+                est = (
+                    d.sparkSession.range(1)
+                    .select(
+                        F.theta_sketch_estimate(
+                            F.theta_difference(F.lit(fact_sk), F.lit(dim_sk))
+                        ).alias("e")
+                    )
+                    .collect()[0]["e"]
+                )
+                if not est:
+                    return {"unexpected_count": 0, "missing_values": []}
+            orphans = d.join(F.broadcast(dim), on=column, how="left_anti")
+            uc = orphans.count()
+            missing = [
+                r[column]
+                for r in orphans.select(column).distinct().limit(_MISSING_VALUE_CAP).collect()
+            ]
+            return {"unexpected_count": uc, "missing_values": missing}
+
+        m_ref = ctx.data(self.metric_name, dk, [column, other_name, other_column], metric)
+        rf = result_format_of(cfg, ctx.options)
+        if rf != "BOOLEAN_ONLY":
+            def cond(bag: MetricBag) -> Column:
+                vals = bag[m_ref]["missing_values"]
+                if not vals:
+                    return F.lit(False)
+                return ctx.guard(dom, F.col(column).isin(vals))
+
+            ctx.add_violation(
+                ViolationSpec(index, cfg.expectation_type, column, cond,
+                              lambda bag: F.col(column))
+            )
+        mostly = cfg.kwargs.get("mostly")
+
+        def finalize(bag: MetricBag) -> ExpectationValidationResult:
+            element_count = int(bag[ec_ref])
+            nonnull_count = int(bag[nn_ref])
+            unexpected_count = bag[m_ref]["unexpected_count"]
+            success = mostly_success(nonnull_count, unexpected_count, mostly)
+            lists = bag.get(f"viol:{index}", {}) or {}
+            result = build_map_result(
+                element_count=element_count, nonnull_count=nonnull_count,
+                unexpected_count=unexpected_count, result_format=rf, **lists,
+            )
+            return ExpectationValidationResult(success=success, expectation_config=cfg, result=result)
+
+        return finalize
+
+
+@register_expectation("expect_query_to_return_no_rows")
+class QueryReturnsNoRows:
+    """QueryExpectation (ref: expectations/expectation.py#QueryExpectation):
+    user SQL over the batch (registered as temp view `batch`); any returned
+    row is a violation."""
+
+    def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        query = cfg.kwargs["query"]
+
+        def metric(df) -> dict[str, Any]:
+            df.createOrReplaceTempView("batch")
+            out = df.sparkSession.sql(query)
+            rows = out.limit(21).collect()
+            n = out.count() if len(rows) > 20 else len(rows)
+            return {"unexpected_count": n,
+                    "sample": [r.asDict() for r in rows[:20]]}
+
+        m_ref = ctx.data("query.rows", "", query, metric)
+        rf = result_format_of(cfg, ctx.options)
+
+        def finalize(bag: MetricBag) -> ExpectationValidationResult:
+            m = bag[m_ref]
+            result = {} if rf == "BOOLEAN_ONLY" else {
+                "observed_value": m["unexpected_count"],
+                "details": {"sample_rows": m["sample"]},
+            }
+            return ExpectationValidationResult(
+                success=m["unexpected_count"] == 0, expectation_config=cfg, result=result
+            )
+
+        return finalize
