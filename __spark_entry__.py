@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one implemented operator from SURVEY.md §2
+THROUGH the gx_spark engine (or gx_spark.ops for the pipeline operators) and
+returns its observed metrics as a small DataFrame; ``oracle_sql()`` holds the
+ANSI-SQL equivalent DuckDB recomputes on the same parquet.  Column names and
+dtypes are aligned on both sides (longs for counts, ROUND(x, 6) for floats)
+so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
@@ -12,27 +13,513 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gx_spark import EngineOptions, ExpectationSuite, validate
+from gx_spark import ops
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _evr(spark: SparkSession, df: DataFrame, suite: ExpectationSuite, tables=None):
+    return validate(
+        spark, df, suite, EngineOptions(collect_violations=False), tables=tables
+    ).suite_result.results
+
+
+def _row(spark: SparkSession, schema: str, values: list) -> DataFrame:
+    return spark.createDataFrame([tuple(values)], schema)
+
+
+# ---------------------------------------------------------------------------
+# engine-backed validation queries
+# ---------------------------------------------------------------------------
+
+
+def q_row_count_lineitem(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_table_row_count_to_be_between", min_value=0))
+    return _row(spark, "observed long", [int(r[0].result["observed_value"])])
+
+
+def q_not_null_orders_custkey(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "orders"),
+             ExpectationSuite("q").add("expect_column_values_to_not_be_null", column="o_custkey"))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
+def q_unique_orderkey_orders(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "orders"),
+             ExpectationSuite("q").add("expect_column_values_to_be_unique", column="o_orderkey"))
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_in_set_returnflag(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_column_values_to_be_in_set",
+                                       column="l_returnflag", value_set=["A", "N", "R"]))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
+def q_regex_event_type(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "events"),
+             ExpectationSuite("q").add("expect_column_values_to_match_regex",
+                                       column="event_type", regex="^[a-z]+$"))
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_between_quantity(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_column_values_to_be_between",
+                                       column="l_quantity", min_value=1, max_value=50))
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_value_length_name(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "customer"),
+             ExpectationSuite("q").add("expect_column_value_lengths_to_be_between",
+                                       column="c_name", min_value=5, max_value=25))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
+def q_mean_extendedprice(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_column_mean_to_be_between",
+                                       column="l_extendedprice", min_value=0))
+    return _row(spark, "mean_price double", [round(r[0].result["observed_value"], 6)])
+
+
+def q_stdev_acctbal(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "customer"),
+             ExpectationSuite("q").add("expect_column_stdev_to_be_between",
+                                       column="c_acctbal", min_value=0))
+    return _row(spark, "stdev double", [round(r[0].result["observed_value"], 6)])
+
+
+def q_minmax_sum_tax(spark, sf_dir):
+    df = _load(spark, sf_dir, "lineitem")
+    rs = _evr(spark, df, ExpectationSuite("q")
+              .add("expect_column_min_to_be_between", column="l_tax")
+              .add("expect_column_max_to_be_between", column="l_tax")
+              .add("expect_column_sum_to_be_between", column="l_tax"))
+    return _row(spark, "min_tax double, max_tax double, sum_tax double",
+                [rs[0].result["observed_value"], rs[1].result["observed_value"],
+                 round(rs[2].result["observed_value"], 6)])
+
+
+def q_distinct_count_mktsegment(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "customer"),
+             ExpectationSuite("q").add("expect_column_unique_value_count_to_be_between",
+                                       column="c_mktsegment", min_value=0))
+    return _row(spark, "distinct_count long", [int(r[0].result["observed_value"])])
+
+
+def q_quantiles_totalprice(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "orders"),
+             ExpectationSuite("q").add(
+                 "expect_column_quantile_values_to_be_between", column="o_totalprice",
+                 quantile_ranges={"quantiles": [0.25, 0.5, 0.75]}))
+    obs = r[0].result["observed_value"]
+    rows = [(float(q), round(float(v), 6)) for q, v in zip(obs["quantiles"], obs["values"])]
+    return spark.createDataFrame(rows, "quantile double, value double")
+
+
+def q_value_counts_linestatus(spark, sf_dir):
+    # the engine's value_counts shape: hash-groupBy with map-side combine
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def q_most_common_linestatus(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_column_most_common_value_to_be_in_set",
+                                       column="l_linestatus", value_set=["F", "O"], ties_okay=True))
+    modes = r[0].result["observed_value"]
+    return _row(spark, "most_common string", [modes[0]])
+
+
+def q_pair_ship_after_order(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_shipdate", "o_orderdate"
+    )
+    r = _evr(spark, joined,
+             ExpectationSuite("q").add("expect_column_pair_values_a_to_be_greater_than_b",
+                                       column_A="l_shipdate", column_B="o_orderdate"))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
+def q_referential_custkey(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "orders"),
+             ExpectationSuite("q").add("expect_column_values_to_exist_in_table",
+                                       column="o_custkey", other_table_name="customer",
+                                       other_column="c_custkey"),
+             tables={"customer": _load(spark, sf_dir, "customer")})
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_compound_unique_lineitem(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_compound_columns_to_be_unique",
+                                       column_list=["l_orderkey", "l_linenumber"]))
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_multicol_sum_10(spark, sf_dir):
+    df = _load(spark, sf_dir, "lineitem").withColumn(
+        "l_comp", F.lit(10) - F.col("l_linenumber")
+    )
+    r = _evr(spark, df,
+             ExpectationSuite("q").add("expect_multicolumn_sum_to_equal",
+                                       column_list=["l_linenumber", "l_comp"], sum_total=10))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
+_QTY_BINS = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def _kl_results(spark, sf_dir, kind: str):
+    exp = ("expect_column_kl_divergence_to_be_less_than" if kind == "kl"
+           else "expect_column_psi_to_be_less_than")
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add(exp, column="l_quantity",
+                                       partition_object={"bins": _QTY_BINS,
+                                                         "weights": [0.2] * 5},
+                                       threshold=1000.0))
+    return r[0].result
+
+
+def q_histogram_quantity(spark, sf_dir):
+    res = _kl_results(spark, sf_dir, "kl")
+    det = res["details"]["observed_partition"]
+    total_w = det["weights"]
+    nn = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull()).count()
+    rows = [(i, int(round(w * nn))) for i, w in enumerate(total_w)]
+    return spark.createDataFrame(rows, "bin_idx int, cnt long")
+
+
+def q_kl_quantity_uniform(spark, sf_dir):
+    res = _kl_results(spark, sf_dir, "kl")
+    return _row(spark, "kl double", [float(round(res["observed_value"], 6))])
+
+
+def q_psi_quantity_uniform(spark, sf_dir):
+    res = _kl_results(spark, sf_dir, "psi")
+    return _row(spark, "psi double", [float(round(res["observed_value"], 6))])
+
+
+def q_json_props_parseable(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "events"),
+             ExpectationSuite("q").add("expect_column_values_to_be_json_parseable",
+                                       column="props"))
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
+def q_row_condition_filtered_mean(spark, sf_dir):
+    r = _evr(spark, _load(spark, sf_dir, "lineitem"),
+             ExpectationSuite("q").add("expect_column_mean_to_be_between",
+                                       column="l_quantity", min_value=0,
+                                       row_condition="l_returnflag = 'A'"))
+    return _row(spark, "mean_qty double", [round(r[0].result["observed_value"], 6)])
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (gx_spark.ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    return ops.exact_dedup_stats(_load(spark, sf_dir, "documents"), ["text"])
+
+
+def q_token_stats_documents(spark, sf_dir):
+    return ops.token_stats(_load(spark, sf_dir, "documents"), "text")
+
+
+def q_quality_documents(spark, sf_dir):
+    return ops.quality_scores(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lang_distribution_documents(spark, sf_dir):
+    return ops.lang_distribution(_load(spark, sf_dir, "documents"), "text")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    return ops.md5_fingerprints(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _query_vec(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def q_cosine_topk_embeddings(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    out = ops.cosine_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    # rows-only check (LSH not ANSI-SQL-expressible)
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ops.minhash_jaccard(docs, "doc_id", "text", threshold=0.2)
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+
+
+def q_simhash_documents(spark, sf_dir):
+    # rows-only (xxhash64 seed not reproducible in DuckDB)
+    return ops.simhash64(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ann_lsh_embeddings(spark, sf_dir):
+    # rows-only: ANN via random-hyperplane LSH bucket probe
+    emb = _load(spark, sf_dir, "embeddings")
+    out = ops.ann_topk_lsh(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation suite on sf0.001 lineitem; returns the
+    `_validation_results` DataFrame."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _load(spark, sf_dir, "lineitem")
+    suite = (
+        ExpectationSuite("flagship")
+        .add("expect_table_row_count_to_be_between", min_value=1)
+        .add("expect_column_values_to_not_be_null", column="l_orderkey")
+        .add("expect_column_values_to_be_in_set", column="l_returnflag",
+             value_set=["A", "N", "R"])
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=50)
+        .add("expect_column_mean_to_be_between", column="l_extendedprice", min_value=0)
+        .add("expect_column_quantile_values_to_be_between", column="l_quantity",
+             quantile_ranges={"quantiles": [0.25, 0.5, 0.75]})
+        .add("expect_column_values_to_match_regex", column="l_linestatus", regex="^[FO]$")
+    )
+    bundle = validate(spark, li, suite, EngineOptions(collect_violations=False))
+    return bundle.results_df(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "row_count_lineitem": q_row_count_lineitem,
+        "not_null_orders_custkey": q_not_null_orders_custkey,
+        "unique_orderkey_orders": q_unique_orderkey_orders,
+        "in_set_returnflag": q_in_set_returnflag,
+        "regex_event_type": q_regex_event_type,
+        "between_quantity": q_between_quantity,
+        "value_length_name": q_value_length_name,
+        "mean_extendedprice": q_mean_extendedprice,
+        "stdev_acctbal": q_stdev_acctbal,
+        "minmax_sum_tax": q_minmax_sum_tax,
+        "distinct_count_mktsegment": q_distinct_count_mktsegment,
+        "quantiles_totalprice": q_quantiles_totalprice,
+        "value_counts_linestatus": q_value_counts_linestatus,
+        "most_common_linestatus": q_most_common_linestatus,
+        "pair_ship_after_order": q_pair_ship_after_order,
+        "referential_custkey": q_referential_custkey,
+        "compound_unique_lineitem": q_compound_unique_lineitem,
+        "multicol_sum_10": q_multicol_sum_10,
+        "histogram_quantity": q_histogram_quantity,
+        "kl_quantity_uniform": q_kl_quantity_uniform,
+        "psi_quantity_uniform": q_psi_quantity_uniform,
+        "json_props_parseable": q_json_props_parseable,
+        "row_condition_filtered_mean": q_row_condition_filtered_mean,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "quality_documents": q_quality_documents,
+        "lang_distribution_documents": q_lang_distribution_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_documents": q_simhash_documents,
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = "['the','a','and','of','to','in','is']"
+
+_LANG_CASE_SQL = """
+    CASE
+      WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+      WHEN regexp_matches(lower(text), '(^| )(und|der|nicht)( |$)') THEN 'de'
+      WHEN regexp_matches(lower(text), '(^| )(et|le|les)( |$)') THEN 'fr'
+      WHEN regexp_matches(lower(text), '(^| )(el|los|una)( |$)') THEN 'es'
+      WHEN regexp_matches(lower(text), '(^| )(the|and|of)( |$)') THEN 'en'
+      ELSE 'other'
+    END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "row_count_lineitem": "SELECT count(*)::BIGINT AS observed FROM lineitem",
+        "not_null_orders_custkey": (
+            "SELECT count(*)::BIGINT AS element_count, "
+            "(count(*) - count(o_custkey))::BIGINT AS unexpected_count FROM orders"
+        ),
+        "unique_orderkey_orders": (
+            "SELECT COALESCE(SUM(c), 0)::BIGINT AS unexpected_count FROM "
+            "(SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t"
+        ),
+        "in_set_returnflag": (
+            "SELECT count(l_returnflag)::BIGINT AS element_count, "
+            "SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM lineitem"
+        ),
+        "regex_event_type": (
+            "SELECT SUM(CASE WHEN NOT regexp_matches(event_type, '^[a-z]+$') "
+            "THEN 1 ELSE 0 END)::BIGINT AS unexpected_count FROM events "
+            "WHERE event_type IS NOT NULL"
+        ),
+        "between_quantity": (
+            "SELECT SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM lineitem WHERE l_quantity IS NOT NULL"
+        ),
+        "value_length_name": (
+            "SELECT count(c_name)::BIGINT AS element_count, "
+            "SUM(CASE WHEN length(c_name) < 5 OR length(c_name) > 25 THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM customer"
+        ),
+        "mean_extendedprice": "SELECT ROUND(AVG(l_extendedprice), 6) AS mean_price FROM lineitem",
+        "stdev_acctbal": "SELECT ROUND(STDDEV_SAMP(c_acctbal), 6) AS stdev FROM customer",
+        "minmax_sum_tax": (
+            "SELECT MIN(l_tax) AS min_tax, MAX(l_tax) AS max_tax, "
+            "ROUND(SUM(l_tax), 6) AS sum_tax FROM lineitem"
+        ),
+        "distinct_count_mktsegment": (
+            "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS distinct_count FROM customer"
+        ),
+        "quantiles_totalprice": (
+            "SELECT 0.25::DOUBLE AS quantile, ROUND(PERCENTILE_CONT(0.25) "
+            "WITHIN GROUP (ORDER BY o_totalprice), 6) AS value FROM orders "
+            "UNION ALL SELECT 0.5::DOUBLE, ROUND(PERCENTILE_CONT(0.5) "
+            "WITHIN GROUP (ORDER BY o_totalprice), 6) FROM orders "
+            "UNION ALL SELECT 0.75::DOUBLE, ROUND(PERCENTILE_CONT(0.75) "
+            "WITHIN GROUP (ORDER BY o_totalprice), 6) FROM orders"
+        ),
+        "value_counts_linestatus": (
+            "SELECT l_linestatus, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_linestatus"
+        ),
+        "most_common_linestatus": (
+            "SELECT l_linestatus AS most_common FROM lineitem "
+            "GROUP BY l_linestatus ORDER BY count(*) DESC, l_linestatus LIMIT 1"
+        ),
+        "pair_ship_after_order": (
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN NOT (l_shipdate > o_orderdate) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "referential_custkey": (
+            "SELECT count(*)::BIGINT AS unexpected_count FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
+        ),
+        "compound_unique_lineitem": (
+            "SELECT COALESCE(SUM(c), 0)::BIGINT AS unexpected_count FROM "
+            "(SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber "
+            "HAVING count(*) > 1) t"
+        ),
+        "multicol_sum_10": (
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN l_linenumber + (10 - l_linenumber) <> 10 THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM lineitem"
+        ),
+        "histogram_quantity": (
+            "SELECT CASE WHEN l_quantity >= 40 THEN 4 ELSE CAST(FLOOR(l_quantity / 10) AS INT) "
+            "END AS bin_idx, count(*)::BIGINT AS cnt FROM lineitem "
+            "WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1"
+        ),
+        "kl_quantity_uniform": (
+            "WITH h AS (SELECT CASE WHEN l_quantity >= 40 THEN 4 ELSE "
+            "CAST(FLOOR(l_quantity / 10) AS INT) END AS b, count(*) AS c FROM lineitem "
+            "WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1), "
+            "t AS (SELECT SUM(c) AS n FROM h) "
+            "SELECT ROUND(SUM((c / n) * LN((c / n) / 0.2)), 6) AS kl FROM h, t"
+        ),
+        "psi_quantity_uniform": (
+            "WITH h AS (SELECT CASE WHEN l_quantity >= 40 THEN 4 ELSE "
+            "CAST(FLOOR(l_quantity / 10) AS INT) END AS b, count(*) AS c FROM lineitem "
+            "WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1), "
+            "t AS (SELECT SUM(c) AS n FROM h) "
+            "SELECT ROUND(SUM((c / n - 0.2) * LN((c / n) / 0.2)), 6) AS psi FROM h, t"
+        ),
+        "json_props_parseable": (
+            "SELECT SUM(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM events WHERE props IS NOT NULL"
+        ),
+        "row_condition_filtered_mean": (
+            "SELECT ROUND(AVG(l_quantity), 6) AS mean_qty FROM lineitem "
+            "WHERE l_returnflag = 'A'"
+        ),
+        "dedup_exact_documents": (
+            "SELECT SUM(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, "
+            "COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT AS n_dup_rows, "
+            "SUM(c - 1)::BIGINT AS n_removable "
+            "FROM (SELECT count(*) AS c FROM documents GROUP BY text) t"
+        ),
+        "token_stats_documents": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens, "
+            "ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens "
+            "FROM documents"
+        ),
+        "quality_documents": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens, "
+            "ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+            " / GREATEST(length(text), 1), 6) AS punct_ratio, "
+            "ROUND((length(text) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)"
+            " / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS avg_word_len, "
+            "ROUND(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains({_STOPWORDS_SQL}, x)))"
+            " / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS stopword_ratio "
+            "FROM documents"
+        ),
+        "lang_distribution_documents": (
+            f"SELECT {_LANG_CASE_SQL} AS pred_lang, count(*)::BIGINT AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "cosine_topk_embeddings": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+            "FROM embeddings e, q "
+            "ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
+        ),
+        # minhash_near_dups, simhash_documents, ann_lsh_embeddings:
+        # intentionally omitted → driver records rows-only checks
+        # (LSH/xxhash64 seeds are not reproducible in ANSI SQL)
+    }

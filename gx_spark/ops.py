@@ -1,0 +1,321 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Large-scale data-curation ops a 100 TB training pipeline needs, expressed
+Spark-first (built-in functions, no row-at-a-time Python; shuffles only where
+semantically required):
+
+- exact + near (MinHash-LSH / SimHash) deduplication
+- embedding similarity search (brute-force cosine top-k; LSH-bucketed ANN)
+- text analysis: token counts, quality scoring, language-ID heuristic,
+  document fingerprinting (md5)
+
+Scale notes are in each docstring; everything runs on the driver-provided
+`documents` / `embeddings` testdata tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact-duplicate statistics by hash-groupBy on the key columns.
+
+    One shuffle on the dedup key with map-side partial aggregation; at 100 TB
+    scale use `xxhash64` of the normalized text as the groupBy key so the
+    shuffle carries 8-byte keys, never document bodies."""
+    key = F.xxhash64(*[F.col(c) for c in cols]).alias("k")
+    groups = df.select(key).groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    return groups.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("long").alias("n_dup_rows"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_removable"),
+    )
+
+
+def _word_shingles(text_col: Column, k: int) -> Column:
+    """k-word shingle array from a text column (built-in functions only)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, n_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: shingle → per-seed xxhash64 → array_min.
+
+    All map-side (no shuffle): shingling, hashing and the per-seed minimum run
+    inside one WholeStageCodegen projection over the documents scan."""
+    sh = _word_shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(x, F.lit(s))))
+            for s in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: documents sharing any band bucket become candidate pairs.
+
+    The only shuffle is on (band, bucket-hash) — 12 bytes per (doc, band) —
+    then a self-join within buckets.  At scale, skewed buckets (boilerplate
+    docs) are bounded by the bucket-size cap before the pair explosion."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    # cap pathological buckets (all-identical boilerplate) before pairing
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(F.col("bsz") <= 1000)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_k: int = 3, n_hashes: int = 32, bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard >= threshold.
+
+    Signature agreement fraction estimates Jaccard; the candidate set comes
+    from banded LSH so the quadratic comparison never materializes."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(n_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Token-level: explode tokens, per-bit signed sums, sign → bit.  The
+    shuffle key is the doc id (partial aggregation combines map-side); the
+    64 conditional sums live in one HashAggregate."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = sums.select(
+        "id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << b))
+            for b in range(63)  # bit 63 omitted to stay in signed long
+        ).alias("simhash"),
+    )
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline.  The scan is map-side;
+    only (id, score) pairs reach the TakeOrdered, so at 10^9 vectors the
+    shuffle is k rows per partition."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def embedding_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bits packed into a
+    long) — the scale path for ANN: probe only the query's bucket (and
+    neighbors) instead of the full scan."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long")
+        for plane in planes
+    ]
+    bucket = sum(b * F.lit(1 << i) for i, b in enumerate(bits))
+    return df.select(F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float],
+    k: int = 10, n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """ANN: score only vectors in the query's LSH bucket."""
+    dim = len(query)
+    planes = lsh_hyperplanes(dim, n_planes, seed)
+    buckets = embedding_lsh_buckets(df, id_col, vec_col, planes)
+    qv = np.asarray(query, dtype=float)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cand = buckets.filter(F.col("bucket") == qbucket)
+    return (
+        cand.select("id", cosine_similarity(F.col("vec"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (matches the oracle's regexp-split length)."""
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    tc = token_count(F.col(text_col))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tc).cast("long").alias("total_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+    )
+
+
+_PUNCT = r"[.,!?;:]"
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, punctuation ratio,
+    mean word length, stopword ratio.  Pure column expressions — one map-side
+    projection, no shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, _PUNCT, ""))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: w.isin(["the", "a", "and", "of", "to", "in", "is"]),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round((n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_word_len"),
+        F.round(stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+# deterministic marker-word rule shared verbatim with the DuckDB oracle
+LANG_RULES = [
+    ("zh", "[一-鿿]"),
+    ("de", r"(^| )(und|der|nicht)( |$)"),
+    ("fr", r"(^| )(et|le|les)( |$)"),
+    ("es", r"(^| )(el|los|una)( |$)"),
+    ("en", r"(^| )(the|and|of)( |$)"),
+]
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: first matching marker rule wins (n-gram/stopword
+    heuristic, deterministic, SQL-portable)."""
+    expr = F.lit("other")
+    for lang, pat in reversed(LANG_RULES):
+        expr = F.when(F.lower(text_col).rlike(pat), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_distribution(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(lang_id(F.col(text_col)).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint per document (hex md5 — portable across engines)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("fingerprint")
+    )
