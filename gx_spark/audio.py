@@ -22,6 +22,7 @@ import zlib
 from typing import Any
 
 import numpy as np
+import pandas as pd
 
 # ---------------------------------------------------------------------------
 # deterministic reference synthesis (FIXTURES.md §1)
@@ -211,18 +212,32 @@ def compute_flags_row(
 def make_audio_flags_udf():
     """Arrow-batched pandas UDF: (clip_id, bytes, sr_hz, dur_ms, codec,
     transcript) → flags struct.  Built lazily so importing gx_spark never
-    requires an active Spark session."""
-    import pandas as pd
+    requires an active Spark session.
+
+    The worker-side body imports gx_spark by path (captured at define time)
+    so local-mode executors work even when the driver put the repo on
+    sys.path manually; under spark-submit --py-files the normal import
+    succeeds first."""
+    import os
+
     from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     @pandas_udf(AUDIO_FLAGS_SCHEMA)
     def audio_flags(
         clip_id: pd.Series, b: pd.Series, sr: pd.Series, dur: pd.Series,
         codec: pd.Series, transcript: pd.Series,
     ) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import compute_flags_row as _cfr
+
         rows = [
-            compute_flags_row(ci, bb, int(s) if s is not None else 0,
-                              int(d) if d is not None else 0, cc, tx)
+            _cfr(ci, bb, int(s) if s is not None else 0,
+                 int(d) if d is not None else 0, cc, tx)
             for ci, bb, s, d, cc, tx in zip(clip_id, b, sr, dur, codec, transcript)
         ]
         return pd.DataFrame(rows)
