@@ -200,11 +200,14 @@ class LengthsEqual(ColumnMapExpectation):
 
 
 # strftime directive → Spark datetime pattern (subset the fixtures exercise;
-# ref upstream used a per-row Python strptime UDF — we stay native)
+# ref upstream used a per-row Python strptime UDF — we stay native).
+# Single-letter Spark patterns (M, d, H…) accept 1-2 digits, matching
+# CPython strptime's lenient zero-padding; %M (minute) must be replaced
+# before %m (month) is irrelevant — directives are distinct 2-char tokens.
 _STRFTIME_MAP = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
-    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"),
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "M"), ("%d", "d"),
+    ("%H", "H"), ("%I", "h"), ("%M", "m"), ("%S", "s"),
+    ("%f", "SSSSSS"), ("%j", "D"), ("%p", "a"),
     ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
 ]
 
@@ -423,7 +426,10 @@ class _Monotonic:
                 bad = (F.col(column) <= prev) if strictly else (F.col(column) < prev)
             else:
                 bad = (F.col(column) >= prev) if strictly else (F.col(column) > prev)
-            badrows = d.withColumn("__prev", prev).filter(bad.isNotNull() & bad)
+            # window exprs can't sit in WHERE — materialize the flag first
+            badrows = d.withColumn("__bad", bad).filter(
+                F.col("__bad").isNotNull() & F.col("__bad")
+            )
             uc = badrows.count()
             sample = [r[column] for r in badrows.select(column).limit(20).collect()]
             return {"unexpected_count": uc, "sample": sample}
