@@ -1,0 +1,151 @@
+"""Resumable per-partition validation runs (north rule BASELINE.json:6).
+
+The reference's Checkpoint (ref: checkpoint/checkpoint.py#Checkpoint.run)
+orchestrates validate→store-result→actions per batch; ours is the scaled
+equivalent: a per-partition loop with a durable manifest so a killed
+spark-submit job restarts only unvalidated partitions.
+
+Manifest: JSON at <results_dir>/_checkpoint_manifest.json, one entry per
+(snapshot_id, partition_id) with status pending|done and the metrics row
+count — atomic tmp+rename writes.  Validation outputs append to
+<results_dir>/_validation_results and <results_dir>/_violations parquet
+tables (partition lineage columns included in every row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .executor import ValidationRun
+from .model import EngineOptions, ExpectationSuite
+from .table_provider import PartitionRef, TableProvider
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+class CheckpointManifest:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.entries: dict[str, dict[str, Any]] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.entries = json.load(f)
+
+    @staticmethod
+    def key(snapshot_id: str, partition_id: int) -> str:
+        return f"{snapshot_id}:{partition_id}"
+
+    def is_done(self, snapshot_id: str, partition_id: int) -> bool:
+        e = self.entries.get(self.key(snapshot_id, partition_id))
+        return bool(e and e.get("status") == "done")
+
+    def mark(self, snapshot_id: str, partition_id: int, status: str,
+             run_id: str, metrics_rows: int = 0) -> None:
+        import time
+
+        self.entries[self.key(snapshot_id, partition_id)] = {
+            "run_id": run_id,
+            "snapshot_id": snapshot_id,
+            "partition_id": partition_id,
+            "status": status,
+            "metrics_rows": metrics_rows,
+            "updated_ts": int(time.time()),
+        }
+        _atomic_write_json(self.path, self.entries)
+
+
+@dataclass
+class CheckpointResult:
+    run_id: str
+    snapshot_id: str
+    validated_partitions: list[int]
+    skipped_partitions: list[int]
+    all_success: bool
+
+
+class CheckpointRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        suite: ExpectationSuite,
+        provider: TableProvider,
+        results_dir: str,
+        options: EngineOptions | None = None,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.suite = suite
+        self.provider = provider
+        self.results_dir = results_dir
+        self.options = options or EngineOptions(
+            unexpected_index_column_names=("clip_id",)
+        )
+        self.tables = tables or {}
+        os.makedirs(results_dir, exist_ok=True)
+        self.manifest = CheckpointManifest(
+            os.path.join(results_dir, "_checkpoint_manifest.json")
+        )
+
+    def run(self, run_id: str | None = None, max_partitions: int | None = None) -> CheckpointResult:
+        """Validate every not-yet-done partition of the current snapshot.
+
+        `max_partitions` bounds the number validated in this invocation —
+        used by tests to simulate a killed job; a subsequent run() resumes
+        exactly where the previous one stopped."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        snapshot = self.provider.snapshot_id()
+        df = self.provider.load(self.spark)
+        parts = self.provider.partitions(self.spark)
+        validated, skipped = [], []
+        all_success = True
+        done_count = 0
+        for p in parts:
+            if self.manifest.is_done(snapshot, p.partition_id):
+                skipped.append(p.partition_id)
+                continue
+            if max_partitions is not None and done_count >= max_partitions:
+                break
+            self.manifest.mark(snapshot, p.partition_id, "pending", run_id)
+            # partition predicate pushes down into the parquet/Iceberg scan
+            pdf = df.filter(p.predicate)
+            bundle = ValidationRun(
+                self.spark, self.suite, self.options, self.tables
+            ).validate(pdf, run_id=run_id, partition_id=p.partition_id,
+                       snapshot_id=snapshot)
+            rdf = bundle.results_df(self.spark)
+            rdf.write.mode("append").parquet(
+                os.path.join(self.results_dir, "_validation_results")
+            )
+            n_rows = len(self.suite.expectations)
+            vt = bundle.violations_table()
+            if vt is not None:
+                vt.withColumn("partition_id", F.lit(p.partition_id)).withColumn(
+                    "snapshot_id", F.lit(snapshot)
+                ).write.mode("append").parquet(
+                    os.path.join(self.results_dir, "_violations")
+                )
+            all_success = all_success and bundle.success
+            self.manifest.mark(snapshot, p.partition_id, "done", run_id, n_rows)
+            validated.append(p.partition_id)
+            done_count += 1
+        return CheckpointResult(run_id, snapshot, validated, skipped, all_success)
+
+    def results(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.results_dir, "_validation_results")
+        )
+
+    def violations(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.results_dir, "_violations"))

@@ -1,0 +1,84 @@
+"""spark-submit entry point: resumable suite validation over a table.
+
+    spark-submit --py-files gx_spark.zip -m ... gx_spark/run.py \
+        --table-path /data/audio_clips.parquet \
+        --suite audio | /path/to/suite.json \
+        --results-dir /data/_gx_out \
+        [--partition-column part_id] [--mode sketch] [--max-partitions N]
+
+In-sandbox it runs with a local master; on a cluster the same script runs
+unchanged under spark-submit (the session builder respects an existing
+SparkSession/conf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table-path", required=True)
+    ap.add_argument("--suite", default="audio",
+                    help="'audio', 'audio_aggregates', or path to a suite JSON")
+    ap.add_argument("--results-dir", required=True)
+    ap.add_argument("--partition-column", default="part_id")
+    ap.add_argument("--mode", default="exact", choices=["exact", "sketch"])
+    ap.add_argument("--index-columns", default="clip_id")
+    ap.add_argument("--max-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("gx-spark-run")
+    if args.master:
+        builder = builder.master(args.master)
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", args.shuffle_partitions)
+    builder = builder.config("spark.sql.adaptive.enabled", "true")
+    spark = builder.getOrCreate()
+
+    from gx_spark.checkpoint import CheckpointRunner
+    from gx_spark.model import EngineOptions
+    from gx_spark.suite_io import load_suite
+    from gx_spark.suites import audio_aggregate_suite, audio_suite
+    from gx_spark.table_provider import ParquetDirTableProvider
+
+    if args.suite == "audio":
+        suite = audio_suite()
+    elif args.suite == "audio_aggregates":
+        suite = audio_aggregate_suite()
+    else:
+        suite = load_suite(args.suite)
+
+    options = EngineOptions(
+        mode=args.mode,
+        unexpected_index_column_names=tuple(
+            c for c in args.index_columns.split(",") if c
+        ),
+    )
+    runner = CheckpointRunner(
+        spark, suite,
+        ParquetDirTableProvider(args.table_path, args.partition_column),
+        args.results_dir, options,
+    )
+    res = runner.run(max_partitions=args.max_partitions)
+    print(json.dumps({
+        "run_id": res.run_id,
+        "snapshot_id": res.snapshot_id,
+        "validated_partitions": res.validated_partitions,
+        "skipped_partitions": res.skipped_partitions,
+        "all_success": res.all_success,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,7 +1,16 @@
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+AUDIO_N = 800
+AUDIO_DIR = os.path.join(REPO, "build", "audio", f"n{AUDIO_N}")
 
 
 @pytest.fixture(scope="session")
@@ -18,3 +27,17 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def audio_dir():
+    if not os.path.exists(os.path.join(AUDIO_DIR, "expected_aggregates.json")):
+        from tools.gen_audio import generate_small
+
+        generate_small(AUDIO_N, AUDIO_DIR, p_partitions=16)
+    return AUDIO_DIR
+
+
+@pytest.fixture(scope="session")
+def audio_df(spark, audio_dir):
+    return spark.read.parquet(f"{audio_dir}/audio_clips.parquet")

@@ -21,23 +21,6 @@ sys.path.insert(0, REPO)
 from gx_spark import EngineOptions, ExpectationSuite, validate  # noqa: E402
 from gx_spark.suites import audio_aggregate_suite, audio_suite  # noqa: E402
 
-N = 800
-AUDIO_DIR = os.path.join(REPO, "build", "audio", f"n{N}")
-
-
-@pytest.fixture(scope="session")
-def audio_dir():
-    if not os.path.exists(os.path.join(AUDIO_DIR, "expected_aggregates.json")):
-        from tools.gen_audio import generate_small
-
-        generate_small(N, AUDIO_DIR, p_partitions=16)
-    return AUDIO_DIR
-
-
-@pytest.fixture(scope="session")
-def audio_df(spark, audio_dir):
-    return spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
-
 
 def test_violation_rows_match_sidecar_exactly(spark, audio_dir, audio_df):
     bundle = validate(

@@ -1,0 +1,107 @@
+"""Checkpoint/resume semantics (SURVEY.md §5 'Resume test'): kill after k
+partitions, restart, assert only unvalidated partitions run and the final
+result set is identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import EngineOptions  # noqa: E402
+from gx_spark.checkpoint import CheckpointRunner  # noqa: E402
+from gx_spark.suites import audio_suite  # noqa: E402
+from gx_spark.table_provider import ParquetDirTableProvider  # noqa: E402
+
+from tests.conftest import AUDIO_DIR  # noqa: E402  (n800 fixture dir)
+
+
+@pytest.fixture()
+def results_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _runner(spark, audio_dir, results_dir):
+    provider = ParquetDirTableProvider(
+        f"{audio_dir}/audio_clips.parquet", "part_id"
+    )
+    return CheckpointRunner(
+        spark, audio_suite(), provider, results_dir,
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+
+
+def test_kill_and_resume(spark, audio_dir, results_dir):
+    # interrupted run: only 3 partitions complete
+    r1 = _runner(spark, audio_dir, results_dir).run(max_partitions=3)
+    assert len(r1.validated_partitions) == 3
+    assert r1.skipped_partitions == []
+
+    # resume: a NEW runner instance (fresh process semantics) picks up the
+    # manifest and validates only the remaining partitions
+    runner2 = _runner(spark, audio_dir, results_dir)
+    r2 = runner2.run()
+    assert sorted(r2.skipped_partitions) == sorted(r1.validated_partitions)
+    assert set(r2.validated_partitions).isdisjoint(r1.validated_partitions)
+    assert len(r1.validated_partitions) + len(r2.validated_partitions) == 16
+
+    # third run: nothing left to do
+    r3 = _runner(spark, audio_dir, results_dir).run()
+    assert r3.validated_partitions == []
+    assert len(r3.skipped_partitions) == 16
+
+    # results table: one row per expectation per partition, identical to an
+    # uninterrupted reference run
+    results = runner2.results()
+    n_exp = len(audio_suite().expectations)
+    assert results.count() == 16 * n_exp
+
+    ref_dir = results_dir + "_ref"
+    rref = _runner(spark, audio_dir, ref_dir).run()
+    assert len(rref.validated_partitions) == 16
+    ref_results = runner2.spark.read.parquet(f"{ref_dir}/_validation_results")
+
+    key_cols = ["partition_id", "expectation_index", "success",
+                "element_count", "unexpected_count"]
+    got = sorted(map(str, results.select(*key_cols).collect()))
+    want = sorted(map(str, ref_results.select(*key_cols).collect()))
+    assert got == want
+
+    # violations carry partition lineage and match the sidecar set
+    viol = runner2.violations()
+    got_v = {
+        (r["clip_id"], r["expectation_type"])
+        for r in viol.select("clip_id", "expectation_type").collect()
+    }
+    expected_v = {
+        (r["clip_id"], r["expectation_type"])
+        for r in spark.read.parquet(f"{AUDIO_DIR}/expected_violations.parquet")
+        .where("expectation_type <> 'expect_column_values_to_exist_in_table'")
+        .collect()
+    }
+    assert got_v == expected_v
+
+
+def test_snapshot_change_invalidates(spark, audio_dir, results_dir, tmp_path):
+    # copy the table so we can mutate it
+    tbl = str(tmp_path / "audio_clips.parquet")
+    shutil.copytree(f"{audio_dir}/audio_clips.parquet", tbl) if os.path.isdir(
+        f"{audio_dir}/audio_clips.parquet"
+    ) else shutil.copy(f"{audio_dir}/audio_clips.parquet", tbl)
+    provider = ParquetDirTableProvider(tbl, "part_id")
+    runner = CheckpointRunner(
+        spark, audio_suite(), provider, results_dir,
+        EngineOptions(collect_violations=False),
+    )
+    r1 = runner.run(max_partitions=2)
+    snap1 = r1.snapshot_id
+    # touch the file → new snapshot → previously-done partitions re-run
+    os.utime(tbl if os.path.isfile(tbl) else os.path.join(tbl, os.listdir(tbl)[0]),
+             (1, 1))
+    provider2 = ParquetDirTableProvider(tbl, "part_id")
+    assert provider2.snapshot_id() != snap1
