@@ -1,0 +1,175 @@
+"""Per-round benchmark (driver contract): headline validation + pipeline-op
+queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], plus audio-suite
+throughput on the generated bench audio table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "audio_clips_per_sec": ..., "audio_n": ...}
+
+Sketch mode (HLL/KLL/percentile_approx) is used for the TPC-H-scale suites —
+the documented 10^12-row path; audio suite runs the full north-rule checks
+(decode + SNR + transcript) with violations materialized, not collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+AUDIO_N = int(os.environ.get("GX_BENCH_AUDIO_N", "240000"))
+AUDIO_DIR = os.path.join(REPO, "build", "audio", f"n{AUDIO_N}")
+
+
+def ensure_audio_table(spark) -> str:
+    marker = os.path.join(AUDIO_DIR, "expected_aggregates.json")
+    if not os.path.exists(marker):
+        from tools.gen_audio import generate_small, generate_spark
+
+        if AUDIO_N <= 20000:
+            generate_small(AUDIO_N, AUDIO_DIR, 16)
+        else:
+            generate_spark(spark, AUDIO_N, AUDIO_DIR, 64)
+    return f"{AUDIO_DIR}/audio_clips.parquet"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gx-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary-scan tuning, measured in-sandbox (see tools/bench_scaling.py)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gx_spark import EngineOptions, ExpectationSuite, validate
+    from gx_spark import ops
+    from gx_spark.suites import audio_suite
+
+    def load(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    audio_path = ensure_audio_table(spark)
+
+    timings: dict[str, float] = {}
+
+    def bench(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        return deco
+
+    # warmup: touch the JVM + arrow paths so q1 isn't charged for init
+    load("lineitem").limit(10).count()
+
+    @bench("lineitem_suite")
+    def _():
+        suite = (
+            ExpectationSuite("li")
+            .add("expect_table_row_count_to_be_between", min_value=1)
+            .add("expect_column_values_to_not_be_null", column="l_orderkey")
+            .add("expect_column_values_to_be_in_set", column="l_returnflag",
+                 value_set=["A", "N", "R"])
+            .add("expect_column_values_to_be_between", column="l_quantity",
+                 min_value=1, max_value=50)
+            .add("expect_column_mean_to_be_between", column="l_extendedprice",
+                 min_value=0)
+            .add("expect_column_stdev_to_be_between", column="l_quantity", min_value=0)
+            .add("expect_column_quantile_values_to_be_between", column="l_extendedprice",
+                 quantile_ranges={"quantiles": [0.25, 0.5, 0.75]})
+            .add("expect_column_unique_value_count_to_be_between", column="l_suppkey",
+                 min_value=1)
+            .add("expect_column_mean_to_be_between", column="l_quantity",
+                 row_condition="l_returnflag = 'A'", min_value=0)
+        )
+        b = validate(spark, load("lineitem"), suite,
+                     EngineOptions(mode="sketch", collect_violations=False))
+        assert b.suite_result.statistics["evaluated_expectations"] == 9
+
+    @bench("orders_unique_referential")
+    def _():
+        suite = (
+            ExpectationSuite("o")
+            .add("expect_column_values_to_be_unique", column="o_orderkey")
+            .add("expect_column_values_to_exist_in_table", column="o_custkey",
+                 other_table_name="customer", other_column="c_custkey")
+        )
+        b = validate(spark, load("orders"), suite,
+                     EngineOptions(mode="sketch", collect_violations=False),
+                     tables={"customer": load("customer")})
+        assert b.suite_result.success
+
+    @bench("documents_dedup_minhash")
+    def _():
+        docs = load("documents")
+        ops.exact_dedup_stats(docs, ["text"]).collect()
+        ops.minhash_jaccard(docs, "doc_id", "text", threshold=0.2).count()
+
+    @bench("documents_text_analysis")
+    def _():
+        docs = load("documents")
+        ops.quality_scores(docs, "doc_id", "text").agg(
+            F.avg("punct_ratio"), F.avg("stopword_ratio")
+        ).collect()
+        ops.lang_distribution(docs, "text").collect()
+        ops.md5_fingerprints(docs, "doc_id", "text").count()
+        ops.simhash64(docs, "doc_id", "text").count()
+
+    @bench("embeddings_similarity")
+    def _():
+        emb = load("embeddings")
+        q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .select("embedding").first()[0]]
+        ops.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()
+        ops.ann_topk_lsh(emb, "vec_id", "embedding", q, 10).collect()
+
+    audio_df = spark.read.parquet(audio_path)
+    t0 = time.time()
+    bundle = validate(
+        spark, audio_df, audio_suite(),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+    n_viol = bundle.violations_table().count()
+    audio_dt = time.time() - t0
+    timings["audio_suite"] = round(audio_dt, 3)
+    assert n_viol > 0
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
+                  "+ full audio suite over bench table",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "audio_n": AUDIO_N,
+        "audio_clips_per_sec": round(AUDIO_N / audio_dt, 1),
+        "audio_violation_rows": n_viol,
+    }))
+
+
+if __name__ == "__main__":
+    main()

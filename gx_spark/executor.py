@@ -179,8 +179,18 @@ class ValidationRun:
 
         violations = None
         if ctx.violations and self.options.collect_violations:
+            src = ctx.base_df()
+            obs = None
+            if ctx._observe:
+                # denominator metrics ride the violations scan for free
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                src = src.observe(
+                    obs, *[b().alias(k) for k, b in ctx._observe.items()]
+                )
             violations = build_violations_df(
-                ctx.base_df(), ctx.violations, bag,
+                src, ctx.violations, bag,
                 self.options.unexpected_index_column_names,
             )
             lists = derive_unexpected_lists(
@@ -188,6 +198,9 @@ class ValidationRun:
             )
             for idx, entry in lists.items():
                 bag.put(f"viol:{idx}", entry)
+            if obs is not None:
+                for k, v in obs.get.items():
+                    bag.put(k, v)
 
         results: list[ExpectationValidationResult] = []
         for cfg, fin in finalizers:

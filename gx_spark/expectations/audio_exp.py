@@ -2,12 +2,13 @@
 SURVEY.md §2.5 'Audio payload checks').
 
 All three share ONE derived `__audio` struct column produced by the
-Arrow-batched pandas UDF (gx_spark/audio.py).  Because it is registered as a
-derived column on the MetricContext, the decode happens map-side inside the
-same fused passes as every other metric: once in the agg pass (conditional
-sums over the flags) and once in the violations pass — the binary column is
-scanned but its contents never enter a shuffle (only tiny per-partition
-partial-agg rows shuffle).
+Arrow-batched pandas UDF (gx_spark/audio.py), and all three are
+`count_via_violations`: their unexpected counts come from the fused
+violations pass, so the decode (and the binary column's Arrow transfer to
+Python) happens exactly ONCE per run, map-side.  Catalyst prunes the unused
+`__audio` projection out of the stage-1 agg plan, which therefore never
+decodes.  The binary column never enters a shuffle in either pass — only
+tiny partial-agg rows and violation structs move (plan-shape tested).
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ class AudioMetadataConsistent(ColumnMapExpectation):
     with `sr_hz * dur_ms` (truncation)."""
 
     metric_name = "audio.metadata_consistent"
+    count_via_violations = True
 
     def plan(self, ctx, cfg, index):
         cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
@@ -82,6 +84,7 @@ class AudioSnrAtLeast(ColumnMapExpectation):
     Non-decodable codecs are metadata-only and excluded (snr_db null)."""
 
     metric_name = "audio.snr"
+    count_via_violations = True
 
     def plan(self, ctx, cfg, index):
         cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
@@ -103,6 +106,7 @@ class TranscriptMatchesReference(ColumnMapExpectation):
     same pandas UDF batch as the audio decode)."""
 
     metric_name = "audio.transcript_match"
+    count_via_violations = True
 
     def plan(self, ctx, cfg, index):
         # target column is the transcript itself (null transcripts are a

@@ -42,6 +42,14 @@ class MissingColumnError(Exception):
     pass
 
 
+def viol_lists(bag: MetricBag, index: int) -> dict[str, Any]:
+    """Unexpected-value/index lists for build_map_result (the per-expectation
+    violation count travels in the same bag entry but is not a list kwarg)."""
+    d = dict(bag.get(f"viol:{index}") or {})
+    d.pop("unexpected_count", None)
+    return d
+
+
 def require_columns(ctx: MetricContext, *cols: str) -> None:
     missing = [c for c in cols if c not in ctx.columns]
     if missing:
@@ -54,6 +62,11 @@ class ColumnMapExpectation:
 
     metric_name: str = "column_values.generic"
     denominator: str = "nonnull"  # "all" only for not_be_null
+    # True for conditions whose evaluation is expensive (audio decode): the
+    # unexpected_count is then derived from the fused violations pass instead
+    # of a stage-1 conditional sum, so the expensive expression (and the
+    # binary column's Arrow transfer to Python) is evaluated exactly ONCE.
+    count_via_violations: bool = False
 
     def unexpected_condition(self, cfg: ExpectationConfiguration, ctx: MetricContext) -> Column:
         raise NotImplementedError
@@ -65,15 +78,39 @@ class ColumnMapExpectation:
         column = cfg.kwargs["column"]
         require_columns(ctx, column)
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
-        ec_ref = ctx.element_count(dk, dom)
-        nn_ref = ctx.nonnull_count(column, dk, dom)
+        rf = result_format_of(cfg, ctx.options)
+        from_violations = (
+            self.count_via_violations
+            and ctx.options.collect_violations
+            and rf != "BOOLEAN_ONLY"
+        )
+        if from_violations:
+            # denominators free-ride the violations-pass scan as Observation
+            # metrics — the stage-1 agg never touches this (binary) column
+            ec_cond = None if dom is None else dom
+            ec_ref = ctx.observe_metric(
+                "table.row_count", dk, None,
+                lambda: F.count(F.lit(1)) if ec_cond is None
+                else F.coalesce(F.sum(F.when(ec_cond, 1).otherwise(0)), F.lit(0)),
+            )
+            nn_cond = ctx.guard(dom, F.col(column).isNotNull())
+            nn_ref = ctx.observe_metric(
+                "column_values.nonnull.count", dk, column,
+                lambda: F.coalesce(F.sum(F.when(nn_cond, 1).otherwise(0)), F.lit(0)),
+            )
+        else:
+            ec_ref = ctx.element_count(dk, dom)
+            nn_ref = ctx.nonnull_count(column, dk, dom)
         base = self.unexpected_condition(cfg, ctx)
         if self.denominator == "nonnull":
             cond = ctx.guard(dom, F.col(column).isNotNull() & base)
         else:
             cond = ctx.guard(dom, base)
-        uc_ref = ctx.unexpected_count(self.metric_name, column, dk, value_kwargs(cfg), cond)
-        rf = result_format_of(cfg, ctx.options)
+        uc_ref = None
+        if not from_violations:
+            uc_ref = ctx.unexpected_count(
+                self.metric_name, column, dk, value_kwargs(cfg), cond
+            )
         if rf != "BOOLEAN_ONLY":
             ctx.add_violation(
                 ViolationSpec(index, cfg.expectation_type, column,
@@ -85,10 +122,15 @@ class ColumnMapExpectation:
         def finalize(bag: MetricBag) -> ExpectationValidationResult:
             element_count = int(bag[ec_ref])
             nonnull_count = int(bag[nn_ref])
-            unexpected_count = int(bag[uc_ref])
+            if uc_ref is not None:
+                unexpected_count = int(bag[uc_ref])
+            else:
+                unexpected_count = int(
+                    (bag.get(f"viol:{index}") or {}).get("unexpected_count", 0)
+                )
             denom = element_count if self.denominator == "all" else nonnull_count
             success = mostly_success(denom, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count,
                 nonnull_count=nonnull_count,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve here)
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,6 +26,7 @@ from .base import (
     require_columns,
     result_format_of,
     value_kwargs,
+    viol_lists,
 )
 
 
@@ -307,7 +309,7 @@ class ZScoresLessThan(ColumnMapExpectation):
             nonnull_count = int(bag[nn_ref])
             unexpected_count = int(bag[uc_ref])
             success = mostly_success(nonnull_count, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count, nonnull_count=nonnull_count,
                 unexpected_count=unexpected_count, result_format=rf, **lists,
@@ -373,7 +375,7 @@ class BeUnique(ColumnMapExpectation):
             nonnull_count = int(bag[nn_ref])
             unexpected_count = bag[dup_ref]["unexpected_count"]
             success = mostly_success(nonnull_count, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count, nonnull_count=nonnull_count,
                 unexpected_count=unexpected_count, result_format=rf, **lists,
@@ -470,3 +472,83 @@ class BeDecreasing(_Monotonic):
 
     def plan(self, ctx, cfg, index):
         return self.plan_monotonic(ctx, cfg, index)
+
+
+# ---------------------------------------------------------------------------
+# JSON-schema matching (ref upstream: per-row Python UDF running jsonschema;
+# ours: Arrow-batched pandas UDF — the jsonschema lib if present, else a
+# self-contained subset validator: type / properties / required / items /
+# enum / minimum / maximum)
+# ---------------------------------------------------------------------------
+
+
+def _mini_validate(obj: Any, schema: dict) -> bool:
+    t = schema.get("type")
+    if t is not None:
+        type_map = {
+            "object": dict, "array": list, "string": str,
+            "number": (int, float), "integer": int, "boolean": bool,
+        }
+        if t == "null":
+            if obj is not None:
+                return False
+        elif t in type_map:
+            if not isinstance(obj, type_map[t]) or (
+                t in ("number", "integer") and isinstance(obj, bool)
+            ):
+                return False
+    if "enum" in schema and obj not in schema["enum"]:
+        return False
+    if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        if "minimum" in schema and obj < schema["minimum"]:
+            return False
+        if "maximum" in schema and obj > schema["maximum"]:
+            return False
+    if isinstance(obj, dict):
+        for req in schema.get("required", []):
+            if req not in obj:
+                return False
+        for k, sub in schema.get("properties", {}).items():
+            if k in obj and not _mini_validate(obj[k], sub):
+                return False
+    if isinstance(obj, list) and "items" in schema:
+        if not all(_mini_validate(x, schema["items"]) for x in obj):
+            return False
+    return True
+
+
+def _json_schema_ok(s: str | None, schema: dict) -> bool | None:
+    import json as _json
+
+    if s is None:
+        return None
+    try:
+        obj = _json.loads(s)
+    except (ValueError, TypeError):
+        return False
+    try:
+        import jsonschema  # type: ignore
+
+        try:
+            jsonschema.validate(obj, schema)
+            return True
+        except jsonschema.ValidationError:
+            return False
+    except ImportError:
+        return _mini_validate(obj, schema)
+
+
+@register_expectation("expect_column_values_to_match_json_schema")
+class MatchJsonSchema(ColumnMapExpectation):
+    metric_name = "column_values.match_json_schema"
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        schema = cfg.kwargs["json_schema"]
+
+        @pandas_udf("boolean")
+        def ok(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: _json_schema_ok(v, schema))
+
+        return ~F.coalesce(ok(F.col(cfg.kwargs["column"])), F.lit(False))

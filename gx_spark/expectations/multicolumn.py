@@ -17,7 +17,7 @@ from ..model import ExpectationConfiguration, ExpectationValidationResult
 from ..planner import MetricBag, MetricContext, ViolationSpec
 from ..registry import register_expectation
 from ..result_format import build_map_result, mostly_success
-from .base import Finalizer, require_columns, result_format_of, value_kwargs
+from .base import Finalizer, require_columns, result_format_of, value_kwargs, viol_lists
 
 
 def ignored_expr(cols: list[str], ignore_row_if: str) -> Column:
@@ -84,7 +84,7 @@ class MultiColMapExpectation:
             nonnull_count = int(bag[nn_ref])
             unexpected_count = int(bag[uc_ref])
             success = mostly_success(nonnull_count, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count, nonnull_count=nonnull_count,
                 unexpected_count=unexpected_count, result_format=rf, **lists,
@@ -228,7 +228,7 @@ class _CompoundUniqueBase:
             nonnull_count = int(bag[nn_ref])
             unexpected_count = bag[dup_ref]["unexpected_count"]
             success = mostly_success(nonnull_count, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count, nonnull_count=nonnull_count,
                 unexpected_count=unexpected_count, result_format=rf, **lists,

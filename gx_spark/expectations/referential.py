@@ -25,7 +25,7 @@ from ..model import ExpectationConfiguration, ExpectationValidationResult
 from ..planner import MetricBag, MetricContext, ViolationSpec
 from ..registry import register_expectation
 from ..result_format import build_map_result, mostly_success
-from .base import Finalizer, require_columns, result_format_of
+from .base import Finalizer, require_columns, result_format_of, viol_lists
 
 _MISSING_VALUE_CAP = 100_000
 
@@ -94,7 +94,7 @@ class ExistInTable:
             nonnull_count = int(bag[nn_ref])
             unexpected_count = bag[m_ref]["unexpected_count"]
             success = mostly_success(nonnull_count, unexpected_count, mostly)
-            lists = bag.get(f"viol:{index}", {}) or {}
+            lists = viol_lists(bag, index)
             result = build_map_result(
                 element_count=element_count, nonnull_count=nonnull_count,
                 unexpected_count=unexpected_count, result_format=rf, **lists,

@@ -91,6 +91,11 @@ class MetricContext:
         self.columns = set(df.columns)
         # stage1: key -> Column builder
         self._stage1: dict[str, Callable[[], Column]] = {}
+        # observe: aggregates computed as Observation metrics ON the fused
+        # violations pass (free-riding its scan).  Used for denominators of
+        # expensive map conditions (audio) so the stage-1 agg never reads
+        # the binary column at all.
+        self._observe: dict[str, Callable[[], Column]] = {}
         # stage2: key -> builder taking resolved stage1 bag
         self._stage2: dict[str, Callable[[MetricBag], Column]] = {}
         # data metrics: key -> fn(df) -> value
@@ -124,6 +129,12 @@ class MetricContext:
         key = metric_id(name, domain_key, value_kwargs)
         if key not in self._stage1:
             self._stage1[key] = builder
+        return MetricRef(key)
+
+    def observe_metric(self, name: str, domain_key: str, value_kwargs: Any, builder: Callable[[], Column]) -> MetricRef:
+        key = metric_id("obs", name, domain_key, value_kwargs)
+        if key not in self._observe:
+            self._observe[key] = builder
         return MetricRef(key)
 
     def agg2(self, name: str, domain_key: str, value_kwargs: Any, builder: Callable[[MetricBag], Column]) -> MetricRef:

@@ -1,0 +1,62 @@
+"""Structured Streaming adapter (optional extension — the reference has no
+streaming support whatsoever, SURVEY.md §2.10; this wraps per-batch
+validation in foreachBatch, the one idiomatic bridge).
+
+Each micro-batch is validated as a normal batch; results and violations
+append to the same `_validation_results` / `_violations` parquet tables as
+the checkpoint runner, keyed by (run_id, batch_id).  Use watermarking /
+windowing upstream of the validated stream as usual — the engine only sees
+the materialized micro-batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .executor import ValidationRun
+from .model import EngineOptions, ExpectationSuite
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    results_dir: str,
+    options: EngineOptions | None = None,
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Attach suite validation to a streaming DataFrame via foreachBatch.
+
+    Returns the StreamingQuery.  With trigger_available_now=True the query
+    drains what is available and stops — the batch-incremental mode that
+    matches the engine's per-partition checkpoint semantics."""
+    os.makedirs(results_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
+    spark = stream_df.sparkSession
+    opts = options or EngineOptions()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bundle = ValidationRun(spark, suite, opts).validate(
+            batch_df, run_id=f"{run_id}-b{batch_id}", partition_id=int(batch_id)
+        )
+        bundle.results_df(spark).write.mode("append").parquet(
+            os.path.join(results_dir, "_validation_results")
+        )
+        vt = bundle.violations_table()
+        if vt is not None:
+            vt.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(os.path.join(results_dir, "_violations"))
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -106,7 +106,8 @@ def derive_unexpected_lists(
         idx_list = F.slice(idx_list, 1, partial_limit)
     rows = (
         viol_df.groupBy("expectation_index")
-        .agg(obs_list.alias("obs"), idx_list.alias("idx"))
+        .agg(obs_list.alias("obs"), idx_list.alias("idx"),
+             F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     out: dict[int, dict[str, Any]] = {}
@@ -114,6 +115,10 @@ def derive_unexpected_lists(
         values = [decode_json_value(s) for s in r["obs"]]
         indexes = [decode_json_value_index(s) for s in r["idx"]]
         entry: dict[str, Any] = {
+            # exact per-expectation violation-row count: lets expensive map
+            # conditions (audio decode) skip the stage-1 conditional sum and
+            # be evaluated ONCE, in this pass (see base.count_via_violations)
+            "unexpected_count": int(r["cnt"]),
             "partial_unexpected_list": values[:partial_limit],
             "partial_unexpected_index_list": [i for i in indexes[:partial_limit] if i is not None],
         }

@@ -1,0 +1,109 @@
+"""Splitters/samplers, interactive Validator dispatch, evaluation parameters,
+query expectation, streaming adapter."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gx_spark import EngineOptions, ExpectationSuite  # noqa: E402
+from gx_spark import sampling  # noqa: E402
+from gx_spark.validator import Validator  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(i, i % 5, f"2024-0{1 + i % 3}-15", float(i)) for i in range(100)],
+        "id long, grp int, d string, v double",
+    ).withColumn("d", F.to_date("d"))
+
+
+def test_splitters(spark, df):
+    assert sampling.split_on_column_value(df, "grp", 3).count() == 20
+    assert sampling.split_on_mod_integer(df, "id", 10, 7).count() == 10
+    assert sampling.split_on_divided_integer(df, "id", 25, 1).count() == 25
+    assert sampling.split_on_year_and_month(df, "d", 2024, 2).count() == 33
+    assert sampling.split_values(df, "grp") == [0, 1, 2, 3, 4]
+    total = sum(
+        sampling.split_on_hashed_column(df, "id", 4, b).count() for b in range(4)
+    )
+    assert total == 100
+
+
+def test_samplers(spark, df):
+    assert sampling.sample_using_limit(df, 7).count() == 7
+    assert sampling.sample_using_mod(df, "id", 4, 0).count() == 25
+    assert sampling.sample_using_a_list(df, "grp", [0, 1]).count() == 40
+    n = sampling.sample_using_random(df, 0.3, seed=1).count()
+    assert 10 <= n <= 55  # probabilistic but seeded
+
+
+def test_interactive_validator_and_eval_params(spark, df):
+    v = Validator(
+        spark, df, EngineOptions(collect_violations=False),
+        evaluation_parameters={"max_id": 99},
+    )
+    r = v.expect_column_values_to_not_be_null(column="id")
+    assert r.success
+    r = v.expect_column_max_to_be_between(
+        column="id", max_value={"$PARAMETER": "max_id"}
+    )
+    assert r.success and r.result["observed_value"] == 99
+    r = v.expect_column_mean_to_be_between(column="v", min_value=1000)
+    assert not r.success
+    suite = v.get_expectation_suite()
+    assert len(suite.expectations) == 3
+    # resolved parameter is baked into the exported suite
+    assert suite.expectations[1].kwargs["max_value"] == 99
+
+
+def test_query_expectation(spark, df):
+    from gx_spark import validate
+
+    suite = ExpectationSuite("q").add(
+        "expect_query_to_return_no_rows",
+        query="SELECT * FROM batch WHERE v < 0",
+    )
+    b = validate(spark, df, suite)
+    assert b.suite_result.results[0].success
+    suite2 = ExpectationSuite("q2").add(
+        "expect_query_to_return_no_rows",
+        query="SELECT * FROM batch WHERE grp = 0",
+    )
+    b2 = validate(spark, df, suite2)
+    assert not b2.suite_result.results[0].success
+    assert b2.suite_result.results[0].result["observed_value"] == 20
+
+
+def test_streaming_foreach_batch(spark, tmp_path, df):
+    from gx_spark.streaming import validate_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, grp int, d date, v double"
+    ).parquet(src)
+    suite = (
+        ExpectationSuite("stream")
+        .add("expect_column_values_to_not_be_null", column="id")
+        .add("expect_column_values_to_be_between", column="grp", min_value=0,
+             max_value=3)
+    )
+    q = validate_stream(stream, suite, out, EngineOptions(
+        unexpected_index_column_names=("id",)
+    ), checkpoint_location=chk)
+    q.awaitTermination(120)
+    results = spark.read.parquet(f"{out}/_validation_results")
+    assert results.count() == 2
+    viol = spark.read.parquet(f"{out}/_violations")
+    assert viol.count() == 20  # grp==4 rows

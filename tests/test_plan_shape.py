@@ -1,0 +1,103 @@
+"""Plan-shape tests (SURVEY.md §5): the physical plans must have the shape
+the 100 TB design depends on — binary off every shuffle, one fused aggregate
+pair, pruned scans."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import EngineOptions, ExpectationSuite  # noqa: E402
+from gx_spark.plancheck import (  # noqa: E402
+    compile_suite,
+    count_nodes,
+    exchange_sections,
+    formatted_plan,
+    read_schemas,
+    stage1_df,
+    violations_df,
+)
+from gx_spark.suites import audio_suite  # noqa: E402
+
+
+def test_bytes_never_in_exchange_and_single_agg_pair(spark, audio_dir):
+    df = spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
+    # audio suite minus the data-metric expectation (unique) so the fused agg
+    # plan stands alone
+    suite = ExpectationSuite(
+        "a",
+        [e for e in audio_suite().expectations
+         if e.expectation_type != "expect_column_values_to_be_unique"],
+    )
+    ctx = compile_suite(spark, df, suite)
+    plan = formatted_plan(stage1_df(ctx))
+    exchanges = exchange_sections(plan)
+    assert exchanges, "expected the partial->final agg exchange"
+    for ex in exchanges:
+        assert "bytes" not in ex, f"binary column entered a shuffle:\n{ex}"
+    # one partial+final pair over one scan: exactly 2 aggregates, 1 exchange
+    n_agg = (count_nodes(plan, "HashAggregate")
+             + count_nodes(plan, "ObjectHashAggregate")
+             + count_nodes(plan, "SortAggregate"))
+    assert n_agg == 2, plan
+    assert len(exchanges) == 1, plan
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_violations_pass_is_map_only(spark, audio_dir):
+    df = spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
+    suite = ExpectationSuite(
+        "a",
+        [e for e in audio_suite().expectations
+         if e.expectation_type != "expect_column_values_to_be_unique"],
+    )
+    ctx = compile_suite(
+        spark, df, suite, EngineOptions(unexpected_index_column_names=("clip_id",))
+    )
+    plan = formatted_plan(violations_df(ctx))
+    assert "Exchange" not in plan, f"violations pass must not shuffle:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    # a 2-column suite over a 7-column table must scan only those 2 columns
+    path = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id", "id * 2 as a", "id * 3 as b", "cast(id as string) as c",
+        "id * 5 as d", "id * 6 as e", "id * 7 as f"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    suite = (
+        ExpectationSuite("prune")
+        .add("expect_column_values_to_not_be_null", column="a")
+        .add("expect_column_mean_to_be_between", column="b", min_value=0)
+    )
+    ctx = compile_suite(spark, df, suite)
+    plan = formatted_plan(stage1_df(ctx))
+    schemas = read_schemas(plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "a" in s and "b" in s
+        for col in ("c", "d", "e", "f"):
+            assert f"{col}:" not in s, f"unpruned column {col}: {s}"
+
+
+def test_predicate_pushdown_from_row_condition(spark, tmp_path):
+    path = str(tmp_path / "t2.parquet")
+    spark.range(1000).selectExpr("id", "id % 7 as grp").write.parquet(path)
+    df = spark.read.parquet(path)
+    suite = ExpectationSuite("pp").add(
+        "expect_column_mean_to_be_between", column="id", min_value=0,
+        row_condition="grp = 3",
+    )
+    ctx = compile_suite(spark, df, suite)
+    plan = formatted_plan(stage1_df(ctx))
+    # domain folding keeps a single scan (no per-domain scans) feeding one
+    # partial+final aggregate pair; the when(grp=3, …) conditionals live
+    # inside the aggregate expressions, not a separate filtered subplan
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "HashAggregate") == 2
+    schemas = read_schemas(plan)
+    assert any("grp" in s for s in schemas), schemas

@@ -1,0 +1,49 @@
+"""Standalone audio-validation job for the scaling benchmark — designed to be
+launched via `spark-submit --py-files gx_spark.zip tools/audio_job.py
+<table_path> [repeat]` (north rule BASELINE.json:14).
+
+Prints one JSON line: {"n": ..., "wall_sec": ..., "clips_per_sec": ...,
+"cores": ...}.  Wall time covers the full suite (fused agg incl. audio
+decode + violations pass + duplicate detection), measured AFTER session
+startup so the number reflects steady-state throughput, not JVM boot."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    table_path = sys.argv[1]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("gx-audio-scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from gx_spark import EngineOptions, validate
+    from gx_spark.suites import audio_suite
+
+    df = spark.read.parquet(table_path)
+    n = df.count()  # also warms the scan/footer caches
+
+    t0 = time.time()
+    bundle = validate(
+        spark, df, audio_suite(),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+    n_viol = bundle.violations_table().count()
+    wall = time.time() - t0
+    ok = sum(1 for r in bundle.suite_result.results if r.success)
+    print(json.dumps({
+        "n": n, "wall_sec": round(wall, 2),
+        "clips_per_sec": round(n / wall, 1),
+        "cores": cores, "violations": n_viol,
+        "expectations_passed": ok,
+        "expectations_total": len(bundle.suite_result.results),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,17 @@ CORPUS: dict[str, list] = {
             T("mostly", {"column": "j", "mostly": 0.75}, {"success": True}),
         ]),
     ],
+    "expect_column_values_to_match_json_schema": [
+        (JSONDS, [
+            T("type_object", {"column": "j", "json_schema": {"type": "object"}},
+              {"success": False, "unexpected_count": 3}),
+            T("required_property",
+              {"column": "j", "json_schema": {"type": "object", "required": ["a"],
+                                              "properties": {"a": {"type": "integer"}}}},
+              {"success": False, "unexpected_count": 3,
+               "unexpected_index_list": [1, 2, 3]}),
+        ]),
+    ],
     "expect_column_values_to_be_unique": [
         (D, [
             T("all_dup_fail", {"column": "w"}, {"success": False, "unexpected_count": 10}),

@@ -230,10 +230,10 @@ def _write_sidecars(out_dir: str, sidecar: list, p_partitions: int) -> None:
     # speakers dim + clip_speakers fact
     speakers = [{"speaker_id": f"spk_{i:04d}", "name": f"speaker {i}"} for i in range(N_SPEAKERS)]
     pq.write_table(pa.Table.from_pylist(speakers), f"{out_dir}/speakers.parquet")
+    src = f"{out_dir}/audio_clips.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
     con = duckdb.connect()
-    clips = con.sql(
-        f"SELECT clip_id FROM read_parquet('{out_dir}/audio_clips.parquet')"
-    ).fetchall()
+    clips = con.sql(f"SELECT clip_id FROM read_parquet('{pat}')").fetchall()
     cs = [{"clip_id": c[0], "speaker_id": speaker_for(c[0])} for c in clips]
     pq.write_table(pa.Table.from_pylist(cs), f"{out_dir}/clip_speakers.parquet")
     # gentime aggregate pins (computed by DuckDB — independent of the engine)
@@ -247,7 +247,7 @@ def _write_sidecars(out_dir: str, sidecar: list, p_partitions: int) -> None:
                percentile_cont(0.75) WITHIN GROUP (ORDER BY dur_ms) AS q75_dur_ms,
                count(DISTINCT sr_hz) AS distinct_sr,
                count(DISTINCT clip_id) * 1.0 / count(clip_id) AS uniq_prop_clip_id
-        FROM read_parquet('{out_dir}/audio_clips.parquet')
+        FROM read_parquet('{pat}')
         """
     ).fetchall()[0]
     names = ["row_count", "mean_dur_ms", "stdev_dur_ms", "q25_dur_ms", "q50_dur_ms",
