@@ -146,6 +146,14 @@ def main() -> None:
         ops.ann_topk_lsh(emb, "vec_id", "embedding", q, 10).collect()
 
     audio_df = spark.read.parquet(audio_path)
+    # Decode tasks each pair an executor thread with a python worker; this
+    # box has 16 physical cores behind 32 SMT threads, so concurrency above
+    # ~10 tasks oversubscribes and LOWERS throughput (measured: local[32]
+    # unconstrained 290s vs coalesce(10) 131s on n240000).  Real clusters
+    # size executors to physical cores instead.
+    max_tasks = int(os.environ.get("GX_AUDIO_TASKS", "10"))
+    if int(cpus) > max_tasks:
+        audio_df = audio_df.coalesce(max_tasks)
     t0 = time.time()
     bundle = validate(
         spark, audio_df, audio_suite(),

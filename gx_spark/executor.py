@@ -51,6 +51,29 @@ from .expectations import (  # noqa: F401
 _RF_ORDER = {"BOOLEAN_ONLY": 0, "BASIC": 1, "SUMMARY": 2, "COMPLETE": 3}
 
 
+def _observation_values(obs: Any, ctx: MetricContext) -> dict[str, Any]:
+    """Read Observation metrics robustly.
+
+    On some query shapes Spark 4.1 hands back the metrics row WITHOUT a
+    schema (GenericRow, not GenericRowWithSchema), which makes
+    Observation.get's toPyRow assert even though the values are present.
+    Fall back to positional extraction (metric order == expr order), and as
+    a last resort recompute with a direct agg."""
+    keys = list(ctx._observe.keys())
+    try:
+        return obs.get
+    except Exception:
+        pass
+    try:
+        jrow = obs._jo.getRow()
+        return {k: jrow.apply(i) for i, k in enumerate(keys)}
+    except Exception:
+        row = ctx.base_df().agg(
+            *[b().alias(k) for k, b in ctx._observe.items()]
+        ).collect()[0]
+        return {k: row[k] for k in keys}
+
+
 def _exception_evr(cfg: ExpectationConfiguration, exc: BaseException) -> ExpectationValidationResult:
     return ExpectationValidationResult(
         success=False,
@@ -199,7 +222,7 @@ class ValidationRun:
             for idx, entry in lists.items():
                 bag.put(f"viol:{idx}", entry)
             if obs is not None:
-                for k, v in obs.get.items():
+                for k, v in _observation_values(obs, ctx).items():
                     bag.put(k, v)
 
         results: list[ExpectationValidationResult] = []

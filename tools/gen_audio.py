@@ -166,11 +166,16 @@ def generate_spark(spark, n: int, out_dir: str, p_partitions: int = 64) -> None:
     )
 
     def gen(batches):
+        # yield small chunks: one 10k-row pandas batch of ~66KB clips would
+        # be a ~660MB Arrow batch; 32 concurrent tasks exhaust netty direct
+        # memory.  500 rows ≈ 33MB per in-flight batch.
         for pdf in batches:
-            out = [gen_row(int(i), p_partitions)[0] for i in pdf["id"]]
-            yield pd.DataFrame(out)
+            ids = [int(i) for i in pdf["id"]]
+            for j in range(0, len(ids), 500):
+                out = [gen_row(i, p_partitions)[0] for i in ids[j : j + 500]]
+                yield pd.DataFrame(out)
 
-    n_tasks = max(32, n // 20000)
+    n_tasks = max(64, n // 10000)
     df = spark.range(0, n, 1, n_tasks).mapInPandas(gen, schema)
     df.write.mode("overwrite").parquet(f"{out_dir}/audio_clips.parquet")
     # sidecar entries are cheap (no audio): single process
