@@ -160,6 +160,7 @@ def main() -> None:
         EngineOptions(unexpected_index_column_names=("clip_id",)),
     )
     n_viol = bundle.violations_table().count()
+    bundle.unpersist()
     audio_dt = time.time() - t0
     timings["audio_suite"] = round(audio_dt, 3)
     assert n_viol > 0

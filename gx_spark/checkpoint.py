@@ -124,18 +124,23 @@ class CheckpointRunner:
                 self.spark, self.suite, self.options, self.tables
             ).validate(pdf, run_id=run_id, partition_id=p.partition_id,
                        snapshot_id=snapshot)
-            rdf = bundle.results_df(self.spark)
-            rdf.write.mode("append").parquet(
-                os.path.join(self.results_dir, "_validation_results")
+            # Exactly-once on resume: each (snapshot, partition) writes to a
+            # deterministic hive-style subpath with OVERWRITE, so a job killed
+            # after the write but before manifest.mark('done') re-runs the
+            # partition idempotently — no double-counted appends.  The
+            # key=value dirs are recovered as partition columns on read.
+            sub = f"snapshot_id={snapshot}/partition_id={p.partition_id}"
+            rdf = bundle.results_df(self.spark).drop("snapshot_id", "partition_id")
+            rdf.write.mode("overwrite").parquet(
+                os.path.join(self.results_dir, "_validation_results", sub)
             )
             n_rows = len(self.suite.expectations)
             vt = bundle.violations_table()
             if vt is not None:
-                vt.withColumn("partition_id", F.lit(p.partition_id)).withColumn(
-                    "snapshot_id", F.lit(snapshot)
-                ).write.mode("append").parquet(
-                    os.path.join(self.results_dir, "_violations")
+                vt.write.mode("overwrite").parquet(
+                    os.path.join(self.results_dir, "_violations", sub)
                 )
+            bundle.unpersist()
             all_success = all_success and bundle.success
             self.manifest.mark(snapshot, p.partition_id, "done", run_id, n_rows)
             validated.append(p.partition_id)
@@ -143,9 +148,13 @@ class CheckpointRunner:
         return CheckpointResult(run_id, snapshot, validated, skipped, all_success)
 
     def results(self) -> DataFrame:
-        return self.spark.read.parquet(
+        return self.spark.read.option("basePath",
+                                      os.path.join(self.results_dir, "_validation_results")
+                                      ).parquet(
             os.path.join(self.results_dir, "_validation_results")
         )
 
     def violations(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.results_dir, "_violations"))
+        return self.spark.read.option("basePath",
+                                      os.path.join(self.results_dir, "_violations")
+                                      ).parquet(os.path.join(self.results_dir, "_violations"))

@@ -97,10 +97,18 @@ class ValidationBundle:
     run_id: str
     partition_id: int | None = None
     snapshot_id: str | None = None
+    _persisted: bool = False
 
     @property
     def success(self) -> bool:
         return self.suite_result.success
+
+    def unpersist(self) -> None:
+        """Release the cached violations DataFrame (no-op if not persisted).
+        Call after the last action over `violations`/`violations_table()`."""
+        if self._persisted and self.violations is not None:
+            self.violations.unpersist()
+            self._persisted = False
 
     def results_df(self, spark: SparkSession) -> DataFrame:
         """Flattened EVRs as the `_validation_results` schema (FIXTURES.md §4)."""
@@ -201,8 +209,9 @@ class ValidationRun:
         ctx.resolve(bag)
 
         violations = None
+        persisted = False
         if ctx.violations and self.options.collect_violations:
-            src = ctx.base_df()
+            src = ctx.flagged_df(bag)
             obs = None
             if ctx._observe:
                 # denominator metrics ride the violations scan for free
@@ -216,23 +225,47 @@ class ValidationRun:
                 src, ctx.violations, bag,
                 self.options.unexpected_index_column_names,
             )
-            lists = derive_unexpected_lists(
-                violations, max_rf, self.options.partial_unexpected_count
-            )
+            if self.options.persist_violations:
+                # one materialization for ALL downstream actions (lists job,
+                # counts, _violations write): the expensive map expressions
+                # (pandas-UDF audio decode) run exactly once per run
+                violations = violations.persist()
+                persisted = True
+            try:
+                lists = derive_unexpected_lists(
+                    violations, max_rf, self.options.partial_unexpected_count
+                )
+            except Exception:
+                # a poison map condition (e.g. invalid regex) failed the fused
+                # pass — degrade to per-spec isolation so every healthy
+                # expectation still gets its lists (catch_exceptions contract)
+                if persisted:
+                    violations.unpersist()
+                violations, lists, persisted = self._violations_fallback(
+                    ctx, src, bag, max_rf
+                )
             for idx, entry in lists.items():
                 bag.put(f"viol:{idx}", entry)
             if obs is not None:
                 for k, v in _observation_values(obs, ctx).items():
                     bag.put(k, v)
+            ctx.release_aux()
 
         results: list[ExpectationValidationResult] = []
-        for cfg, fin in finalizers:
+        for i, (cfg, fin) in enumerate(finalizers):
             if isinstance(fin, BaseException):
+                if cfg.kwargs.get("catch_exceptions", True) is False:
+                    raise fin
                 results.append(_exception_evr(cfg, fin))
                 continue
+            verr = bag.get(f"viol_err:{i}")
             try:
+                if isinstance(verr, BaseException):
+                    raise verr
                 results.append(fin(bag))
             except Exception as exc:
+                if cfg.kwargs.get("catch_exceptions", True) is False:
+                    raise
                 results.append(_exception_evr(cfg, exc))
 
         suite_result = SuiteValidationResult.from_results(
@@ -244,7 +277,39 @@ class ValidationRun:
             run_id=run_id,
             partition_id=partition_id,
             snapshot_id=snapshot_id,
+            _persisted=persisted,
         )
+
+    def _violations_fallback(self, ctx, src, bag, max_rf):
+        """Degraded path after a fused-violations failure: evaluate each
+        ViolationSpec in isolation, collect lists for the healthy ones, and
+        record the poison specs' errors as `viol_err:<index>` bag entries so
+        their owning expectations finalize as exception EVRs."""
+        good = []
+        lists: dict[int, Any] = {}
+        for spec in ctx.violations:
+            try:
+                vdf = build_violations_df(
+                    src, [spec], bag, self.options.unexpected_index_column_names
+                )
+                lists.update(
+                    derive_unexpected_lists(
+                        vdf, max_rf, self.options.partial_unexpected_count
+                    )
+                )
+                good.append(spec)
+            except Exception as exc:
+                bag.put(f"viol_err:{spec.exp_index}", exc)
+        if not good:
+            return None, lists, False
+        violations = build_violations_df(
+            src, good, bag, self.options.unexpected_index_column_names
+        )
+        persisted = False
+        if self.options.persist_violations:
+            violations = violations.persist()
+            persisted = True
+        return violations, lists, persisted
 
 
 def validate(

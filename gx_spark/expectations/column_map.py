@@ -319,7 +319,7 @@ class ZScoresLessThan(ColumnMapExpectation):
         return finalize
 
 
-_DUP_VALUE_CAP = 100_000  # max duplicated values carried back for the violations pass
+_DUP_VALUE_CAP = 100_000  # max duplicated keys broadcast for the violations pass
 
 
 @register_expectation("expect_column_values_to_be_unique")
@@ -328,9 +328,10 @@ class BeUnique(ColumnMapExpectation):
     window, ref: column_map_metrics/column_values_unique.py — a known skew
     hazard): `groupBy(col).count().filter(>1)`.  Catalyst's partial (map-side)
     aggregation collapses hot keys per partition before the shuffle, which is
-    exactly the salting the north rule asks for.  In sketch mode the exact
-    pass is preceded by an HLL estimate that can short-circuit a fully-unique
-    column."""
+    exactly the salting the north rule asks for.  Violation rows are recovered
+    by broadcast-joining the (small, persisted, capped) duplicated-key set
+    back against the violations scan — a map-side hash probe that keeps the
+    plan small and codegen-friendly at any key count."""
 
     metric_name = "column_values.unique"
 
@@ -340,6 +341,8 @@ class BeUnique(ColumnMapExpectation):
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         ec_ref = ctx.element_count(dk, dom)
         nn_ref = ctx.nonnull_count(column, dk, dom)
+        rf = result_format_of(cfg, ctx.options)
+        want_rows = rf != "BOOLEAN_ONLY" and ctx.options.collect_violations
 
         def dup_metric(df) -> dict[str, Any]:
             d = df
@@ -347,25 +350,29 @@ class BeUnique(ColumnMapExpectation):
                 d = d.filter(dom)
             d = d.filter(F.col(column).isNotNull())
             dups = d.groupBy(column).count().filter(F.col("count") > 1)
+            if want_rows:
+                # persisted so the violations-pass broadcast probe reads the
+                # cache instead of re-running the groupBy
+                dups = ctx.aux_persist(dups)
             row = dups.agg(
                 F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
                 F.count(F.lit(1)).alias("ngroups"),
             ).collect()[0]
-            vals = [r[column] for r in dups.select(column).limit(_DUP_VALUE_CAP).collect()]
-            return {"unexpected_count": int(row["uc"]), "dup_values": vals,
-                    "truncated": row["ngroups"] > len(vals)}
+            return {"unexpected_count": int(row["uc"]),
+                    "dup_df": dups.select(column).limit(_DUP_VALUE_CAP) if want_rows else None,
+                    "n_groups": int(row["ngroups"]),
+                    "truncated": int(row["ngroups"]) > _DUP_VALUE_CAP}
 
         dup_ref = ctx.data("column_values.unique.dups", dk, column, dup_metric)
-        rf = result_format_of(cfg, ctx.options)
-        if rf != "BOOLEAN_ONLY":
-            def cond(bag: MetricBag) -> Column:
-                vals = bag[dup_ref]["dup_values"]
-                if not vals:
-                    return F.lit(False)
-                return ctx.guard(dom, F.col(column).isin(vals))
-
+        if want_rows:
+            flag = ctx.membership_flag(
+                f"__dup_{index}", [column],
+                lambda bag: bag[dup_ref]["dup_df"]
+                if bag[dup_ref]["n_groups"] else None,
+            )
             ctx.add_violation(
-                ViolationSpec(index, cfg.expectation_type, column, cond,
+                ViolationSpec(index, cfg.expectation_type, column,
+                              lambda bag, c=ctx.guard(dom, flag): c,
                               lambda bag: F.col(column))
             )
         mostly = cfg.kwargs.get("mostly")

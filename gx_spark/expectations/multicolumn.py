@@ -165,7 +165,6 @@ class UniqueWithinRecord(MultiColMapExpectation):
         return F.size(F.array_distinct(arr)) == F.size(arr)
 
 
-_SEP = "\x1f"
 _DUP_KEY_CAP = 100_000
 
 
@@ -173,8 +172,9 @@ class _CompoundUniqueBase:
     """Cross-row tuple uniqueness via two-stage groupBy (partial aggregation
     = map-side combine handles skewed keys; ref upstream uses a window over
     partitionBy(cols) — single-stage, skew-prone).  Violation rows recovered
-    by an isin() probe on the (small) duplicated key set, keeping the fused
-    single violations pass (SURVEY.md §7 'Uniqueness at skew')."""
+    by broadcast-joining the (small, persisted, capped) duplicated-tuple set
+    back against the violations scan — a null-safe map-side hash probe
+    (SURVEY.md §7 'Uniqueness at skew')."""
 
     metric_name = "compound_columns.unique"
 
@@ -193,7 +193,8 @@ class _CompoundUniqueBase:
             f"{self.metric_name}.filtered_count", dk, [cols, ignore],
             lambda: F.coalesce(F.sum(F.when(nn_cond, 1).otherwise(0)), F.lit(0)),
         )
-        key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in cols])
+        rf = result_format_of(cfg, ctx.options)
+        want_rows = rf != "BOOLEAN_ONLY" and ctx.options.collect_violations
 
         def dup_metric(df) -> dict[str, Any]:
             d = df
@@ -201,24 +202,26 @@ class _CompoundUniqueBase:
                 d = d.filter(dom)
             d = d.filter(~ign)
             dups = d.groupBy(*cols).count().filter(F.col("count") > 1)
-            row = dups.agg(F.coalesce(F.sum("count"), F.lit(0)).alias("uc")).collect()[0]
-            keys = [
-                _SEP.join("" if r[c] is None else str(r[c]) for c in cols)
-                for r in dups.limit(_DUP_KEY_CAP).collect()
-            ]
-            return {"unexpected_count": int(row["uc"]), "dup_keys": keys}
+            if want_rows:
+                dups = ctx.aux_persist(dups)
+            row = dups.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
+                F.count(F.lit(1)).alias("ngroups"),
+            ).collect()[0]
+            return {"unexpected_count": int(row["uc"]),
+                    "n_groups": int(row["ngroups"]),
+                    "dup_df": dups.select(*cols).limit(_DUP_KEY_CAP) if want_rows else None}
 
         dup_ref = ctx.data(self.metric_name, dk, cols, dup_metric)
-        rf = result_format_of(cfg, ctx.options)
-        if rf != "BOOLEAN_ONLY":
-            def cond(bag: MetricBag) -> Column:
-                keys = bag[dup_ref]["dup_keys"]
-                if not keys:
-                    return F.lit(False)
-                return ctx.guard(dom, ~ign & key.isin(keys))
-
+        if want_rows:
+            flag = ctx.membership_flag(
+                f"__cdup_{index}", cols,
+                lambda bag: bag[dup_ref]["dup_df"]
+                if bag[dup_ref]["n_groups"] else None,
+            )
             ctx.add_violation(
-                ViolationSpec(index, cfg.expectation_type, ",".join(cols), cond,
+                ViolationSpec(index, cfg.expectation_type, ",".join(cols),
+                              lambda bag, c=ctx.guard(dom, ~ign & flag): c,
                               lambda bag: F.to_json(F.struct(*[F.col(c) for c in cols])))
             )
         mostly = cfg.kwargs.get("mostly")

@@ -8,10 +8,13 @@ other_column)` — every FK value must exist in the dimension table.
 Physics: `fact LEFT ANTI JOIN broadcast(dim.distinct)` — the dim side is
 explicitly broadcast (dimension tables are small); Catalyst/AQE handles the
 skewed-fact case.  In sketch mode a theta-sketch difference estimate
-(`theta_sketch_agg` on both sides) short-circuits the anti-join when the
-difference is zero — one cheap bundled pass instead of a join at 10^12 rows.
-Violation rows are recovered via an isin() probe on the (small) set of
-missing FK values so they ride the fused violations pass.
+(`theta_sketch_agg` on both sides) short-circuits the anti-join — but ONLY
+when both sketches are in their exact (sub-nominal-entries) regime: above
+saturation theta estimates are sampling-approximate, and a difference
+*estimate* of 0 could silently pass a handful of real orphans among 10^9
+keys.  Violation rows are recovered via a broadcast join of the (small,
+capped) missing-FK set against the violations scan — map-side, no literal
+lists in the plan.
 """
 
 from __future__ import annotations
@@ -44,6 +47,9 @@ class ExistInTable:
         ec_ref = ctx.element_count(dk, dom)
         nn_ref = ctx.nonnull_count(column, dk, dom)
         use_theta = ctx.options.mode == "sketch" and hasattr(F, "theta_sketch_agg")
+        theta_lgk = 12  # nominal entries 2^12: sketch exact below this count
+        rf = result_format_of(cfg, ctx.options)
+        want_rows = rf != "BOOLEAN_ONLY" and ctx.options.collect_violations
 
         def metric(df) -> dict[str, Any]:
             d = df
@@ -52,39 +58,51 @@ class ExistInTable:
             d = d.filter(F.col(column).isNotNull())
             dim = other_df.select(F.col(other_column).alias(column)).distinct()
             if use_theta:
-                # cheap prefilter: estimated |fact_keys \ dim_keys|
-                fact_sk = d.agg(F.theta_sketch_agg(column).alias("s")).collect()[0]["s"]
-                dim_sk = other_df.agg(F.theta_sketch_agg(other_column).alias("s")).collect()[0]["s"]
-                est = (
+                # cheap prefilter: estimated |fact_keys \ dim_keys|, plus both
+                # sides' distinct estimates to detect sketch saturation
+                row = d.agg(F.theta_sketch_agg(column, F.lit(theta_lgk)).alias("s")).collect()[0]
+                fact_sk = row["s"]
+                dim_sk = other_df.agg(
+                    F.theta_sketch_agg(other_column, F.lit(theta_lgk)).alias("s")
+                ).collect()[0]["s"]
+                est_row = (
                     d.sparkSession.range(1)
                     .select(
                         F.theta_sketch_estimate(
                             F.theta_difference(F.lit(fact_sk), F.lit(dim_sk))
-                        ).alias("e")
+                        ).alias("diff"),
+                        F.theta_sketch_estimate(F.lit(fact_sk)).alias("nf"),
+                        F.theta_sketch_estimate(F.lit(dim_sk)).alias("nd"),
                     )
-                    .collect()[0]["e"]
+                    .collect()[0]
                 )
-                if not est:
-                    return {"unexpected_count": 0, "missing_values": []}
+                # 0.9 margin: estimates near nominal entries carry variance,
+                # stay strictly inside the provably-exact band
+                k_exact = 0.9 * (1 << theta_lgk)
+                exact_regime = est_row["nf"] < k_exact and est_row["nd"] < k_exact
+                # short-circuit ONLY when the 0-difference is provably exact;
+                # a saturated sketch's estimate can miss real orphans
+                if not est_row["diff"] and exact_regime:
+                    return {"unexpected_count": 0, "missing_df": None, "n_missing": 0}
             orphans = d.join(F.broadcast(dim), on=column, how="left_anti")
             uc = orphans.count()
-            missing = [
-                r[column]
-                for r in orphans.select(column).distinct().limit(_MISSING_VALUE_CAP).collect()
-            ]
-            return {"unexpected_count": uc, "missing_values": missing}
+            if uc == 0 or not want_rows:
+                return {"unexpected_count": uc, "missing_df": None, "n_missing": 0}
+            missing = ctx.aux_persist(
+                orphans.select(column).distinct().limit(_MISSING_VALUE_CAP)
+            )
+            n_missing = missing.count()  # materializes the persisted key set
+            return {"unexpected_count": uc, "missing_df": missing, "n_missing": n_missing}
 
         m_ref = ctx.data(self.metric_name, dk, [column, other_name, other_column], metric)
-        rf = result_format_of(cfg, ctx.options)
-        if rf != "BOOLEAN_ONLY":
-            def cond(bag: MetricBag) -> Column:
-                vals = bag[m_ref]["missing_values"]
-                if not vals:
-                    return F.lit(False)
-                return ctx.guard(dom, F.col(column).isin(vals))
-
+        if want_rows:
+            flag = ctx.membership_flag(
+                f"__orph_{index}", [column],
+                lambda bag: bag[m_ref]["missing_df"],
+            )
             ctx.add_violation(
-                ViolationSpec(index, cfg.expectation_type, column, cond,
+                ViolationSpec(index, cfg.expectation_type, column,
+                              lambda bag, c=ctx.guard(dom, flag): c,
                               lambda bag: F.col(column))
             )
         mostly = cfg.kwargs.get("mostly")

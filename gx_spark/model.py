@@ -172,6 +172,12 @@ class EngineOptions:
 
     mode: str = "exact"  # "exact" | "sketch"
     result_format: str = "BASIC"
+    # Persist (MEMORY_AND_DISK) the fused violations DataFrame for the
+    # duration of the run so expensive map conditions (audio decode) are
+    # evaluated exactly once per RUN, not once per downstream action
+    # (unexpected-lists job, _violations write, count).  Callers release it
+    # via ValidationBundle.unpersist().
+    persist_violations: bool = True
     partial_unexpected_count: int = 20
     unexpected_index_column_names: tuple[str, ...] = ()
     collect_violations: bool = True

@@ -42,17 +42,30 @@ class MetricRef:
     key: str
 
 
+class MetricResolutionError(Exception):
+    """A metric failed to resolve at runtime (degraded per-metric pass);
+    reading it from the bag re-raises so the owning expectation finalizes as
+    an exception EVR while the rest of the suite completes."""
+
+
 class MetricBag:
     """Resolved metric values keyed by metric id."""
 
     def __init__(self) -> None:
         self._values: dict[str, Any] = {}
+        self._errors: dict[str, BaseException] = {}
 
     def put(self, key: str, value: Any) -> None:
         self._values[key] = value
 
+    def put_error(self, key: str, exc: BaseException) -> None:
+        self._errors[key] = exc
+
     def __getitem__(self, ref: "MetricRef | str") -> Any:
         key = ref.key if isinstance(ref, MetricRef) else ref
+        if key in self._errors:
+            e = self._errors[key]
+            raise MetricResolutionError(f"{type(e).__name__}: {e}") from e
         return self._values[key]
 
     def get(self, ref: "MetricRef | str", default: Any = None) -> Any:
@@ -101,6 +114,15 @@ class MetricContext:
         # data metrics: key -> fn(df) -> value
         self._data: dict[str, Callable[[DataFrame], Any]] = {}
         self.violations: list[ViolationSpec] = []
+        # membership-flag joins: violation recovery for group-derived keys
+        # (duplicates, missing FKs) joins the SMALL key DataFrame back against
+        # the scan as a broadcast left join — a map-side probe that scales,
+        # instead of a driver-built isin(<=100k literals) expression that
+        # breaks codegen (flag_name, key_cols, fn(bag)->small DF|None)
+        self._flag_joins: list[tuple[str, list[str], Callable[["MetricBag"], DataFrame | None]]] = []
+        # small helper DataFrames persisted during the run (dup-key sets);
+        # released by release_aux() once the violations DF is materialized
+        self._aux_persisted: list[DataFrame] = []
         self._domains: dict[str, Column | None] = {}
         # derived columns (e.g. the audio-flags struct from the pandas UDF):
         # added to the projection of BOTH the fused agg pass and the fused
@@ -163,6 +185,53 @@ class MetricContext:
             df = df.withColumn(name, col)
         return df
 
+    def membership_flag(
+        self,
+        flag_name: str,
+        key_cols: list[str],
+        fn: Callable[["MetricBag"], DataFrame | None],
+    ) -> Column:
+        """Register a broadcast membership probe for the violations pass and
+        return the boolean flag Column to use in a ViolationSpec condition.
+        `fn(bag)` returns the small key DataFrame (columns == key_cols) or
+        None/empty for 'no members'."""
+        self._flag_joins.append((flag_name, list(key_cols), fn))
+        return F.coalesce(F.col(flag_name), F.lit(False))
+
+    def aux_persist(self, df: DataFrame) -> DataFrame:
+        out = df.persist()
+        self._aux_persisted.append(out)
+        return out
+
+    def release_aux(self) -> None:
+        for df in self._aux_persisted:
+            df.unpersist()
+        self._aux_persisted.clear()
+
+    def flagged_df(self, bag: "MetricBag") -> DataFrame:
+        """base_df plus the membership-flag columns: each registered key set
+        is broadcast and LEFT-joined (null-safe on every key column) — a
+        map-side hash probe, no shuffle of the scan side."""
+        df = self.base_df()
+        for flag_name, key_cols, fn in self._flag_joins:
+            try:
+                small = fn(bag)
+            except Exception:
+                # the producing data metric errored — its expectation will
+                # finalize as an exception EVR; keep the violations pass alive
+                small = None
+            if small is None:
+                df = df.withColumn(flag_name, F.lit(False))
+                continue
+            renamed = [f"__k_{flag_name}_{i}" for i in range(len(key_cols))]
+            probe = small.toDF(*renamed).withColumn(flag_name, F.lit(True))
+            on = None
+            for kc, rn in zip(key_cols, renamed):
+                clause = df[kc].eqNullSafe(probe[rn])
+                on = clause if on is None else (on & clause)
+            df = df.join(F.broadcast(probe), on, "left").drop(*renamed)
+        return df
+
     # ---- common shared metrics ------------------------------------------
 
     def element_count(self, domain_key: str, dom: Column | None) -> MetricRef:
@@ -203,22 +272,51 @@ class MetricContext:
 
     # ---- execution -------------------------------------------------------
 
+    def _fused_agg(self, base: DataFrame, items: dict[str, Callable], bag: MetricBag,
+                   takes_bag: bool) -> None:
+        """ONE fused df.agg for all metrics of a stage; if the fused job fails
+        at runtime (one poison expression, e.g. an invalid regex), degrade to
+        per-metric aggs so the poison is isolated to its own expectation as a
+        MetricResolutionError instead of aborting the whole suite."""
+        def build(b):
+            return b(bag) if takes_bag else b()
+
+        exprs = []
+        for k, b in items.items():
+            try:
+                exprs.append((k, build(b).alias(k)))
+            except Exception as exc:  # expression-construction failure
+                bag.put_error(k, exc)
+        if not exprs:
+            return
+        try:
+            row = base.agg(*[e for _, e in exprs]).collect()[0]
+            for k, _ in exprs:
+                bag.put(k, row[k])
+        except Exception:
+            for k, e in exprs:
+                try:
+                    row = base.agg(e).collect()[0]
+                    bag.put(k, row[k])
+                except Exception as exc:
+                    bag.put_error(k, exc)
+
     def resolve(self, bag: MetricBag) -> None:
         """Run the physical plan: fused stage1 agg, fused stage2 agg, then
-        per-metric data jobs."""
+        per-metric data jobs.  Failures are isolated per metric (degraded
+        per-metric re-run for the fused stages) — the catch_exceptions
+        contract: a runtime error becomes an exception EVR for its owning
+        expectation(s), never a suite abort."""
         base = self.base_df()
         if self._stage1:
-            exprs = [b().alias(k) for k, b in self._stage1.items()]
-            row = base.agg(*exprs).collect()[0]
-            for k in self._stage1:
-                bag.put(k, row[k])
+            self._fused_agg(base, self._stage1, bag, takes_bag=False)
         if self._stage2:
-            exprs = [b(bag).alias(k) for k, b in self._stage2.items()]
-            row = base.agg(*exprs).collect()[0]
-            for k in self._stage2:
-                bag.put(k, row[k])
+            self._fused_agg(base, self._stage2, bag, takes_bag=True)
         for k, fn in self._data.items():
-            bag.put(k, fn(self.df))
+            try:
+                bag.put(k, fn(self.df))
+            except Exception as exc:
+                bag.put_error(k, exc)
 
     @property
     def has_stage1(self) -> bool:

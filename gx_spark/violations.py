@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .planner import MetricBag, ViolationSpec
 
 VIOLATION_COLS = [
+    "row_ord",
     "index_json",
     "expectation_index",
     "expectation_type",
@@ -73,16 +74,22 @@ def build_violations_df(
         else F.lit(None).cast("string")
     )
     out = (
-        df.select(idx.alias("index_json"), F.explode(arr).alias("v"))
-        .select("index_json", "v.*")
+        # row_ord fixes a deterministic row order (scan order) so the
+        # partial lists are first-N-in-row-order, stable across runs —
+        # matching the reference's filter-head semantics
+        df.select(
+            F.monotonically_increasing_id().alias("row_ord"),
+            idx.alias("index_json"),
+            F.explode(arr).alias("v"),
+        ).select("row_ord", "index_json", "v.*")
     )
     return out
 
 
 def empty_violations_df(spark) -> DataFrame:
     schema = (
-        "index_json string, expectation_index int, expectation_type string, "
-        "column string, observed_json string"
+        "row_ord long, index_json string, expectation_index int, "
+        "expectation_type string, column string, observed_json string"
     )
     return spark.createDataFrame([], schema)
 
@@ -92,33 +99,61 @@ def derive_unexpected_lists(
     result_format: str,
     partial_limit: int,
 ) -> dict[int, dict[str, Any]]:
-    """ONE job over the violations DataFrame produces the per-expectation
-    partial/complete unexpected value+index lists (instead of the reference's
-    per-expectation filter jobs)."""
+    """Per-expectation unexpected value+index lists from the (persisted)
+    violations DataFrame — instead of the reference's per-expectation filter
+    jobs (ref: map_metric_provider.py#_spark_map_condition_rows).
+
+    Memory-bounded: BASIC/SUMMARY never buffer more than `partial_limit` rows
+    per (expectation, partition) in any aggregation state.  Two bounded
+    shuffles: a per-(expectation, input-partition) row_number cap, then a
+    global per-expectation cap; collect_list only ever sees <= partial_limit
+    rows per expectation.  Deterministic: rows are taken in row_ord (scan)
+    order.  COMPLETE keeps full lists by definition (GE semantics) — use
+    the violations table itself at scale."""
     if result_format == "BOOLEAN_ONLY":
         return {}
+    from pyspark.sql import Window
+
     complete = result_format == "COMPLETE"
-    n = -1 if complete else partial_limit  # slice length; -1 = take all
-    obs_list = F.collect_list("observed_json")
-    idx_list = F.collect_list("index_json")
-    if not complete:
-        obs_list = F.slice(obs_list, 1, partial_limit)
-        idx_list = F.slice(idx_list, 1, partial_limit)
+    # job A: exact per-expectation counts (map-side partial agg, tiny result)
+    counts = {
+        r["expectation_index"]: int(r["cnt"])
+        for r in viol_df.groupBy("expectation_index")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # job B: the bounded first-N lists
+    if complete:
+        capped = viol_df
+    else:
+        w_part = Window.partitionBy(
+            "expectation_index", F.spark_partition_id()
+        ).orderBy("row_ord")
+        w_glob = Window.partitionBy("expectation_index").orderBy("row_ord")
+        capped = (
+            viol_df.withColumn("__rn", F.row_number().over(w_part))
+            .filter(F.col("__rn") <= partial_limit)
+            .withColumn("__rn2", F.row_number().over(w_glob))
+            .filter(F.col("__rn2") <= partial_limit)
+        )
     rows = (
-        viol_df.groupBy("expectation_index")
-        .agg(obs_list.alias("obs"), idx_list.alias("idx"),
-             F.count(F.lit(1)).alias("cnt"))
+        capped.groupBy("expectation_index")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("row_ord", "observed_json", "index_json"))
+            ).alias("items")
+        )
         .collect()
     )
     out: dict[int, dict[str, Any]] = {}
     for r in rows:
-        values = [decode_json_value(s) for s in r["obs"]]
-        indexes = [decode_json_value_index(s) for s in r["idx"]]
+        values = [decode_json_value(it["observed_json"]) for it in r["items"]]
+        indexes = [decode_json_value_index(it["index_json"]) for it in r["items"]]
         entry: dict[str, Any] = {
             # exact per-expectation violation-row count: lets expensive map
             # conditions (audio decode) skip the stage-1 conditional sum and
             # be evaluated ONCE, in this pass (see base.count_via_violations)
-            "unexpected_count": int(r["cnt"]),
+            "unexpected_count": counts.get(r["expectation_index"], 0),
             "partial_unexpected_list": values[:partial_limit],
             "partial_unexpected_index_list": [i for i in indexes[:partial_limit] if i is not None],
         }
@@ -126,15 +161,23 @@ def derive_unexpected_lists(
             entry["unexpected_list"] = values
             entry["unexpected_index_list"] = [i for i in indexes if i is not None]
         if result_format in ("SUMMARY", "COMPLETE"):
-            counts: dict[Any, int] = {}
+            vcounts: dict[Any, int] = {}
             for v in values:
                 k = json.dumps(v, sort_keys=True, default=str)
-                counts[k] = counts.get(k, 0) + 1
+                vcounts[k] = vcounts.get(k, 0) + 1
             entry["partial_unexpected_counts"] = [
                 {"value": json.loads(k), "count": c}
-                for k, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                for k, c in sorted(vcounts.items(), key=lambda kv: (-kv[1], kv[0]))
             ][:partial_limit]
         out[r["expectation_index"]] = entry
+    # expectations with zero surviving rows in job B but nonzero count
+    for idx2, cnt in counts.items():
+        if idx2 not in out:
+            out[idx2] = {
+                "unexpected_count": cnt,
+                "partial_unexpected_list": [],
+                "partial_unexpected_index_list": [],
+            }
     return out
 
 

@@ -34,6 +34,7 @@ def main() -> None:
         EngineOptions(unexpected_index_column_names=("clip_id",)),
     )
     n_viol = bundle.violations_table().count()
+    bundle.unpersist()
     wall = time.time() - t0
     ok = sum(1 for r in bundle.suite_result.results if r.success)
     print(json.dumps({
