@@ -186,11 +186,21 @@ def compute_flags_row(
         out["transcript_ok"] = transcript == ref_transcript(clip_id)
     if b is None:
         return out
-    if codec != "pcm_s16le":
-        # metadata-only path: codec libs absent in-sandbox (decode stubbed)
+    if codec in ("flac", "opus"):
+        # metadata-only path, ONLY for the known stub codecs (codec libs
+        # absent in-sandbox, decode stubbed).  Sniff the container magic:
+        # a RIFF/WAVE payload labeled flac/opus is a mislabeled row and must
+        # be flagged, not waved through.
+        if bytes(b[:4]) == b"RIFF":
+            return out  # decodable=False → metadata_consistent violation
         out["decodable"] = True
         out["header_sr_ok"] = True
         out["dur_ok"] = True
+        return out
+    if codec != "pcm_s16le":
+        # unrecognized codec label (e.g. 'mp3', corrupt value): we cannot
+        # certify anything about the payload — decodable=False so the
+        # metadata-consistency expectation flags the row
         return out
     try:
         hsr, pcm = wav_decode(bytes(b))

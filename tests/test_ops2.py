@@ -1,0 +1,104 @@
+"""Round-2 pipeline-op fixes: map-side SimHash, value-distinct dedup keys,
+multi-probe ANN recall, audio codec-flag hardening."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import ops  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_map_side_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = ops.simhash64(docs, "doc_id", "text")
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle: pure projection over scan
+    rows = fp.collect()
+    assert len(rows) == docs.count()
+    assert all(r["simhash"] is not None and r["simhash"] >= 0 for r in rows)
+
+
+def test_simhash_matches_explode_formulation(spark):
+    df = spark.createDataFrame(
+        [("d1", "the quick brown fox"), ("d2", "the quick brown fox"),
+         ("d3", "completely different words here entirely")],
+        "doc_id string, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in ops.simhash64(df, "doc_id", "text").collect()}
+    # identical docs -> identical fingerprints; different doc -> different
+    assert got["d1"] == got["d2"]
+    assert got["d1"] != got["d3"]
+    # reference (explode->groupBy) formulation gives the same bits
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("id").agg(
+        *[F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)).alias(f"b{b}") for b in range(64)]
+    )
+    ref = {
+        r["id"]: r["simhash"]
+        for r in sums.select(
+            "id",
+            sum((F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+                 * F.lit(1 << b)) for b in range(63)).alias("simhash"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_exact_dedup_value_distinct_with_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("b", "x"), (None, None), (None, None)],
+        "t string, u string",
+    )
+    r = ops.exact_dedup_stats(df, ["t", "u"]).collect()[0]
+    # ('a','x') x2 and (null,null) x2 are dup groups; ('a',null) distinct
+    assert r["n_rows"] == 6
+    assert r["n_distinct"] == 4
+    assert r["n_dup_rows"] == 4
+    assert r["n_removable"] == 2
+
+
+def test_ann_multiprobe_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    exact = [r["id"] for r in ops.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()]
+    approx = [r["id"] for r in ops.ann_topk_lsh(emb, "vec_id", "embedding", q, 10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_audio_flags_codec_hardening():
+    from gx_spark.audio import compute_flags_row, synth_pcm, wav_encode
+
+    pcm = synth_pcm("clip_0000000001", 16000, 300)
+    wav = wav_encode(pcm, 16000)
+    stub = b"STUBclip_0000000001" + bytes(64)
+
+    # unknown codec label: cannot certify -> decodable False
+    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "mp3", None)
+    assert f["decodable"] is False
+
+    # known stub codec with opaque payload: metadata-only pass
+    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "flac", None)
+    assert f["decodable"] is True and f["header_sr_ok"] is True
+
+    # RIFF payload mislabeled as flac/opus: flagged
+    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "flac", None)
+    assert f["decodable"] is False
+
+    # pcm path unchanged
+    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "pcm_s16le", None)
+    assert f["decodable"] is True and f["header_sr_ok"] is True and f["dur_ok"] is True

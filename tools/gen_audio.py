@@ -86,6 +86,9 @@ def gen_row(i: int, p_partitions: int) -> tuple[dict, list[tuple[str, str, str]]
     elif cls == 2:
         codec = "mp3"
         sidecar.append((clip_id, "expect_column_values_to_be_in_set", "codec"))
+        # an unrecognized codec label is also a metadata-consistency failure:
+        # the engine cannot certify the payload (decodable=False)
+        sidecar.append((clip_id, "expect_audio_metadata_to_be_consistent", "bytes"))
     elif cls == 4:
         sr = 3000
         header_sr = 3000
