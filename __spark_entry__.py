@@ -229,6 +229,34 @@ def q_psi_quantity_uniform(spark, sf_dir):
     return _row(spark, "psi double", [float(round(res["observed_value"], 6))])
 
 
+def q_kl_vs_profiled_baseline(spark, sf_dir):
+    """Round-trip: profile a deterministic half-batch (uniform 5-bin
+    partition on l_quantity) into the MetricStore, then drift-check the FULL
+    table against the stored baseline via URN evaluation-parameter
+    indirection (SURVEY.md §2.4 column.partition + §2.9)."""
+    import shutil
+    import tempfile
+
+    from gx_spark.profile import MetricStore, Profiler
+
+    li = _load(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") % 2 == 0)
+    td = tempfile.mkdtemp(prefix="gx_store_")
+    try:
+        store = MetricStore(spark, f"{td}/metrics")
+        Profiler(spark, store).profile(
+            base, "lineitem", columns=["l_quantity"],
+            partition_columns=["l_quantity"], bins="uniform", n_bins=5,
+        )
+        po = store.resolve_urn("urn:gx:metric:lineitem:l_quantity:column.partition")
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    r = _evr(spark, li, ExpectationSuite("q").add(
+        "expect_column_kl_divergence_to_be_less_than", column="l_quantity",
+        partition_object=po, threshold=1000.0))
+    return _row(spark, "kl double", [float(round(r[0].result["observed_value"], 6))])
+
+
 def q_json_props_parseable(spark, sf_dir):
     r = _evr(spark, _load(spark, sf_dir, "events"),
              ExpectationSuite("q").add("expect_column_values_to_be_json_parseable",
@@ -348,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multicol_sum_10": q_multicol_sum_10,
         "histogram_quantity": q_histogram_quantity,
         "kl_quantity_uniform": q_kl_quantity_uniform,
+        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
         "psi_quantity_uniform": q_psi_quantity_uniform,
         "json_props_parseable": q_json_props_parseable,
         "row_condition_filtered_mean": q_row_condition_filtered_mean,
@@ -462,6 +491,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1), "
             "t AS (SELECT SUM(c) AS n FROM h) "
             "SELECT ROUND(SUM((c / n) * LN((c / n) / 0.2)), 6) AS kl FROM h, t"
+        ),
+        "kl_vs_profiled_baseline": (
+            # same binning math as the Profiler: uniform edges
+            # mn + (mx-mn)*i/5 over the even-orderkey baseline half, bin i =
+            # [edge_i, edge_{i+1}) except last = [edge_4, mx]; KL(full||base)
+            "WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx "
+            "FROM lineitem WHERE l_orderkey % 2 = 0), "
+            "assign AS (SELECT CASE "
+            "WHEN l_quantity >= mn + (mx - mn) * 4 / 5 THEN 4 "
+            "WHEN l_quantity >= mn + (mx - mn) * 3 / 5 THEN 3 "
+            "WHEN l_quantity >= mn + (mx - mn) * 2 / 5 THEN 2 "
+            "WHEN l_quantity >= mn + (mx - mn) * 1 / 5 THEN 1 ELSE 0 END AS b, "
+            "(l_orderkey % 2 = 0) AS is_base FROM lineitem, mm "
+            "WHERE l_quantity IS NOT NULL AND l_quantity >= mn AND l_quantity <= mx), "
+            "q AS (SELECT b, count(*)::DOUBLE / (SUM(count(*)) OVER ()) AS w "
+            "FROM assign WHERE is_base GROUP BY b), "
+            "p AS (SELECT b, count(*)::DOUBLE / (SUM(count(*)) OVER ()) AS w "
+            "FROM assign GROUP BY b) "
+            "SELECT ROUND(SUM(p.w * LN(p.w / q.w)), 6) AS kl FROM p JOIN q USING (b)"
         ),
         "psi_quantity_uniform": (
             "WITH h AS (SELECT CASE WHEN l_quantity >= 40 THEN 4 ELSE "

@@ -19,9 +19,21 @@ from .model import (
     SuiteValidationResult,
 )
 from .executor import ValidationBundle, ValidationRun, validate
+from .profile import (
+    MetricStore,
+    Profiler,
+    build_categorical_partition_object,
+    build_continuous_partition_object,
+)
 from .registry import list_expectations, register_expectation
+from .validator import Validator
 
 __all__ = [
+    "MetricStore",
+    "Profiler",
+    "Validator",
+    "build_categorical_partition_object",
+    "build_continuous_partition_object",
     "EngineOptions",
     "ExpectationConfiguration",
     "ExpectationSuite",

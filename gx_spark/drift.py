@@ -105,7 +105,9 @@ def categorical_divergence(
     w = np.asarray(partition_object["weights"], dtype=float)
     w = w * (1.0 - tail_weight_holdout) / w.sum() if w.sum() > 0 else w
     obs = np.asarray([value_counts.get(v, 0) for v in values], dtype=float) / total_count
-    unlisted = (total_count - sum(value_counts.get(v, 0) for v in values)) / total_count
+    # clamp: sketch-mode (CMS) counts are one-sided overestimates, so the
+    # listed sum can slightly exceed the total
+    unlisted = max(0.0, (total_count - sum(value_counts.get(v, 0) for v in values)) / total_count)
     p = np.concatenate((obs, [unlisted]))
     q = np.concatenate((w, [tail_weight_holdout]))
     div = _divergence(p, q, kind)

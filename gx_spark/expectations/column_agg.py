@@ -188,16 +188,55 @@ class QuantileValues(ColumnAggregateExpectation):
 class _DistinctSetBase(ColumnAggregateExpectation):
     """Distinct-value set expectations.  Exact mode keeps collect_set inside
     the fused bundle (ObjectHashAggregate — no extra scan); the driver-side
-    set op is on the (small) distinct set only (SURVEY.md §2.7)."""
+    set op is on the (small) distinct set only (SURVEY.md §2.7).
+
+    Sketch mode never materializes the distinct set (collect_set state is
+    unbounded on a high-cardinality column): the subset/superset checks
+    reduce to TWO bounded aggregates in the same fused pass —
+    out_of_set_count = sum(value not in set) and in_set_distinct =
+    count_distinct(value if in set) (state bounded by |value_set|) — which
+    make the verdicts EXACT while the observed_value becomes a summary
+    instead of the full list."""
 
     def plan(self, ctx, cfg, index):
         column = cfg.kwargs["column"]
         require_columns(ctx, column)
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         dc = domain_col(dom, column)
-        ref = ctx.agg("column.distinct_values", dk, column, lambda: F.collect_set(dc))
         rf = result_format_of(cfg, ctx.options)
         vset = cfg.kwargs.get("value_set")
+        vlist = sorted(set(vset), key=str) if vset else []
+
+        if ctx.options.mode == "sketch":
+            in_set = F.col(column).isin(vlist) if vlist else F.lit(False)
+            out_cond = ctx.guard(dom, F.col(column).isNotNull() & ~in_set)
+            out_ref = ctx.agg(
+                "column.distinct_values.out_of_set_count", dk, [column, vlist],
+                lambda: F.coalesce(F.sum(F.when(out_cond, 1).otherwise(0)), F.lit(0)),
+            )
+            in_dc = F.when(ctx.guard(dom, F.col(column).isNotNull() & in_set), F.col(column))
+            in_ref = ctx.agg(
+                "column.distinct_values.in_set_distinct", dk, [column, vlist],
+                lambda: F.count_distinct(in_dc),
+            )
+
+            def finalize(bag):
+                out_count = int(bag[out_ref])
+                in_distinct = int(bag[in_ref])
+                success = self.check_counts(out_count, in_distinct, len(vlist))
+                observed = {
+                    "out_of_set_count": out_count,
+                    "in_set_distinct_count": in_distinct,
+                    "value_set_size": len(vlist),
+                }
+                result = {} if rf == "BOOLEAN_ONLY" else {"observed_value": observed}
+                return ExpectationValidationResult(
+                    success=success, expectation_config=cfg, result=result
+                )
+
+            return finalize
+
+        ref = ctx.agg("column.distinct_values", dk, column, lambda: F.collect_set(dc))
 
         def finalize(bag):
             observed = sorted(bag[ref], key=lambda x: (str(type(x)), x))
@@ -210,11 +249,17 @@ class _DistinctSetBase(ColumnAggregateExpectation):
     def check(self, observed: set, expected: set) -> bool:
         raise NotImplementedError
 
+    def check_counts(self, out_count: int, in_distinct: int, set_size: int) -> bool:
+        raise NotImplementedError
+
 
 @register_expectation("expect_column_distinct_values_to_be_in_set")
 class DistinctInSet(_DistinctSetBase):
     def check(self, observed, expected):
         return observed <= expected
+
+    def check_counts(self, out_count, in_distinct, set_size):
+        return out_count == 0
 
 
 @register_expectation("expect_column_distinct_values_to_contain_set")
@@ -222,18 +267,31 @@ class DistinctContainSet(_DistinctSetBase):
     def check(self, observed, expected):
         return observed >= expected
 
+    def check_counts(self, out_count, in_distinct, set_size):
+        return in_distinct == set_size
+
 
 @register_expectation("expect_column_distinct_values_to_equal_set")
 class DistinctEqualSet(_DistinctSetBase):
     def check(self, observed, expected):
         return observed == expected
 
+    def check_counts(self, out_count, in_distinct, set_size):
+        return out_count == 0 and in_distinct == set_size
+
 
 @register_expectation("expect_column_most_common_value_to_be_in_set")
 class MostCommonInSet(ColumnAggregateExpectation):
     """observed_value = list of modal values (ties kept, ref:
     column_most_common_value.py); success = all modes ∈ value_set (GE's
-    ties_okay semantics: any mode in set when ties_okay=True)."""
+    ties_okay semantics: any mode in set when ties_okay=True).
+
+    Sketch mode: count-min-sketch + heavy-hitter candidate probing
+    (SURVEY.md §2.4) — one fused CMS aggregation plus a single-pass freqItems
+    candidate scan, instead of the exact groupBy over every distinct value.
+    CMS counts are eps*n-bounded overestimates, so the sketch-mode mode list
+    can include near-ties; falls back to the exact groupBy when no candidate
+    clears the freqItems support threshold."""
 
     def plan(self, ctx, cfg, index):
         column = cfg.kwargs["column"]
@@ -241,12 +299,9 @@ class MostCommonInSet(ColumnAggregateExpectation):
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         vset = set(cfg.kwargs["value_set"])
         ties_okay = bool(cfg.kwargs.get("ties_okay", False))
+        opts = ctx.options
 
-        def metric(df):
-            d = df
-            if dom is not None:
-                d = d.filter(dom)
-            d = d.filter(F.col(column).isNotNull())
+        def exact_modes(d):
             counts = d.groupBy(column).count()
             rows = counts.orderBy(F.desc("count")).limit(1000).collect()
             if not rows:
@@ -254,7 +309,28 @@ class MostCommonInSet(ColumnAggregateExpectation):
             top = rows[0]["count"]
             return sorted((r[column] for r in rows if r["count"] == top), key=str)
 
-        ref = ctx.data("column.most_common_value", dk, column, metric)
+        def metric(df):
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.filter(F.col(column).isNotNull())
+            if opts.mode == "sketch":
+                from ..sketches import cms_value_counts
+
+                counts, _n = cms_value_counts(
+                    d, column, candidates=None,
+                    eps=opts.cms_eps, confidence=opts.cms_confidence,
+                    seed=opts.cms_seed,
+                )
+                if counts:
+                    top = max(counts.values())
+                    return sorted((v for v, c in counts.items() if c == top), key=str)
+                # no heavy hitter above support — degrade to exact
+            return exact_modes(d)
+
+        ref = ctx.data(
+            "column.most_common_value", dk, [column, opts.mode], metric
+        )
         rf = result_format_of(cfg, ctx.options)
 
         def finalize(bag):

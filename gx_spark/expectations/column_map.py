@@ -50,6 +50,33 @@ class BeNull(ColumnMapExpectation):
         return F.col(cfg.kwargs["column"]).isNotNull()
 
 
+def _parse_dt(value):
+    """Driver-side datetime coercion for parse_strings_as_datetimes kwarg
+    values (ref upstream runs dateutil.parser over the value literals)."""
+    import datetime as _dt
+
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value if isinstance(value, _dt.datetime) else _dt.datetime(
+            value.year, value.month, value.day
+        )
+    s = str(value)
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except ValueError:
+        pass
+    for fmt in ("%m/%d/%Y", "%m/%d/%Y %H:%M:%S", "%Y%m%d", "%m-%d-%Y"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse {value!r} as a datetime")
+
+
+def _dt_col(column: str) -> Column:
+    c = F.col(column)
+    return F.coalesce(c.try_cast("timestamp"), c.try_cast("date").cast("timestamp"))
+
+
 @register_expectation("expect_column_values_to_be_in_set")
 class BeInSet(ColumnMapExpectation):
     metric_name = "column_values.in_set"
@@ -58,6 +85,10 @@ class BeInSet(ColumnMapExpectation):
         vs = list(cfg.kwargs["value_set"])
         if not vs:  # empty set: everything is unexpected (GE semantics)
             return F.lit(True)
+        if cfg.kwargs.get("parse_strings_as_datetimes"):
+            pc = _dt_col(cfg.kwargs["column"])
+            # unparseable value → unexpected (cannot be in a datetime set)
+            return pc.isNull() | ~pc.isin([_parse_dt(v) for v in vs])
         return ~F.col(cfg.kwargs["column"]).isin(vs)
 
 
@@ -69,6 +100,9 @@ class NotBeInSet(ColumnMapExpectation):
         vs = list(cfg.kwargs["value_set"])
         if not vs:
             return F.lit(False)
+        if cfg.kwargs.get("parse_strings_as_datetimes"):
+            pc = _dt_col(cfg.kwargs["column"])
+            return F.coalesce(pc.isin([_parse_dt(v) for v in vs]), F.lit(False))
         return F.col(cfg.kwargs["column"]).isin(vs)
 
 
@@ -78,14 +112,21 @@ class BeBetween(ColumnMapExpectation):
 
     def unexpected_condition(self, cfg, ctx) -> Column:
         k = cfg.kwargs
-        c = F.col(k["column"])
+        if k.get("parse_strings_as_datetimes"):
+            c = _dt_col(k["column"])
+            lit = lambda v: F.lit(_parse_dt(v))  # noqa: E731
+        else:
+            c = F.col(k["column"])
+            lit = F.lit
         ok = F.lit(True)
         if k.get("min_value") is not None:
-            lo = F.lit(k["min_value"])
+            lo = lit(k["min_value"])
             ok = ok & (c > lo if k.get("strict_min") else c >= lo)
         if k.get("max_value") is not None:
-            hi = F.lit(k["max_value"])
+            hi = lit(k["max_value"])
             ok = ok & (c < hi if k.get("strict_max") else c <= hi)
+        if k.get("parse_strings_as_datetimes"):
+            return c.isNull() | ~ok  # unparseable → unexpected
         return ~ok
 
 

@@ -82,20 +82,35 @@ class _DivergenceBase:
 
             return finalize
 
-        # categorical partition {values, weights}
+        # categorical partition {values, weights}.  Sketch mode: the
+        # partition object's value list IS the candidate set — one fused CMS
+        # aggregation probes exactly those values instead of a full groupBy
+        # over every distinct value (SURVEY.md §2.4 value_counts at scale).
+        opts = ctx.options
+
         def vc_metric(df):
             d = df
             if dom is not None:
                 d = d.filter(dom)
             d = d.filter(F.col(column).isNotNull())
-            rows = d.groupBy(column).count().collect()
-            return {r[column]: r["count"] for r in rows}
+            if opts.mode == "sketch":
+                from ..sketches import cms_value_counts
 
-        vc_ref = ctx.data("column.value_counts", dk, column, vc_metric)
+                counts, total = cms_value_counts(
+                    d, column, candidates=list(po["values"]),
+                    eps=opts.cms_eps, confidence=opts.cms_confidence,
+                    seed=opts.cms_seed,
+                )
+                return {"counts": counts, "total": total}
+            rows = d.groupBy(column).count().collect()
+            vc = {r[column]: r["count"] for r in rows}
+            return {"counts": vc, "total": sum(vc.values())}
+
+        vc_ref = ctx.data("column.value_counts", dk, [column, opts.mode], vc_metric)
 
         def finalize(bag):
-            vc = bag[vc_ref]
-            total = sum(vc.values())
+            m = bag[vc_ref]
+            vc, total = m["counts"], m["total"]
             div, details = categorical_divergence(vc, total, po, tail, kind)
             success = (not math.isnan(div)) and (
                 threshold is None or div < float(threshold)

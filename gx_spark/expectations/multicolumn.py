@@ -115,7 +115,12 @@ class PairAGreaterThanB(MultiColMapExpectation):
         return [cfg.kwargs["column_A"], cfg.kwargs["column_B"]]
 
     def ok_condition(self, cfg):
-        a, b = F.col(cfg.kwargs["column_A"]), F.col(cfg.kwargs["column_B"])
+        if cfg.kwargs.get("parse_strings_as_datetimes"):
+            from .column_map import _dt_col
+
+            a, b = _dt_col(cfg.kwargs["column_A"]), _dt_col(cfg.kwargs["column_B"])
+        else:
+            a, b = F.col(cfg.kwargs["column_A"]), F.col(cfg.kwargs["column_B"])
         return (a >= b) if cfg.kwargs.get("or_equal") else (a > b)
 
 

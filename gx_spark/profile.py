@@ -1,0 +1,262 @@
+"""Profiling: `column.partition` auto-binning + a persistent metric store.
+
+Re-creates the reference's partition-object builders (ref:
+expectations/metrics/column_aggregate_metrics/column_partition.py — bucketize
+modes uniform / quantile / auto) and the metric store + evaluation-parameter
+URN indirection (ref: data_context/store/metric_store.py#MetricStore,
+core/evaluation_parameters.py) in Spark-native, 10^12-row-safe form:
+
+- partition builders run as ONE small agg over the batch (min/max or
+  approx-quantiles) plus ONE fused conditional-sum histogram agg — never a
+  groupBy over raw values;
+- the store is an append-only parquet table (run_id, ts, table, column,
+  metric, value_json) — the same pattern as the `_validation_results` sink —
+  so a profiling run on yesterday's batch becomes the drift baseline for
+  today's via `{"$PARAMETER": "urn:gx:metric:<table>:<column>:<metric>"}`.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# partition-object builders (column.partition)
+# ---------------------------------------------------------------------------
+
+
+def _uniform_edges(mn: float, mx: float, n_bins: int) -> list[float]:
+    # edge formula written to be reproducible in ANSI SQL oracles:
+    # mn + (mx - mn) * i / n  (same IEEE double ops, same results)
+    return [mn + (mx - mn) * i / n_bins for i in range(n_bins + 1)]
+
+
+def histogram_counts(
+    df: DataFrame, column: str, edges: list[float]
+) -> tuple[list[int], int, int, int]:
+    """(per-bin counts, below, above, total nonnull) in ONE fused agg.
+    Bins are [lo, hi) except the last, which is [lo, hi] — the reference's
+    histogram edge semantics."""
+    c = F.col(column)
+    n = len(edges) - 1
+
+    def in_bin(i: int):
+        lo, hi = edges[i], edges[i + 1]
+        cond = (c >= lo) & ((c <= hi) if i == n - 1 else (c < hi))
+        return F.coalesce(F.sum(F.when(c.isNotNull() & cond, 1).otherwise(0)), F.lit(0))
+
+    row = df.agg(
+        *[in_bin(i).alias(f"b{i}") for i in range(n)],
+        F.coalesce(F.sum(F.when(c.isNotNull() & (c < edges[0]), 1).otherwise(0)), F.lit(0)).alias("below"),
+        F.coalesce(F.sum(F.when(c.isNotNull() & (c > edges[-1]), 1).otherwise(0)), F.lit(0)).alias("above"),
+        F.count(c).alias("total"),
+    ).collect()[0]
+    return (
+        [int(row[f"b{i}"]) for i in range(n)],
+        int(row["below"]), int(row["above"]), int(row["total"]),
+    )
+
+
+def build_continuous_partition_object(
+    df: DataFrame,
+    column: str,
+    bins: str = "uniform",  # "uniform" | "quantile" | "auto"
+    n_bins: int | None = None,
+    mode: str = "exact",  # quantile edges: "exact" | "sketch" (approx_percentile)
+) -> dict[str, Any]:
+    """{bins, weights} partition object from the batch — the baseline-
+    construction path for the KL/PSI drift expectations.
+
+    uniform: equal-width bins over [min, max] (one tiny agg for min/max).
+    quantile: equal-mass bins from percentiles (exact or KLL-sketch).
+    auto: uniform with Sturges' bin count ceil(log2(n))+1.
+    Two Spark jobs total; only O(n_bins) values reach the driver."""
+    c = F.col(column).cast("double")
+    if bins == "auto" or n_bins is None:
+        import math
+
+        cnt = df.where(c.isNotNull()).count()
+        sturges = max(1, int(math.ceil(math.log2(max(cnt, 2)))) + 1)
+        n_bins = n_bins or (sturges if bins == "auto" else 10)
+    if bins in ("uniform", "auto"):
+        row = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
+        mn, mx = float(row["mn"]), float(row["mx"])
+        if mn == mx:
+            edges = [mn, mx]
+        else:
+            edges = _uniform_edges(mn, mx, n_bins)
+    elif bins == "quantile":
+        probs = [i / n_bins for i in range(n_bins + 1)]
+        if mode == "sketch":
+            edges_raw = df.agg(
+                F.percentile_approx(c, probs, 10000).alias("q")
+            ).collect()[0]["q"]
+        else:
+            edges_raw = df.agg(F.percentile(c, F.array(*[F.lit(p) for p in probs])).alias("q")
+                               ).collect()[0]["q"]
+        edges = sorted(set(float(e) for e in edges_raw))
+        if len(edges) < 2:
+            edges = [edges[0], edges[0]] if edges else [0.0, 0.0]
+    else:
+        raise ValueError(f"unknown bins mode: {bins!r}")
+    counts, below, above, total = histogram_counts(df, column, edges)
+    weights = [cc / total if total else 0.0 for cc in counts]
+    return {"bins": edges, "weights": weights}
+
+
+def build_categorical_partition_object(
+    df: DataFrame, column: str, max_values: int = 1000
+) -> dict[str, Any]:
+    """{values, weights} from a value_counts groupBy (map-side partial agg),
+    top-`max_values` by frequency — bounded driver transfer."""
+    rows = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(column).agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc(column))
+        .limit(max_values)
+        .collect()
+    )
+    total = df.where(F.col(column).isNotNull()).count()
+    return {
+        "values": [r[column] for r in rows],
+        "weights": [r["c"] / total if total else 0.0 for r in rows],
+    }
+
+
+# ---------------------------------------------------------------------------
+# persistent metric store
+# ---------------------------------------------------------------------------
+
+_STORE_SCHEMA = (
+    "run_id string, run_ts long, table_name string, column string, "
+    "metric_name string, value_json string"
+)
+
+
+class MetricStore:
+    """Append-only parquet metric store (the URN store's role at scale).
+
+    URN format: urn:gx:metric:<table>:<column>:<metric_name>[:<run_id>]
+    Without a run_id the LATEST value (by run_ts) wins."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def write(self, table_name: str, metrics: dict[tuple[str, str], Any],
+              run_id: str | None = None) -> str:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        ts = int(time.time() * 1000)
+        rows = [
+            (run_id, ts, table_name, col, name, json.dumps(value, default=str))
+            for (col, name), value in metrics.items()
+        ]
+        self.spark.createDataFrame(rows, _STORE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+        return run_id
+
+    def _df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def get(self, table_name: str, column: str, metric_name: str,
+            run_id: str | None = None) -> Any:
+        d = self._df().where(
+            (F.col("table_name") == table_name)
+            & (F.col("column") == column)
+            & (F.col("metric_name") == metric_name)
+        )
+        if run_id is not None:
+            d = d.where(F.col("run_id") == run_id)
+        row = d.orderBy(F.desc("run_ts")).limit(1).collect()
+        if not row:
+            raise KeyError(
+                f"no stored metric {metric_name!r} for {table_name}.{column}"
+                + (f" run {run_id}" if run_id else "")
+            )
+        return json.loads(row[0]["value_json"])
+
+    def resolve_urn(self, urn: str) -> Any:
+        parts = urn.split(":")
+        if len(parts) not in (6, 7) or parts[:3] != ["urn", "gx", "metric"]:
+            raise ValueError(
+                f"bad metric URN {urn!r} "
+                "(want urn:gx:metric:<table>:<column>:<metric>[:<run_id>])"
+            )
+        return self.get(parts[3], parts[4], parts[5],
+                        parts[6] if len(parts) == 7 else None)
+
+
+# ---------------------------------------------------------------------------
+# profiler
+# ---------------------------------------------------------------------------
+
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                  "decimal", "long", "short")
+
+
+class Profiler:
+    """One profiling run = ONE fused scalar agg over the batch (count / mean /
+    stddev / min / max / approx distinct per column) + one histogram agg per
+    partitioned column; writes everything to the MetricStore so later runs
+    can drift-check against it (ref: profile/basic_dataset_profiler.py, scaled
+    to a fused plan instead of per-metric jobs)."""
+
+    def __init__(self, spark: SparkSession, store: MetricStore) -> None:
+        self.spark = spark
+        self.store = store
+
+    def profile(
+        self,
+        df: DataFrame,
+        table_name: str,
+        columns: list[str] | None = None,
+        partition_columns: list[str] | None = None,
+        bins: str = "uniform",
+        n_bins: int = 10,
+        run_id: str | None = None,
+    ) -> str:
+        cols = columns or [
+            f.name for f in df.schema.fields
+            if any(t in f.dataType.simpleString() for t in _NUMERIC_TYPES)
+        ]
+        exprs = [F.count(F.lit(1)).alias("__row_count")]
+        for col in cols:
+            c = F.col(col).cast("double")
+            exprs += [
+                F.count(F.col(col)).alias(f"{col}__nonnull"),
+                F.avg(c).alias(f"{col}__mean"),
+                F.stddev_samp(c).alias(f"{col}__stddev"),
+                F.min(c).alias(f"{col}__min"),
+                F.max(c).alias(f"{col}__max"),
+                F.approx_count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            ]
+        row = df.agg(*exprs).collect()[0]
+        metrics: dict[tuple[str, str], Any] = {
+            ("", "table.row_count"): int(row["__row_count"])
+        }
+        for col in cols:
+            for m, key in (
+                ("column_values.nonnull.count", f"{col}__nonnull"),
+                ("column.mean", f"{col}__mean"),
+                ("column.standard_deviation", f"{col}__stddev"),
+                ("column.min", f"{col}__min"),
+                ("column.max", f"{col}__max"),
+                ("column.distinct_values.count", f"{col}__distinct"),
+            ):
+                v = row[key]
+                metrics[(col, m)] = (
+                    int(v) if m.endswith("count") and v is not None
+                    else (float(v) if v is not None else None)
+                )
+        for col in partition_columns or []:
+            metrics[(col, "column.partition")] = build_continuous_partition_object(
+                df, col, bins=bins, n_bins=n_bins
+            )
+        return self.store.write(table_name, metrics, run_id)

@@ -41,13 +41,52 @@ class TableProvider:
         raise NotImplementedError
 
 
-class ParquetDirTableProvider(TableProvider):
-    def __init__(self, path: str, partition_column: str = "part_id") -> None:
+_READER_FORMATS = ("parquet", "csv", "json", "orc", "delta", "text")
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema: str | None = None,
+    **reader_options: Any,
+) -> DataFrame:
+    """Path-batch convenience (ref: sparkdf_execution_engine.py
+    #get_batch_data_and_markers — BatchSpec reader_method + reader_options):
+    `read_batch(spark, "x.csv", "csv", header=True, inferSchema=True)`.
+    Options pass straight through to the DataFrameReader, so predicate
+    pushdown / partition pruning behave exactly as with spark.read."""
+    if format not in _READER_FORMATS:
+        raise ValueError(f"unsupported format {format!r}; one of {_READER_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return reader.format(format).load(path)
+
+
+class FileTableProvider(TableProvider):
+    """Any spark.read format as a checkpointable table (csv/json/orc/parquet
+    + reader options); snapshot identity is the file-listing content hash."""
+
+    def __init__(
+        self,
+        path: str,
+        format: str = "parquet",
+        partition_column: str = "part_id",
+        schema: str | None = None,
+        **reader_options: Any,
+    ) -> None:
         self.path = path
+        self.format = format
         self.partition_column = partition_column
+        self.schema = schema
+        self.reader_options = reader_options
 
     def load(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return read_batch(spark, self.path, self.format, self.schema,
+                          **self.reader_options)
 
     def snapshot_id(self) -> str:
         """Content hash of the manifest listing — changes iff files change
@@ -73,6 +112,14 @@ class ParquetDirTableProvider(TableProvider):
             for r in self.load(spark).select(col).distinct().orderBy(col).collect()
         ]
         return [PartitionRef(int(v), f"{col} = {v}") for v in values]
+
+
+class ParquetDirTableProvider(FileTableProvider):
+    """Parquet-directory table (the original provider; kept as a named
+    subclass of the generalized FileTableProvider)."""
+
+    def __init__(self, path: str, partition_column: str = "part_id") -> None:
+        super().__init__(path, format="parquet", partition_column=partition_column)
 
 
 class IcebergTableProvider(TableProvider):

@@ -25,14 +25,28 @@ from .model import (
 from .registry import list_expectations
 
 
-def resolve_evaluation_parameters(kwargs: dict[str, Any], params: dict[str, Any]) -> dict[str, Any]:
+def resolve_evaluation_parameters(
+    kwargs: dict[str, Any], params: dict[str, Any], metric_store=None
+) -> dict[str, Any]:
+    """{"$PARAMETER": name} resolves from the parameter dict; a name of the
+    form urn:gx:metric:<table>:<column>:<metric>[:<run_id>] resolves from the
+    persistent MetricStore instead (the reference's URN indirection, ref:
+    core/evaluation_parameters.py — a stored profiling run becomes the drift
+    baseline for later validation runs)."""
     out = {}
     for k, v in kwargs.items():
         if isinstance(v, dict) and set(v.keys()) == {"$PARAMETER"}:
             name = v["$PARAMETER"]
-            if name not in params:
+            if isinstance(name, str) and name.startswith("urn:gx:metric:"):
+                if metric_store is None:
+                    raise KeyError(
+                        f"{name!r} needs a MetricStore (pass metric_store=)"
+                    )
+                out[k] = metric_store.resolve_urn(name)
+            elif name in params:
+                out[k] = params[name]
+            else:
                 raise KeyError(f"evaluation parameter {name!r} not provided")
-            out[k] = params[name]
         else:
             out[k] = v
     return out
@@ -47,6 +61,7 @@ class Validator:
         tables: dict[str, DataFrame] | None = None,
         evaluation_parameters: dict[str, Any] | None = None,
         suite_name: str = "interactive",
+        metric_store=None,
     ) -> None:
         self.spark = spark
         self.df = df
@@ -54,7 +69,13 @@ class Validator:
         self.tables = tables or {}
         self.evaluation_parameters = dict(evaluation_parameters or {})
         self.suite_name = suite_name
+        self.metric_store = metric_store
         self._configs: list[ExpectationConfiguration] = []
+
+    def head(self, n: int = 5) -> list[dict[str, Any]]:
+        """table.head metric (ref: table_metrics/table_head.py): first n rows
+        as dicts — a driver-side limit, never a full collect."""
+        return [r.asDict(recursive=True) for r in self.df.limit(n).collect()]
 
     def __getattr__(self, name: str) -> Any:
         if not name.startswith("expect_"):
@@ -63,7 +84,9 @@ class Validator:
             raise AttributeError(f"unknown expectation_type: {name!r}")
 
         def call(**kwargs: Any) -> ExpectationValidationResult:
-            resolved = resolve_evaluation_parameters(kwargs, self.evaluation_parameters)
+            resolved = resolve_evaluation_parameters(
+                kwargs, self.evaluation_parameters, self.metric_store
+            )
             cfg = ExpectationConfiguration(name, resolved)
             self._configs.append(cfg)
             suite = ExpectationSuite(self.suite_name, [cfg])

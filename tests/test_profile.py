@@ -1,0 +1,108 @@
+"""column.partition auto-binning + MetricStore + profile→store→drift
+round trip (VERDICT.md next-round item 5)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import (  # noqa: E402
+    EngineOptions,
+    ExpectationSuite,
+    MetricStore,
+    Profiler,
+    Validator,
+    build_categorical_partition_object,
+    build_continuous_partition_object,
+    validate,
+)
+
+
+def test_uniform_partition_object(spark):
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    po = build_continuous_partition_object(df, "v", bins="uniform", n_bins=4)
+    assert po["bins"] == [0.0, 24.75, 49.5, 74.25, 99.0]
+    assert len(po["weights"]) == 4
+    assert math.isclose(sum(po["weights"]), 1.0, rel_tol=1e-12)
+
+
+def test_quantile_partition_object_equal_mass(spark):
+    df = spark.range(10000).select((F.col("id") * F.col("id")).cast("double").alias("v"))
+    po = build_continuous_partition_object(df, "v", bins="quantile", n_bins=5)
+    assert len(po["bins"]) == 6
+    assert all(b1 < b2 for b1, b2 in zip(po["bins"], po["bins"][1:]))
+    for w in po["weights"]:
+        assert math.isclose(w, 0.2, abs_tol=0.01), po["weights"]
+
+
+def test_auto_partition_sturges(spark):
+    df = spark.range(1024).select(F.col("id").cast("double").alias("v"))
+    po = build_continuous_partition_object(df, "v", bins="auto")
+    assert len(po["bins"]) - 1 == 11  # ceil(log2(1024)) + 1
+
+
+def test_categorical_partition_object(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "v string"
+    )
+    po = build_categorical_partition_object(df, "v")
+    assert po["values"] == ["a", "b", "c"]
+    assert po["weights"] == [0.6, 0.3, 0.1]
+
+
+def test_metric_store_roundtrip_and_latest_wins(spark, tmp_path):
+    store = MetricStore(spark, str(tmp_path / "metrics"))
+    r1 = store.write("t", {("c", "column.mean"): 1.5})
+    r2 = store.write("t", {("c", "column.mean"): 2.5})
+    assert store.get("t", "c", "column.mean") == 2.5  # latest
+    assert store.get("t", "c", "column.mean", run_id=r1) == 1.5
+    assert store.resolve_urn(f"urn:gx:metric:t:c:column.mean:{r1}") == 1.5
+    with pytest.raises(KeyError):
+        store.get("t", "c", "no.such.metric")
+    with pytest.raises(ValueError):
+        store.resolve_urn("urn:wrong:shape")
+
+
+def test_profile_store_drift_roundtrip(spark, tmp_path):
+    # baseline batch ~ N(0, 1) surrogate; drifted batch shifted by +30
+    base = spark.range(5000).select(((F.col("id") % 100)).cast("double").alias("v"))
+    drifted = base.select((F.col("v") + 30.0).alias("v"))
+    store = MetricStore(spark, str(tmp_path / "metrics"))
+    run_id = Profiler(spark, store).profile(
+        base, "tbl", columns=["v"], partition_columns=["v"], n_bins=5
+    )
+    assert store.get("tbl", "", "table.row_count") == 5000
+    assert store.get("tbl", "v", "column.mean") == 49.5
+
+    # same-distribution batch passes, drifted batch fails, via URN indirection
+    v = Validator(spark, base, EngineOptions(collect_violations=False),
+                  metric_store=store)
+    r_ok = v.expect_column_kl_divergence_to_be_less_than(
+        column="v",
+        partition_object={"$PARAMETER": "urn:gx:metric:tbl:v:column.partition"},
+        threshold=0.05, tail_weight_holdout=0.01,
+    )
+    assert r_ok.success, r_ok.result
+
+    v2 = Validator(spark, drifted, EngineOptions(collect_violations=False),
+                   metric_store=store)
+    r_bad = v2.expect_column_kl_divergence_to_be_less_than(
+        column="v",
+        partition_object={"$PARAMETER": "urn:gx:metric:tbl:v:column.partition"},
+        threshold=0.05, tail_weight_holdout=0.01,
+    )
+    assert not r_bad.success
+
+
+def test_validator_head(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "i int, s string")
+    v = Validator(spark, df)
+    h = v.head(2)
+    assert h == [{"i": 1, "s": "a"}, {"i": 2, "s": "b"}]

@@ -65,6 +65,63 @@ def test_sketch_median_and_proportion(spark, big_df):
     assert abs(prop - 0.4) < 0.02
 
 
+def test_cms_most_common_value(spark):
+    # skewed: 'hot' is 40% of rows; CMS + freqItems must find it
+    df = spark.range(20_000).selectExpr(
+        "CASE WHEN id % 5 < 2 THEN 'hot' ELSE concat('cold_', id % 500) END AS v"
+    )
+    exact = _observed(spark, df, "expect_column_most_common_value_to_be_in_set",
+                      "exact", column="v", value_set=["hot"])
+    sketch = _observed(spark, df, "expect_column_most_common_value_to_be_in_set",
+                       "sketch", column="v", value_set=["hot"])
+    assert exact == ["hot"]
+    assert sketch == ["hot"]
+
+
+def test_cms_categorical_kl_close_to_exact(spark):
+    df = spark.range(30_000).selectExpr(
+        "CASE WHEN id % 10 < 5 THEN 'a' WHEN id % 10 < 8 THEN 'b' ELSE 'c' END AS v"
+    )
+    po = {"values": ["a", "b", "c"], "weights": [0.5, 0.3, 0.2]}
+    exact = _observed(spark, df, "expect_column_kl_divergence_to_be_less_than",
+                      "exact", column="v", partition_object=po, threshold=0.1)
+    sketch = _observed(spark, df, "expect_column_kl_divergence_to_be_less_than",
+                       "sketch", column="v", partition_object=po, threshold=0.1)
+    assert abs(exact) < 1e-9  # distribution matches the partition exactly
+    assert abs(sketch - exact) < 0.01, (sketch, exact)
+
+
+def test_sketch_distinct_set_exact_verdicts_bounded_state(spark):
+    # high-cardinality column: sketch mode must not collect_set 50k values
+    df = spark.range(50_000).selectExpr(
+        "CASE WHEN id < 49998 THEN concat('v', id) ELSE 'known' END AS v"
+    )
+    small = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    for mode in ("exact", "sketch"):
+        b = validate(
+            spark, small,
+            ExpectationSuite("s")
+            .add("expect_column_distinct_values_to_be_in_set", column="v",
+                 value_set=["a", "b", "c"])
+            .add("expect_column_distinct_values_to_contain_set", column="v",
+                 value_set=["a", "b"])
+            .add("expect_column_distinct_values_to_equal_set", column="v",
+                 value_set=["a", "b"]),
+            EngineOptions(mode=mode, collect_violations=False),
+        )
+        assert [r.success for r in b.suite_result.results] == [True, True, True], mode
+    # subset violation detected in sketch mode on the big column
+    b = validate(
+        spark, df,
+        ExpectationSuite("s").add("expect_column_distinct_values_to_be_in_set",
+                                  column="v", value_set=["known"]),
+        EngineOptions(mode="sketch", collect_violations=False),
+    )
+    r = b.suite_result.results[0]
+    assert not r.success
+    assert r.result["observed_value"]["out_of_set_count"] == 49_998
+
+
 def test_exact_and_sketch_modes_agree_on_suite_verdicts(spark, big_df):
     suite = (
         ExpectationSuite("dual")
