@@ -143,7 +143,15 @@ def main() -> None:
         q = [float(x) for x in emb.where(F.col("vec_id") == 0)
              .select("embedding").first()[0]]
         ops.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()
-        ops.ann_topk_lsh(emb, "vec_id", "embedding", q, 10).collect()
+        # at-scale ANN shape: one ingest-side index build (amortized across
+        # queries), then probes against the stored bucket columns
+        idx = ops.build_ann_index(emb, "vec_id", "embedding").persist()
+        idx.count()
+        ops.ann_query(idx, q, 10).collect()
+        q2 = [float(x) for x in emb.where(F.col("vec_id") == 1)
+              .select("embedding").first()[0]]
+        ops.ann_query(idx, q2, 10).collect()
+        idx.unpersist()
 
     audio_df = spark.read.parquet(audio_path)
     # Decode tasks each pair an executor thread with a python worker; this

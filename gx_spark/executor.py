@@ -192,10 +192,17 @@ class ValidationRun:
         ctx = MetricContext(df, self.options, self.tables)
         finalizers: list[tuple[ExpectationConfiguration, Any]] = []
         max_rf = "BOOLEAN_ONLY"
+        from .row_conditions import normalize_row_condition
+
         for i, cfg in enumerate(self.suite.expectations):
             try:
                 handler = get_expectation(cfg.expectation_type)
-                fin = handler.plan(ctx, cfg, i)
+                # GE mini-DSL row_conditions translate to Spark SQL up front
+                nk = normalize_row_condition(cfg.kwargs)
+                plan_cfg = cfg if nk is cfg.kwargs else ExpectationConfiguration(
+                    cfg.expectation_type, nk, cfg.meta
+                )
+                fin = handler.plan(ctx, plan_cfg, i)
                 finalizers.append((cfg, fin))
                 rf = cfg.kwargs.get("result_format", self.options.result_format)
                 if isinstance(rf, dict):
@@ -262,7 +269,9 @@ class ValidationRun:
             try:
                 if isinstance(verr, BaseException):
                     raise verr
-                results.append(fin(bag))
+                evr = fin(bag)
+                evr.expectation_config = cfg  # report the ORIGINAL config
+                results.append(evr)
             except Exception as exc:
                 if cfg.kwargs.get("catch_exceptions", True) is False:
                     raise

@@ -226,6 +226,92 @@ def embedding_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket"))
 
 
+def _stacked_planes(dim: int, n_planes: int, seed: int, n_tables: int) -> np.ndarray:
+    """(n_tables * n_planes, dim) hyperplane matrix, table-major."""
+    return np.vstack([
+        lsh_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ])
+
+
+def build_ann_index(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_planes: int = 8, seed: int = 42, n_tables: int = 12,
+) -> DataFrame:
+    """Precompute the multi-table LSH bucket ids: (id, vec, b0..b{T-1}).
+
+    This is the INGEST-side half of ANN at scale: one map-side projection
+    over the corpus, stored (parquet/cache, optionally partitioned by a
+    bucket column) so each query only probes precomputed longs instead of
+    re-hashing 10^9 vectors.  Pair with ann_query().
+
+    The n_tables*n_planes hyperplane projections run as ONE Arrow-batched
+    pandas UDF doing a single BLAS matmul per batch — array higher-order
+    functions stay interpreted (no codegen), so at 96 projections the
+    vectorized numpy path is the fast one."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(df.select(vec_col).first()[0])
+    P = _stacked_planes(dim, n_planes, seed, n_tables)  # (T*p, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs):
+        import numpy as _np
+
+        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        signs = (M @ P.T) >= 0  # (n, T*p)
+        bits = signs.reshape(len(M), -1, len(weights))  # (n, T, p)
+        ids = (bits * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(ids))
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"),
+                     buckets(F.col(vec_col)).alias("bk"))
+    return base.select(
+        "id", "vec",
+        *[F.element_at("bk", t + 1).alias(f"b{t}") for t in range(n_tables)],
+    )
+
+
+def _query_probe_sets(
+    query: list[float], n_planes: int, seed: int, n_tables: int, hamming_probe: int
+) -> list[list[int]]:
+    qv = np.asarray(query, dtype=float)
+    out = []
+    for t in range(n_tables):
+        planes = lsh_hyperplanes(len(query), n_planes, seed + 1000 * t)
+        qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+        probe = {qbucket}
+        frontier = {qbucket}
+        for _ in range(hamming_probe):
+            frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+            probe |= frontier
+        out.append(sorted(probe))
+    return out
+
+
+def ann_query(
+    index_df: DataFrame, query: list[float], k: int = 10,
+    n_planes: int = 8, seed: int = 42, n_tables: int = 12,
+    hamming_probe: int = 2,
+) -> DataFrame:
+    """Query a build_ann_index() table: candidates = rows whose precomputed
+    bucket collides with the query in ANY table (multi-probe within each) —
+    a pure isin filter on stored longs, then cosine over the survivors."""
+    probes = _query_probe_sets(query, n_planes, seed, n_tables, hamming_probe)
+    cond = F.lit(False)
+    for t, probe in enumerate(probes):
+        cond = cond | F.col(f"b{t}").isin(probe)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        index_df.filter(cond)
+        .select("id", cosine_similarity(F.col("vec"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame, id_col: str, vec_col: str, query: list[float],
     k: int = 10, n_planes: int = 8, seed: int = 42,
@@ -241,39 +327,12 @@ def ann_topk_lsh(
     repairs it (measured on the near-uniform testdata embeddings — the
     hardest case for LSH — defaults reach recall 0.9-1.0 vs brute force).
 
-    All bucket computations are map-side column expressions folded into ONE
-    predicate over the scan — no shuffle, no join; only the surviving
-    candidates reach the TakeOrdered(k).  At 10^9-vector scale the bucket
-    ids are precomputed once at ingest (embedding_lsh_buckets) and stored as
-    table columns (or bucketed partitioning), so a query probes stored
-    buckets instead of re-hashing the scan."""
-    dim = len(query)
-    qv = np.asarray(query, dtype=float)
-    v = F.col(vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query])
-    cond = F.lit(False)
-    for t in range(n_tables):
-        planes = lsh_hyperplanes(dim, n_planes, seed + 1000 * t)
-        bits = [
-            F.when(
-                _dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
-            ).otherwise(F.lit(0)).cast("long")
-            for plane in planes
-        ]
-        bucket = sum(b * F.lit(1 << i) for i, b in enumerate(bits))
-        qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
-        probe = {qbucket}
-        frontier = {qbucket}
-        for _ in range(hamming_probe):
-            frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
-            probe |= frontier
-        cond = cond | bucket.isin(sorted(probe))
-    cand = df.filter(cond).select(F.col(id_col).alias("id"), v.alias("vec"))
-    return (
-        cand.select("id", cosine_similarity(F.col("vec"), q).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("id"))
-        .limit(k)
-    )
+    One-shot convenience: build_ann_index + ann_query composed inline (the
+    bucket expressions are map-side, computed once in the projection).  For
+    repeated queries at 10^9-vector scale, materialize build_ann_index()
+    once and serve every query from the stored bucket columns."""
+    index = build_ann_index(df, id_col, vec_col, n_planes, seed, n_tables)
+    return ann_query(index, query, k, n_planes, seed, n_tables, hamming_probe)
 
 
 # ---------------------------------------------------------------------------
