@@ -327,6 +327,85 @@ def q_ann_lsh_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
 
 
+def q_word_jaccard_documents(spark, sf_dir):
+    # EXACT word-set Jaccard pairs via inverted-index join (ops.py) — the
+    # verification baseline for the minhash/LSH near-dup path
+    docs = _load(spark, sf_dir, "documents")
+    out = ops.word_jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_cosine_near_dups_embeddings(spark, sf_dir):
+    # exact-mode all-pairs cosine near-dups (bounded verification slice);
+    # the LSH mode is covered by the recall pytest (tests/test_ops2.py)
+    emb = _load(spark, sf_dir, "embeddings")
+    out = ops.cosine_near_dup_pairs(emb, "vec_id", "embedding",
+                                    threshold=0.4, mode="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_chisquare_mktsegment(spark, sf_dir):
+    # chi-square GoF statistic of c_mktsegment against a uniform 5-way
+    # partition, computed by the engine's fused stage-1 conditional sums
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    r = _evr(
+        spark, _load(spark, sf_dir, "customer"),
+        ExpectationSuite("q").add(
+            "expect_column_chisquare_test_p_value_to_be_greater_than",
+            column="c_mktsegment",
+            partition_object={"values": segs, "weights": [0.2] * 5},
+            p=1e-9,
+        ),
+    )
+    d = r[0].result["details"]
+    return _row(spark, "chi2_stat double, dof long",
+                [round(float(d["chi_squared"]), 6), int(d["dof"])])
+
+
+def q_ks_stat_uniform_quantity(spark, sf_dir):
+    """Exact one-sample KS statistic of l_quantity vs Uniform[1, 50]
+    (ECDF via a window rank — the exact baseline; the engine expectation
+    estimates the same statistic from a fused percentile_approx grid, and
+    the two are cross-checked here within 1/m + sketch error)."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
+    w = Window.orderBy("l_quantity")
+    s = li.select(
+        F.col("l_quantity").alias("x"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("n"),
+    )
+    cdf = F.least(F.greatest((F.col("x") - 1.0) / 49.0, F.lit(0.0)), F.lit(1.0))
+    d_exact = s.agg(
+        F.round(
+            F.max(
+                F.greatest(
+                    F.col("rn") / F.col("n") - cdf,
+                    cdf - (F.col("rn") - 1) / F.col("n"),
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    )
+    # engine cross-check: grid estimate within 1/m of the exact statistic
+    r = _evr(
+        spark, _load(spark, sf_dir, "lineitem"),
+        ExpectationSuite("q").add(
+            "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+            column="l_quantity", distribution="uniform",
+            params={"min": 1.0, "max": 50.0}, p_value=1e-12,
+        ),
+    )
+    est = r[0].result["details"]["ks_statistic"]
+    exact = float(d_exact.first()["ks_stat"])
+    if abs(est - exact) > 1.0 / 1024 + 2e-3:
+        raise AssertionError(f"KS grid estimate {est} vs exact {exact}")
+    return d_exact
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -389,6 +468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "word_jaccard_documents": q_word_jaccard_documents,
+        "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+        "chisquare_mktsegment": q_chisquare_mktsegment,
+        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
     }
 
 
@@ -566,6 +649,41 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) / "
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
+        ),
+        "word_jaccard_documents": (
+            "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int "
+            "FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, ROUND(n_int * 1.0 / (sa.n + sb.n - n_int), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE n_int * 1.0 / (sa.n + sb.n - n_int) >= 0.9"
+        ),
+        "cosine_near_dups_embeddings": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))) AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4"
+        ),
+        "chisquare_mktsegment": (
+            "WITH oc AS (SELECT c_mktsegment AS v, count(*) AS c "
+            "FROM customer GROUP BY 1), "
+            "t AS (SELECT SUM(c) AS n FROM oc) "
+            "SELECT ROUND(SUM((c - n * 0.2) * (c - n * 0.2) / (n * 0.2)), 6) "
+            "AS chi2_stat, CAST(4 AS BIGINT) AS dof FROM oc, t"
+        ),
+        "ks_stat_uniform_quantity": (
+            "WITH s AS (SELECT l_quantity AS x, "
+            "row_number() OVER (ORDER BY l_quantity) AS rn, "
+            "count(*) OVER () AS n FROM lineitem WHERE l_quantity IS NOT NULL) "
+            "SELECT ROUND(MAX(GREATEST(rn * 1.0 / n - LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0), "
+            "LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0) - (rn - 1.0) / n)), 6) AS ks_stat FROM s"
         ),
         # minhash_near_dups, simhash_documents, ann_lsh_embeddings:
         # intentionally omitted → driver records rows-only checks

@@ -45,6 +45,7 @@ from .expectations import (  # noqa: F401
     drift_exp,
     multicolumn,
     referential,
+    stat_tests,
     table,
 )
 

@@ -186,3 +186,8 @@ class EngineOptions:
     cms_eps: float = 0.001
     cms_confidence: float = 0.99
     cms_seed: int = 42
+    # KS quantile-grid resolution (parameterized KS test): the statistic is
+    # estimated from an m-point percentile_approx grid folded into the fused
+    # agg, error <= 1/m + sketch accuracy (stat_tests.py)
+    ks_resolution: int = 1024
+    bootstrap_seed: int = 42

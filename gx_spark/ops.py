@@ -67,12 +67,14 @@ def minhash_signatures(
     All map-side (no shuffle): shingling, hashing and the per-seed minimum run
     inside one WholeStageCodegen projection over the documents scan."""
     sh = _word_shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(x, F.lit(s))))
-            for s in range(n_hashes)
-        ]
-    )
+
+    # NB: the per-seed hash lambda MUST be unary — pyspark passes the element
+    # INDEX as the second argument to 2-arg higher-order-function lambdas,
+    # which would silently replace the seed with the array position
+    def seed_min(s: int) -> Column:
+        return F.array_min(F.transform(sh, lambda x: F.xxhash64(x, F.lit(s))))
+
+    sig = F.array(*[seed_min(s) for s in range(n_hashes)])
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -147,6 +149,79 @@ def minhash_jaccard(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def _distinct_words(text_col: Column) -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != "")
+    )
+
+
+def word_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT word-set Jaccard near-dup pairs via an inverted-index join.
+
+    Shape: tokenize-distinct map-side → explode (doc, word) → self-join on
+    the word (docs sharing no word never meet — this is a token-postings
+    join, NOT a cross join) → per-pair intersection counts → Jaccard from
+    |A∩B| and the per-doc distinct-token counts.  The shuffle key is the
+    word; pair rows only materialize for co-occurring docs.  At 100 TB the
+    frequent-token postings dominate — use the minhash/LSH path there and
+    this exact op for verification slices and oracle checks."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _distinct_words(F.col(text_col)).alias("ws")
+    )
+    sizes = toks.select("id", F.size("ws").alias("n"))
+    posting = toks.select("id", F.explode("ws").alias("w"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
+             ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_verified_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.5, n_hashes: int = 32, bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates, then EXACT word-set Jaccard on
+    just those candidates (array_intersect on the two token arrays, map-side
+    after the pair join).  Precision is exact; recall is the LSH band
+    probability 1-(1-t^r)^b — the 100 TB shape: the quadratic comparison
+    never materializes, and the verify touches candidate pairs only."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k=1, n_hashes=n_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    toks = df.select(
+        F.col(id_col).alias("id"), _distinct_words(F.col(text_col)).alias("ws")
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    n_int = F.size(F.array_intersect("ws_a", "ws_b"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (n_int / (F.size("ws_a") + F.size("ws_b") - n_int)).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document — fully map-side.
 
@@ -202,6 +277,75 @@ def cosine_topk(
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.9, mode: str = "lsh",
+    n_planes: int = 8, n_tables: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine(a, b) >= threshold.
+
+    mode="exact": all-pairs self-join (id_a < id_b) with the exact cosine —
+    O(n²), the verification/oracle baseline for bounded slices.
+    mode="lsh": multi-table random-hyperplane buckets; only vectors sharing
+    a bucket in ANY table are compared (the shuffle key is (table, bucket),
+    the pair blow-up is per-bucket) and every surviving pair is exact-cosine
+    verified, so precision is exact and recall is the OR-amplified
+    sign-agreement probability — the 100 TB shape."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(_dot(v, v))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    )
+    if mode == "exact":
+        a = base.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        first = df.select(vec_col).first()
+        if first is None:
+            return base.limit(0).select(
+                F.col("id").alias("id_a"), F.col("id").alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            )
+        dim = len(first[0])
+        planes = _stacked_planes(dim, n_planes, seed, n_tables)
+        bucketed = []
+        for t in range(n_tables):
+            sub = planes[t * n_planes:(t + 1) * n_planes]
+            bits = [
+                F.when(
+                    _dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in plane])) >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
+                for plane in sub
+            ]
+            bucket = sum(b * F.lit(1 << i) for i, b in enumerate(bits))
+            bucketed.append(
+                base.select("id", "nv", F.lit(t).alias("tbl"), bucket.alias("bucket"))
+            )
+        allb = bucketed[0]
+        for other in bucketed[1:]:
+            allb = allb.unionByName(other)
+        a = allb.alias("a")
+        b = allb.alias("b")
+        pairs = (
+            a.join(b, ["tbl", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("a.nv").alias("nv_a"),
+                F.col("b.id").alias("id_b"), F.col("b.nv").alias("nv_b"),
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    out = pairs.select(
+        "id_a", "id_b", _dot(F.col("nv_a"), F.col("nv_b")).alias("cosine")
+    )
+    return out.filter(F.col("cosine") >= threshold)
 
 
 def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
