@@ -62,20 +62,30 @@ def _word_shingles(text_col: Column, k: int) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, n_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per document: shingle → per-seed xxhash64 → array_min.
+    """MinHash signature per document: shingle → per-seed xxhash64 → min.
 
-    All map-side (no shuffle): shingling, hashing and the per-seed minimum run
-    inside one WholeStageCodegen projection over the documents scan."""
+    Shape: explode shingles, project the n_hashes seeded xxhash64 columns
+    (JVM codegen natives), then groupBy(id) with n_hashes `min` aggregates.
+    The explode multiplies rows ×shingles, but partial aggregation collapses
+    them map-side, so the shuffle carries ONE row of n_hashes longs per
+    document.  An all-HOF formulation (array_min ∘ transform per seed) looks
+    shuffle-free but runs ~70× slower: Spark evaluates higher-order
+    functions interpreted (no whole-stage codegen) and re-inlines the
+    shingle-construction expression into every seed's lambda.  Null-text
+    rows are dropped (no shingles → no meaningful signature)."""
     sh = _word_shingles(F.col(text_col), shingle_k)
-
-    # NB: the per-seed hash lambda MUST be unary — pyspark passes the element
-    # INDEX as the second argument to 2-arg higher-order-function lambdas,
-    # which would silently replace the seed with the array position
-    def seed_min(s: int) -> Column:
-        return F.array_min(F.transform(sh, lambda x: F.xxhash64(x, F.lit(s))))
-
-    sig = F.array(*[seed_min(s) for s in range(n_hashes)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    exploded = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    )
+    hashed = exploded.select(
+        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
