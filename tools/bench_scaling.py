@@ -139,8 +139,13 @@ def main() -> None:
     # oversubscription no real cluster would configure.
     primary = measure_pair(1, 4, table, zpath, low_repeats=1, high_repeats=2)
     secondary = measure_pair(2, 8, table, zpath, low_repeats=1, high_repeats=2)
+    # the driver's literal example span: local[8] -> local[32].  On this box
+    # that is 16 -> 64 hot processes on 16 physical cores, so the meaningful
+    # number is efficiency vs the measured hardware ceiling, not vs 4x.
+    tertiary = measure_pair(8, 32, table, zpath, low_repeats=2, high_repeats=2)
     result = {"table": table, "target": 0.8,
               "primary": primary, "secondary": secondary,
+              "tertiary": tertiary,
               "meets_target": primary["scaling_efficiency"] >= 0.8}
     print(json.dumps(result, indent=1))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -151,6 +156,7 @@ def main() -> None:
 
 def write_baseline_md(r: dict) -> None:
     p, s = r["primary"], r["secondary"]
+    t = r.get("tertiary")
 
     def row(m):
         return (
@@ -181,6 +187,7 @@ evidenced at two local parallelism levels on the same input
 |---|---|---|---|---|---|---|
 {row(p)}
 {row(s)}
+{row(t) if t else ''}
 
 **Primary scaling efficiency ({p['low_cores']} -> {p['high_cores']} cores):
 {p['scaling_efficiency']}** (target >= {r['target']}:
@@ -225,7 +232,9 @@ map-side) is what makes throughput scale with executors at all.
 The reference publishes no benchmark numbers (upstream ships only a
 pytest-benchmark timing harness with no committed figures; the reference
 mount was empty at survey time — see BASELINE.md).  The numbers above are
-therefore the round-1 baseline for future rounds to beat.
+the current round's measurement; BENCH_r1 recorded 2,023 clips/s at
+local[32] before the single-decode fix — the per-round BENCH_r{{N}}.json
+series is the cross-round comparison.
 
 Reproduce: `python tools/bench_scaling.py` (regenerates this file).
 Per-round driver bench: `python bench.py` (BENCH_r{{N}}.json).
