@@ -127,6 +127,17 @@ def main() -> None:
         ops.exact_dedup_stats(docs, ["text"]).collect()
         ops.minhash_jaccard(docs, "doc_id", "text", threshold=0.2).count()
 
+    @bench("near_dup_pairs")
+    def _():
+        docs = load("documents")
+        # the 100 TB near-dup shape: LSH candidates -> exact-Jaccard verify
+        ops.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8).count()
+        # exact inverted-index Jaccard as the bounded verification baseline
+        ops.word_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count()
+        # embedding near-dup pairs: multi-table LSH buckets + exact verify
+        ops.cosine_near_dup_pairs(load("embeddings"), "vec_id", "embedding",
+                                  threshold=0.4, mode="lsh").count()
+
     @bench("documents_text_analysis")
     def _():
         docs = load("documents")

@@ -69,6 +69,14 @@ def _observation_values(obs: Any, ctx: MetricContext) -> dict[str, Any]:
         jrow = obs._jo.getRow()
         return {k: jrow.apply(i) for i, k in enumerate(keys)}
     except Exception:
+        import warnings
+
+        warnings.warn(
+            "Observation metrics unreadable via both the public and the "
+            "positional JVM path; recomputing with a direct aggregation — "
+            "this re-scans the batch (and re-runs any derived-column UDFs)",
+            RuntimeWarning,
+        )
         row = ctx.base_df().agg(
             *[b().alias(k) for k, b in ctx._observe.items()]
         ).collect()[0]

@@ -10,6 +10,7 @@ startup so the number reflects steady-state throughput, not JVM boot."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,13 @@ def main() -> None:
 
     df = spark.read.parquet(table_path)
     n = df.count()  # also warms the scan/footer caches
+
+    # decode tasks pair an executor thread with a python worker; above the
+    # physical-core count that oversubscribes (see bench.py).  Opt-in cap:
+    # GX_AUDIO_TASKS=<k> coalesces the decode pass to k concurrent tasks.
+    cap = int(os.environ.get("GX_AUDIO_TASKS", "0"))
+    if cap and cores > cap:
+        df = df.coalesce(cap)
 
     t0 = time.time()
     bundle = validate(
