@@ -168,37 +168,50 @@ def _distinct_words(text_col: Column) -> Column:
 def word_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """EXACT word-set Jaccard near-dup pairs via an inverted-index join.
+    """EXACT word-set Jaccard near-dup pairs via prefix-filtered token join
+    (the AllPairs/PPJoin bound, published: Bayardo et al. WWW'07).
 
-    Shape: tokenize-distinct map-side → explode (doc, word) → self-join on
-    the word (docs sharing no word never meet — this is a token-postings
-    join, NOT a cross join) → per-pair intersection counts → Jaccard from
-    |A∩B| and the per-doc distinct-token counts.  The shuffle key is the
-    word; pair rows only materialize for co-occurring docs.  At 100 TB the
-    frequent-token postings dominate — use the minhash/LSH path there and
-    this exact op for verification slices and oracle checks."""
+    A naive inverted-index self-join explodes on frequent tokens (every
+    stopword's posting list is quadratic).  Prefix filtering keeps it
+    exact while pruning: order each doc's tokens by ascending global
+    document-frequency; if J(A,B) >= t, A and B must share a token within
+    their first |d| - ceil(t*|d|) + 1 tokens (else the overlap bound
+    fails), so candidate pairs are generated from the RARE-token postings
+    only, then verified with an exact array_intersect.  Shuffles: token
+    doc-frequency (combine map-side), per-doc window rank, candidate join
+    on the prefix token, two hash joins for the verify arrays — all keyed,
+    no cross join, frequent tokens never pair."""
     toks = df.select(
         F.col(id_col).alias("id"), _distinct_words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") > 0)
+    posting = toks.select("id", F.size("ws").alias("n"), F.explode("ws").alias("w"))
+    dfreq = posting.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
+    ranked = posting.join(dfreq, "w").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("df_w"), F.asc("w"))
+        ),
     )
-    sizes = toks.select("id", F.size("ws").alias("n"))
-    posting = toks.select("id", F.explode("ws").alias("w"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select("id", "w")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, "w")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_int"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    n_int = F.size(F.array_intersect("ws_a", "ws_b"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
         .select(
             "id_a", "id_b",
-            (F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
-             ).alias("jaccard"),
+            (n_int / (F.size("ws_a") + F.size("ws_b") - n_int)).alias("jaccard"),
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
