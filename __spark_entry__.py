@@ -327,6 +327,17 @@ def q_ann_lsh_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivf_embeddings(spark, sf_dir):
+    # rows-only: IVF coarse-quantizer ANN (k-means centroids not
+    # reproducible in ANSI SQL); exactness at nprobe=n_centroids and
+    # partial-probe recall are pinned by tests/test_ivf.py
+    emb = _load(spark, sf_dir, "embeddings")
+    out = ops.ann_topk_ivf(emb, "vec_id", "embedding",
+                           _query_vec(spark, sf_dir), k=10,
+                           n_centroids=16, nprobe=8)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+
+
 def q_word_jaccard_documents(spark, sf_dir):
     # EXACT word-set Jaccard pairs via inverted-index join (ops.py) — the
     # verification baseline for the minhash/LSH near-dup path
@@ -468,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "word_jaccard_documents": q_word_jaccard_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "chisquare_mktsegment": q_chisquare_mktsegment,
@@ -685,7 +697,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(MAX(GREATEST(rn * 1.0 / n - LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0), "
             "LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0) - (rn - 1.0) / n)), 6) AS ks_stat FROM s"
         ),
-        # minhash_near_dups, simhash_documents, ann_lsh_embeddings:
-        # intentionally omitted → driver records rows-only checks
-        # (LSH/xxhash64 seeds are not reproducible in ANSI SQL)
+        # minhash_near_dups, simhash_documents, ann_lsh_embeddings,
+        # ann_ivf_embeddings: intentionally omitted → driver records
+        # rows-only checks (LSH/xxhash64/k-means seeds not reproducible in
+        # ANSI SQL; IVF exactness pinned by tests/test_ivf.py instead)
     }

@@ -502,6 +502,96 @@ def ann_topk_lsh(
     return ann_query(index, query, k, n_planes, seed, n_tables, hamming_probe)
 
 
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 64,
+    sample_cap: int = 20_000, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for an IVF index: Lloyd iterations
+    over a bounded uniform sample, driver-side numpy (one (m, k) matmul per
+    iteration).  The sample cap keeps driver memory constant at any corpus
+    size; quantizer quality depends on sample coverage, not corpus size.
+    Returns L2-normalized centroids, shape (n_centroids, dim)."""
+    rows = (
+        df.select(vec_col).filter(F.col(vec_col).isNotNull())
+        .limit(sample_cap).collect()
+    )
+    if not rows:
+        raise ValueError("no vectors to train on")
+    M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(M))
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (M @ C.T).argmax(axis=1)  # cosine == dot on unit vectors
+        for c in range(k):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def build_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """IVF ingest half: tag every vector with its nearest-centroid cell in
+    one map-side Arrow pass (a single (batch, dim) @ (dim, k) BLAS matmul
+    per batch).  Returns (id, vec normalized, cell).  At scale, WRITE this
+    partitioned by `cell` — ivf_query's cell filter then becomes partition
+    pruning and a query touches nprobe/k of the corpus files."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("struct<cell: int, nv: array<double>>")
+    def assign(vecs):
+        import numpy as _np
+
+        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        M /= _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        cells = (M @ C.T).argmax(axis=1).astype("int32")
+        return pd.DataFrame({"cell": cells, "nv": list(M)})
+
+    out = df.select(
+        F.col(id_col).alias("id"), assign(F.col(vec_col)).alias("a")
+    )
+    return out.select("id", F.col("a.nv").alias("vec"), F.col("a.cell").alias("cell"))
+
+
+def ivf_query(
+    index: DataFrame, centroids: np.ndarray, query: list[float],
+    k: int = 10, nprobe: int = 8,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid similarity to the query driver-side,
+    scan only the nprobe best cells, exact cosine + top-k inside them.
+    Recall is the probability the true neighbors' cells rank in the top
+    nprobe — tune nprobe/n_centroids; nprobe == n_centroids is exact."""
+    q = np.asarray(query, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    C = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(C @ q))[:nprobe]
+    cells = [int(c) for c in order]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = index.filter(F.col("cell").isin(cells)).select(
+        "id", _dot(F.col("vec"), qcol).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def ann_topk_ivf(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float],
+    k: int = 10, n_centroids: int = 64, nprobe: int = 8, seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF convenience: train quantizer → assign cells → probe.
+    For repeated queries, materialize build_ivf_index() (partitioned by
+    cell) and reuse the centroids."""
+    C = train_ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    index = build_ivf_index(df, id_col, vec_col, C)
+    return ivf_query(index, C, query, k, nprobe)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
