@@ -54,10 +54,12 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary-scan tuning, measured in-sandbox (see tools/bench_scaling.py)
+        # binary-scan tuning, measured in-sandbox (see tools/bench_scaling.py);
+        # the SQL confs below are re-set per section at runtime — 128-row
+        # columnar batches protect the multi-MB binary scans but tax the
+        # narrow TPC-H/documents scans, so those run at the 4096 default
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
         .getOrCreate()
     )
@@ -167,6 +169,8 @@ def main() -> None:
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
 
+    # binary-column scan: small columnar batches (multi-MB byte[] rows)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     audio_df = spark.read.parquet(audio_path)
     # Decode tasks each pair an executor thread with a python worker; this
     # box has 16 physical cores behind 32 SMT threads, so concurrency above
