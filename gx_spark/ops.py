@@ -293,11 +293,25 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k — the exact baseline.  The scan is map-side;
     only (id, score) pairs reach the TakeOrdered, so at 10^9 vectors the
-    shuffle is k rows per partition."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    shuffle is k rows per partition.  Scoring is one numpy matvec per Arrow
+    batch (array `aggregate` expressions run interpreted — the BLAS path is
+    ~10x faster at embedding dims)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-300)
+
+    @pandas_udf("double")
+    def score(vecs):
+        import numpy as _np
+
+        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        norms = _np.maximum(_np.linalg.norm(M, axis=1), 1e-300)
+        return pd.Series((M @ qn) / norms)
+
     scored = df.select(
-        F.col(id_col).alias("id"),
-        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        F.col(id_col).alias("id"), score(F.col(vec_col)).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
@@ -333,36 +347,32 @@ def cosine_near_dup_pairs(
                 F.col("id").alias("id_a"), F.col("id").alias("id_b"),
                 F.lit(0.0).alias("cosine"),
             )
-        dim = len(first[0])
-        planes = _stacked_planes(dim, n_planes, seed, n_tables)
-        bucketed = []
-        for t in range(n_tables):
-            sub = planes[t * n_planes:(t + 1) * n_planes]
-            bits = [
-                F.when(
-                    _dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in plane])) >= 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0)).cast("long")
-                for plane in sub
-            ]
-            bucket = sum(b * F.lit(1 << i) for i, b in enumerate(bits))
-            bucketed.append(
-                base.select("id", "nv", F.lit(t).alias("tbl"), bucket.alias("bucket"))
-            )
-        allb = bucketed[0]
-        for other in bucketed[1:]:
-            allb = allb.unionByName(other)
-        a = allb.alias("a")
-        b = allb.alias("b")
-        pairs = (
+        # all n_tables*n_planes projections in ONE numpy matmul per Arrow
+        # batch (build_ann_index) — per-plane `aggregate` expressions run
+        # interpreted and are ~10x slower at 96 projections
+        idx = build_ann_index(df, id_col, vec_col, n_planes, seed, n_tables)
+        banded = idx.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ])
+            ).alias("tb"),
+        ).select("id", "tb.tbl", "tb.bucket")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        # dedup on the 16-byte id pair BEFORE rehydrating vectors — the
+        # distinct must never shuffle the embedding arrays themselves
+        ids = (
             a.join(b, ["tbl", "bucket"])
             .where(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"), F.col("a.nv").alias("nv_a"),
-                F.col("b.id").alias("id_b"), F.col("b.nv").alias("nv_b"),
-            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
+        va = base.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
+        pairs = ids.join(va, "id_a").join(vb, "id_b")
     else:
         raise ValueError(f"unknown mode: {mode!r}")
     out = pairs.select(
