@@ -289,3 +289,57 @@ def test_checkpoint_rerun_after_lost_done_mark_is_exactly_once(spark, tmp_path):
     # exactly one result row per (partition, expectation) despite the re-run
     assert out.count() == 4
     assert out.groupBy("partition_id").count().agg(F.max("count")).first()[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# decode-once: the audio pandas UDF evaluates each row exactly once per run
+# ---------------------------------------------------------------------------
+
+
+def test_audio_decode_runs_once_per_run(spark, audio_dir):
+    """Row-counting wrapper around the flags UDF: a full validate() +
+    violations count + results materialization must evaluate the decode
+    exactly n_rows times (the persisted violations DF serves every
+    downstream action; VERDICT r1 found the decode running twice)."""
+    import pandas as pd
+
+    import gx_spark.audio as audio_mod
+    import gx_spark.expectations.audio_exp as audio_exp_mod
+    from gx_spark.suites import audio_suite
+
+    acc = spark.sparkContext.accumulator(0)
+    real_factory = audio_mod.make_audio_flags_udf
+
+    def counting_factory():
+        from pyspark.sql.functions import pandas_udf
+
+        from gx_spark.audio import AUDIO_FLAGS_SCHEMA
+
+        real_udf_fn = real_factory().func  # underlying batch fn
+
+        # NB: no type hints here — this module has `from __future__ import
+        # annotations`, which turns hints into strings and silently routes
+        # pandas_udf through a different inference path where executor-side
+        # accumulator updates are dropped
+        @pandas_udf(AUDIO_FLAGS_SCHEMA)
+        def counted(*series):
+            acc.add(len(series[0]))
+            return real_udf_fn(*series)
+
+        return counted
+
+    old = audio_exp_mod.make_audio_flags_udf
+    audio_exp_mod.make_audio_flags_udf = counting_factory
+    try:
+        df = spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
+        n = df.count()
+        b = validate(spark, df, audio_suite(),
+                     EngineOptions(unexpected_index_column_names=("clip_id",)))
+        # three downstream consumers, all served by the persisted violations DF
+        b.violations_table().count()
+        b.violations_table().collect()
+        b.results_df(spark).count()
+        b.unpersist()
+    finally:
+        audio_exp_mod.make_audio_flags_udf = old
+    assert acc.value == n, f"decode ran {acc.value} times for {n} rows"
