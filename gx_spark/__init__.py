@@ -26,11 +26,12 @@ from .profile import (
     build_continuous_partition_object,
 )
 from .registry import list_expectations, register_expectation
-from .validator import Validator
+from .validator import SparkDFDataset, Validator
 
 __all__ = [
     "MetricStore",
     "Profiler",
+    "SparkDFDataset",
     "Validator",
     "build_categorical_partition_object",
     "build_continuous_partition_object",

@@ -107,3 +107,36 @@ def test_streaming_foreach_batch(spark, tmp_path, df):
     assert results.count() == 2
     viol = spark.read.parquet(f"{out}/_violations")
     assert viol.count() == 20  # grp==4 rows
+
+
+# ---------------------------------------------------------------------------
+# legacy V2 SparkDFDataset wrapper (SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+
+def test_sparkdf_dataset_v2_api(spark):
+    from gx_spark import SparkDFDataset
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (3, None, 9.0), (3, "c", 11.0)],
+        "id long, name string, v double",
+    )
+    ds = SparkDFDataset(df)
+    # positional column arg (the V2 calling convention)
+    r = ds.expect_column_values_to_not_be_null("name")
+    assert not r.success
+    assert r.result["unexpected_count"] == 1
+    r = ds.expect_column_values_to_be_between("v", 0, 100)
+    assert r.success
+    r = ds.expect_column_values_to_be_in_set("name", ["a", "b", "c"])
+    assert r.success  # nulls excluded from the denominator
+    r = ds.expect_column_values_to_be_unique("id")
+    assert not r.success
+    # .validate() re-runs the accumulated suite in one fused pass
+    suite_result = ds.validate()
+    assert len(suite_result.results) == 4
+    assert [e.success for e in suite_result.results] == [False, True, True, False]
+    # unknown attributes still raise
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        ds.not_an_expectation
