@@ -24,6 +24,7 @@ from .profile import (
     Profiler,
     build_categorical_partition_object,
     build_continuous_partition_object,
+    suggest_suite,
 )
 from .registry import list_expectations, register_expectation
 from .validator import SparkDFDataset, Validator
@@ -31,6 +32,7 @@ from .validator import SparkDFDataset, Validator
 __all__ = [
     "MetricStore",
     "Profiler",
+    "suggest_suite",
     "SparkDFDataset",
     "Validator",
     "build_categorical_partition_object",

@@ -260,3 +260,100 @@ class Profiler:
                 df, col, bins=bins, n_bins=n_bins
             )
         return self.store.write(table_name, metrics, run_id)
+
+
+# ---------------------------------------------------------------------------
+# suite suggestion (onboarding profiler)
+# ---------------------------------------------------------------------------
+
+_SUGGEST_LOW_CARDINALITY = 20
+
+
+def suggest_suite(
+    df: DataFrame,
+    suite_name: str = "suggested",
+    row_count_tolerance: float = 0.1,
+    low_cardinality_max: int = _SUGGEST_LOW_CARDINALITY,
+) -> "ExpectationSuite":
+    """Profile a batch and emit an ExpectationSuite that the batch itself
+    satisfies (ref: profile/user_configurable_profiler.py — the reference's
+    onboarding flow: profile once, review, then validate future batches).
+
+    One fused agg computes every per-column statistic (null counts, approx
+    distinct, numeric min/max, string length min/max); only columns that the
+    cardinality check proves small get a second bounded distinct-collect for
+    `in_set`.  Rules, mirroring the reference's profiler semantics:
+
+    - table: row_count within ±tolerance, columns match the ordered list
+    - every column: `not_be_null` (with `mostly` backed off to the observed
+      null fraction when nulls exist)
+    - numeric: `between` observed [min, max]
+    - string: `value_lengths between` observed bounds
+    - approx-unique columns (distinct ≈ nonnull): `be_unique`
+    - low-cardinality columns: `be_in_set` of the observed values
+    """
+    from .model import ExpectationSuite
+
+    fields = df.schema.fields
+    numeric = {f.name for f in fields
+               if any(t in f.dataType.simpleString() for t in _NUMERIC_TYPES)}
+    stringy = {f.name for f in fields if f.dataType.simpleString() == "string"}
+
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = f.name
+        exprs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__dist"))
+        if c in numeric:
+            exprs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))
+            exprs.append(F.max(F.col(c).cast("double")).alias(f"{c}__mx"))
+        elif c in stringy:
+            exprs.append(F.min(F.length(c)).alias(f"{c}__lmn"))
+            exprs.append(F.max(F.length(c)).alias(f"{c}__lmx"))
+    row = df.agg(*exprs).collect()[0]
+    n = int(row["__n"])
+
+    suite = ExpectationSuite(suite_name)
+    suite.add(
+        "expect_table_row_count_to_be_between",
+        min_value=int(n * (1 - row_count_tolerance)),
+        max_value=int(n * (1 + row_count_tolerance)) + 1,
+    )
+    suite.add("expect_table_columns_to_match_ordered_list",
+              column_list=[f.name for f in fields])
+    for f in fields:
+        c = f.name
+        nn = int(row[f"{c}__nn"])
+        dist = int(row[f"{c}__dist"])
+        if nn == n:
+            suite.add("expect_column_values_to_not_be_null", column=c)
+        elif n > 0 and nn > 0:
+            observed_null_frac = 1 - nn / n
+            suite.add("expect_column_values_to_not_be_null", column=c,
+                      mostly=max(0.0, round(1 - 1.2 * observed_null_frac, 3)))
+        if c in numeric and nn > 0:
+            suite.add("expect_column_values_to_be_between", column=c,
+                      min_value=float(row[f"{c}__mn"]),
+                      max_value=float(row[f"{c}__mx"]))
+        elif c in stringy and nn > 0:
+            suite.add("expect_column_value_lengths_to_be_between", column=c,
+                      min_value=int(row[f"{c}__lmn"]),
+                      max_value=int(row[f"{c}__lmx"]))
+        # approx_count_distinct rel. error ~2%: candidates pass a cheap
+        # sketch screen first, then ONE exact duplicate probe (limit-1
+        # groupBy) so the emitted suite is guaranteed to pass on its own
+        # profiling batch
+        if nn > 0 and dist >= nn * 0.98 and nn == n:
+            has_dup = (
+                df.groupBy(c).count().where(F.col("count") > 1).limit(1).count() > 0
+            )
+            if not has_dup:
+                suite.add("expect_column_values_to_be_unique", column=c)
+        elif 0 < dist <= low_cardinality_max and nn > 0 and dist < nn:
+            vals = [r[0] for r in
+                    df.select(c).where(F.col(c).isNotNull()).distinct()
+                    .limit(low_cardinality_max * 2).collect()]
+            if len(vals) <= low_cardinality_max:
+                suite.add("expect_column_values_to_be_in_set", column=c,
+                          value_set=sorted(vals))
+    return suite

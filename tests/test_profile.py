@@ -106,3 +106,46 @@ def test_validator_head(spark):
     v = Validator(spark, df)
     h = v.head(2)
     assert h == [{"i": 1, "s": "a"}, {"i": 2, "s": "b"}]
+
+
+# ---------------------------------------------------------------------------
+# suite suggestion (onboarding profiler)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_suite_self_satisfying(spark):
+    """The suggested suite must pass on the batch it was profiled from."""
+    from gx_spark import EngineOptions, validate
+    from gx_spark.profile import suggest_suite
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    suite = suggest_suite(df)
+    types = [c.expectation_type for c in suite.expectations]
+    assert "expect_table_row_count_to_be_between" in types
+    assert "expect_table_columns_to_match_ordered_list" in types
+    assert "expect_column_values_to_be_unique" in types      # c_custkey
+    assert "expect_column_values_to_be_in_set" in types      # c_mktsegment
+    assert "expect_column_value_lengths_to_be_between" in types
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    failed = [r.expectation_config.expectation_type
+              for r in b.suite_result.results if not r.success]
+    assert not failed, failed
+
+
+def test_suggest_suite_nulls_get_mostly(spark):
+    from gx_spark import EngineOptions, validate
+    from gx_spark.profile import suggest_suite
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 10 else None) for i in range(1000)],
+        "id long, maybe string",
+    )
+    suite = suggest_suite(df)
+    cfgs = {(c.expectation_type, c.kwargs.get("column")): c.kwargs
+            for c in suite.expectations}
+    nn = cfgs[("expect_column_values_to_not_be_null", "maybe")]
+    assert 0 < nn["mostly"] < 1
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    assert all(r.success for r in b.suite_result.results), [
+        (r.expectation_config.expectation_type, r.expectation_config.kwargs)
+        for r in b.suite_result.results if not r.success]
