@@ -327,6 +327,37 @@ def q_ann_lsh_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
 
 
+def q_image_metadata_violations(spark, sf_dir):
+    """Multimodal image layer: deterministic gxraw images synthesized from
+    documents.doc_id (width lies when doc_id%10==7, payload truncated when
+    doc_id%10==9); the engine's decode-backed metadata expectation must
+    flag exactly those rows — the oracle recomputes the count from the
+    corruption arithmetic."""
+    from gx_spark import image as gim
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(500)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    rows = []
+    for i in ids:
+        img_id = f"img_{i}"
+        w, h = 16 + (i % 3) * 8, 16
+        b = gim.raw_encode(gim.synth_image(img_id, w, h))
+        width = w + 1 if i % 10 == 7 else w
+        if i % 10 == 9:
+            b = b[: len(b) // 2]
+        rows.append((i, img_id, bytearray(b), width, h, 3, "gxraw"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, img_id string, bytes binary, width int, height int, "
+        "channels int, format string",
+    )
+    r = _evr(spark, df,
+             ExpectationSuite("q").add("expect_image_metadata_to_be_consistent"))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
 def q_ann_ivf_embeddings(spark, sf_dir):
     # rows-only: IVF coarse-quantizer ANN (k-means centroids not
     # reproducible in ANSI SQL); exactness at nprobe=n_centroids and
@@ -480,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "image_metadata_violations": q_image_metadata_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "chisquare_mktsegment": q_chisquare_mktsegment,
@@ -661,6 +693,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) / "
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
+        ),
+        "image_metadata_violations": (
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 500) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM d"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -43,6 +43,7 @@ from .expectations import (  # noqa: F401
     column_agg,
     column_map,
     drift_exp,
+    image_exp,
     multicolumn,
     referential,
     stat_tests,
@@ -107,6 +108,7 @@ class ValidationBundle:
     partition_id: int | None = None
     snapshot_id: str | None = None
     _persisted: bool = False
+    index_columns: tuple = ()
 
     @property
     def success(self) -> bool:
@@ -165,12 +167,16 @@ class ValidationBundle:
         return spark.createDataFrame(rows, schema)
 
     def violations_table(self) -> DataFrame | None:
-        """`_violations` rows (clip_id/index, failed expectation, observed
-        value) per the north rule."""
+        """`_violations` rows (index column(s), failed expectation, observed
+        value) per the north rule.  Each configured
+        unexpected_index_column_name becomes a column extracted from
+        index_json; with no configured index columns the audio-default
+        clip_id is extracted for north-rule schema compatibility."""
         if self.violations is None:
             return None
+        idx_cols = list(self.index_columns) or ["clip_id"]
         return self.violations.select(
-            F.get_json_object("index_json", "$.clip_id").alias("clip_id"),
+            *[F.get_json_object("index_json", f"$.{c}").alias(c) for c in idx_cols],
             "expectation_type",
             "column",
             F.col("observed_json").alias("observed_value"),
@@ -296,6 +302,7 @@ class ValidationRun:
             partition_id=partition_id,
             snapshot_id=snapshot_id,
             _persisted=persisted,
+            index_columns=tuple(self.options.unexpected_index_column_names),
         )
 
     def _violations_fallback(self, ctx, src, bag, max_rf):

@@ -1,0 +1,120 @@
+"""Multimodal image/video layer: gxraw codec, flags UDF, resize, phash,
+frame sampling, and the two image expectations end-to-end."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import EngineOptions, ExpectationSuite, validate  # noqa: E402
+from gx_spark import image as gim  # noqa: E402
+
+
+def test_raw_codec_roundtrip():
+    px = gim.synth_image("img_007", 32, 24)
+    assert px.shape == (24, 32, 3)
+    back = gim.raw_decode(gim.raw_encode(px))
+    assert np.array_equal(px, back)
+
+
+def test_decode_stubs_and_malformed():
+    with pytest.raises(NotImplementedError):
+        gim.decode_image(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError):
+        gim.raw_decode(b"NOPE" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        # truncated pixel payload
+        good = gim.raw_encode(gim.synth_image("x", 8, 8))
+        gim.raw_decode(good[:-5])
+
+
+def _image_df(spark, n=60):
+    rows = []
+    for i in range(n):
+        img_id = f"img_{i:05d}"
+        w, h = 16 + (i % 3) * 8, 16
+        px = gim.synth_image(img_id, w, h)
+        b = gim.raw_encode(px)
+        width, fmt = w, "gxraw"
+        if i % 10 == 7:
+            width = w + 1  # metadata lies about width
+        if i % 10 == 9:
+            b = b[: len(b) // 2]  # corrupt payload
+        rows.append((img_id, bytearray(b), width, h, 3, fmt))
+    return spark.createDataFrame(
+        rows,
+        "img_id string, bytes binary, width int, height int, channels int, format string",
+    )
+
+
+def test_image_expectations_end_to_end(spark):
+    df = _image_df(spark)
+    suite = (
+        ExpectationSuite("img")
+        .add("expect_image_metadata_to_be_consistent")
+        .add("expect_image_mean_intensity_to_be_between",
+             min_value=0.0, max_value=255.0)
+    )
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("img_id",)))
+    r_meta, r_mean = b.suite_result.results
+    # 6 width-lies + 6 corrupt payloads out of 60
+    assert r_meta.result["unexpected_count"] == 12
+    assert not r_meta.success
+    assert r_mean.success  # means always inside [0, 255]
+    viol = {r.img_id for r in b.violations_table().collect()}
+    b.unpersist()
+    assert viol == {f"img_{i:05d}" for i in range(60) if i % 10 in (7, 9)}
+
+
+def test_image_flags_mislabeled_format(spark):
+    px = gim.synth_image("a", 8, 8)
+    flags = gim.compute_image_flags_row(gim.raw_encode(px), 8, 8, 3, "jpeg")
+    assert flags["decodable"] is False  # gxraw payload labeled jpeg -> flagged
+    flags2 = gim.compute_image_flags_row(b"\xff\xd8\xff\xe0stub", 8, 8, 3, "jpeg")
+    assert flags2["decodable"] is True  # metadata-only path for real stub codec
+
+
+def test_resize_and_phash(spark):
+    df = _image_df(spark, 30).where("format = 'gxraw'")
+    small = gim.resize_images(df, 8, 8)
+    rows = {r["id"]: r["bytes"] for r in small.collect()}
+    ok = [b for b in rows.values() if b is not None]
+    assert ok
+    px = gim.raw_decode(bytes(ok[0]))
+    assert px.shape == (8, 8, 3)
+    # phash: identical image -> same hash; resized image -> same hash
+    # (nearest-neighbour 8x8 signature is resize-invariant for our gradient)
+    ph_full = {r["id"]: r["phash"] for r in gim.image_phash64(df).collect()}
+    resized_df = small.selectExpr("id as img_id", "bytes", "'gxraw' as format")
+    ph_small = {r["id"]: r["phash"] for r in gim.image_phash64(resized_df).collect()}
+    same = sum(1 for k in ph_full
+               if ph_full[k] is not None and ph_full[k] == ph_small.get(k))
+    valid = sum(1 for k in ph_full if ph_full[k] is not None)
+    assert valid > 0
+    assert same / valid >= 0.7, (same, valid)
+
+
+def test_video_frame_sampling(spark):
+    frames = [gim.raw_encode(gim.synth_image(f"v0f{i}", 8, 8)) for i in range(25)]
+    payload = b"".join(frames)
+    df = spark.createDataFrame(
+        [("vid_0", bytearray(payload), 25, 12.5, 8, 8, "gxraw_frames")],
+        "vid_id string, bytes binary, n_frames int, fps double, "
+        "width int, height int, format string",
+    )
+    out = gim.sample_video_frames(df, every_k=10).collect()
+    assert [(r["vid_id"], r["frame_idx"]) for r in out] == [
+        ("vid_0", 0), ("vid_0", 10), ("vid_0", 20)]
+    # each sampled frame is an intact decodable gxraw image
+    for r in out:
+        px = gim.raw_decode(bytes(r["bytes"]))
+        assert px.shape == (8, 8, 3)
+    # frame content matches the original frame at that index
+    assert bytes(out[1]["bytes"]) == frames[10]
