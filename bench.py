@@ -26,6 +26,48 @@ AUDIO_N = int(os.environ.get("GX_BENCH_AUDIO_N", "240000"))
 AUDIO_DIR = os.path.join(REPO, "build", "audio", f"n{AUDIO_N}")
 
 
+IMAGE_N = int(os.environ.get("GX_BENCH_IMAGE_N", "100000"))
+IMAGE_DIR = os.path.join(REPO, "build", "images", f"n{IMAGE_N}")
+
+
+def ensure_image_table() -> str:
+    """100k 16x16 gxraw images (~80 MB) with the deterministic corruption
+    pattern (i%10==7 metadata lies, i%10==9 truncated payload)."""
+    path = os.path.join(IMAGE_DIR, "images.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gx_spark.image import raw_encode, synth_image
+
+    os.makedirs(IMAGE_DIR, exist_ok=True)
+    cols = {k: [] for k in ("img_id", "bytes", "width", "height", "channels", "format")}
+    for i in range(IMAGE_N):
+        img_id = f"img_{i:07d}"
+        w, h = 16 + (i % 3) * 8, 16
+        b = raw_encode(synth_image(img_id, w, h))
+        width = w + 1 if i % 10 == 7 else w
+        if i % 10 == 9:
+            b = b[: len(b) // 2]
+        cols["img_id"].append(img_id)
+        cols["bytes"].append(b)
+        cols["width"].append(width)
+        cols["height"].append(h)
+        cols["channels"].append(3)
+        cols["format"].append("gxraw")
+    table = pa.table({
+        "img_id": pa.array(cols["img_id"]),
+        "bytes": pa.array(cols["bytes"], type=pa.binary()),
+        "width": pa.array(cols["width"], type=pa.int32()),
+        "height": pa.array(cols["height"], type=pa.int32()),
+        "channels": pa.array(cols["channels"], type=pa.int32()),
+        "format": pa.array(cols["format"]),
+    })
+    pq.write_table(table, path)
+    return path
+
+
 def ensure_audio_table(spark) -> str:
     marker = os.path.join(AUDIO_DIR, "expected_aggregates.json")
     if not os.path.exists(marker):
@@ -168,6 +210,26 @@ def main() -> None:
               .select("embedding").first()[0]]
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
+
+    @bench("image_suite")
+    def _():
+        from gx_spark import ops as _ops  # noqa: F401
+        from gx_spark import image as gim
+
+        img_df = spark.read.parquet(ensure_image_table()).repartition(int(cpus))
+        b = validate(
+            spark, img_df,
+            ExpectationSuite("img")
+            .add("expect_image_metadata_to_be_consistent")
+            .add("expect_image_mean_intensity_to_be_between",
+                 min_value=0.0, max_value=255.0),
+            EngineOptions(unexpected_index_column_names=("img_id",)),
+        )
+        nv = b.violations_table().count()
+        b.unpersist()
+        assert nv == IMAGE_N // 10 * 2, nv
+        # perceptual-hash dedup fingerprints over the same table
+        gim.image_phash64(img_df).where("phash is not null").count()
 
     # binary-column scan: small columnar batches (multi-MB byte[] rows)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
