@@ -44,19 +44,24 @@ def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def _word_shingles(text_col: Column, k: int) -> Column:
-    """k-word shingle array from a text column (built-in functions only)."""
+    """k-word shingle array from a text column (built-in functions only).
+
+    Built by zipping k shifted slices of the words array rather than
+    indexing with element_at inside a transform lambda: HOF lambdas are
+    evaluated interpreted WITHOUT subexpression elimination, so the
+    element_at formulation re-ran the regex split k times per shingle
+    (~150 full-text splits per row — 9s for a 5k-doc scan).  The slice
+    form references the split k times total per row."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(words, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, acc).otherwise(F.array(F.concat_ws(" ", words)))
 
 
 def minhash_signatures(
@@ -88,16 +93,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
-) -> DataFrame:
-    """Banded LSH: documents sharing any band bucket become candidate pairs.
-
-    The only shuffle is on (band, bucket-hash) — 12 bytes per (doc, band) —
-    then a self-join within buckets.  At scale, skewed buckets (boilerplate
-    docs) are bounded by the bucket-size cap before the pair explosion."""
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
+            carry_sig: bool) -> DataFrame:
+    extra = ["sig"] if carry_sig else []
     banded = sigs.select(
         "id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -111,10 +112,23 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *extra, "bb.band", "bb.bucket")
     # cap pathological buckets (all-identical boilerplate) before pairing
     w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(F.col("bsz") <= 1000)
+    return banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(w)
+    ).filter(F.col("bsz") <= 1000)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: documents sharing any band bucket become candidate pairs.
+
+    The only shuffle is on (band, bucket-hash) — 12 bytes per (doc, band) —
+    then a self-join within buckets.  At scale, skewed buckets (boilerplate
+    docs) are bounded by the bucket-size cap before the pair explosion."""
+    banded = _banded(sigs, bands, rows_per_band, carry_sig=False)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -134,27 +148,36 @@ def minhash_jaccard(
     """Near-dup pairs with estimated Jaccard >= threshold.
 
     Signature agreement fraction estimates Jaccard; the candidate set comes
-    from banded LSH so the quadratic comparison never materializes."""
+    from banded LSH so the quadratic comparison never materializes.
+
+    Single-pipeline shape: signatures are CARRIED through the banded
+    explode and the bucket self-join (n_hashes longs per (doc, band) row),
+    then deduped per pair with any_value.  The alternative — generate id
+    pairs, then join the signature relation back twice — re-executes the
+    signature subplan three times unless it happens to be cached, which
+    tripled the wall clock in practice."""
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes)
-    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                )
-                / F.lit(n_hashes)
-            ).alias("est_jaccard"),
+    banded = _banded(sigs, bands, n_hashes // bands, carry_sig=True)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
+    )
+    est = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.any_value("sig_a").alias("sig_a"),
+            F.any_value("sig_b").alias("sig_b"),
+        )
+        .select("id_a", "id_b", (agree / F.lit(n_hashes)).alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 
