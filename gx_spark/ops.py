@@ -353,12 +353,21 @@ def cosine_near_dup_pairs(
     the pair blow-up is per-bucket) and every surviving pair is exact-cosine
     verified, so precision is exact and recall is the OR-amplified
     sign-agreement probability — the 100 TB shape."""
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(_dot(v, v))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(v, lambda x: x / norm).alias("nv"),
-    )
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    # normalize in one numpy pass per Arrow batch: the HOF formulation
+    # transform(v, x -> x / sqrt(dot(v,v))) re-evaluates the interpreted
+    # dot for EVERY element (dim^2 work per row)
+    @pandas_udf("array<double>")
+    def _nv(vecs):
+        import numpy as _np
+
+        M = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vecs])
+        M /= _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return pd.Series(list(M))
+
+    base = df.select(F.col(id_col).alias("id"), _nv(F.col(vec_col)).alias("nv"))
     if mode == "exact":
         a = base.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a"))
         b = base.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
