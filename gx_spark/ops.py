@@ -251,6 +251,8 @@ def minhash_verified_pairs(
     never materializes, and the verify touches candidate pairs only."""
     sigs = minhash_signatures(df, id_col, text_col, shingle_k=1, n_hashes=n_hashes)
     cand = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    # the exact-verify joins want only the distinct-token ARRAYS — a cheap
+    # map-side projection, re-derived per join side rather than cached
     toks = df.select(
         F.col(id_col).alias("id"), _distinct_words(F.col(text_col)).alias("ws")
     )
