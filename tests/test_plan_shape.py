@@ -101,3 +101,42 @@ def test_predicate_pushdown_from_row_condition(spark, tmp_path):
     assert count_nodes(plan, "HashAggregate") == 2
     schemas = read_schemas(plan)
     assert any("grp" in s for s in schemas), schemas
+
+
+def test_image_suite_plan_shape(spark, tmp_path):
+    """The image layer must preserve the audio invariants: the binary column
+    never enters an Exchange, the stage-1 agg is one partial/final pair that
+    never decodes, and the violations pass is map-only."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from gx_spark import image as gim
+
+    path = str(tmp_path / "imgs.parquet")
+    rows = []
+    for i in range(50):
+        b = gim.raw_encode(gim.synth_image(f"i{i}", 16, 16))
+        rows.append((f"i{i}", bytearray(b), 16, 16, 3, "gxraw"))
+    spark.createDataFrame(
+        rows,
+        "img_id string, bytes binary, width int, height int, channels int, format string",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    suite = (
+        ExpectationSuite("img")
+        .add("expect_image_metadata_to_be_consistent")
+        .add("expect_image_mean_intensity_to_be_between",
+             min_value=0.0, max_value=255.0)
+        .add("expect_column_values_to_not_be_null", column="img_id")
+    )
+    ctx = compile_suite(
+        spark, df, suite, EngineOptions(unexpected_index_column_names=("img_id",))
+    )
+    s1 = formatted_plan(stage1_df(ctx))
+    for ex in exchange_sections(s1):
+        assert "bytes" not in ex, f"binary column entered a shuffle:\n{ex}"
+    # the stage-1 agg never runs the decode UDF (Catalyst prunes __image)
+    assert "ArrowEvalPython" not in s1 and "image_flags" not in s1, s1
+    vplan = formatted_plan(violations_df(ctx))
+    assert "Exchange" not in vplan, f"violations pass must not shuffle:\n{vplan}"
+    assert "ArrowEvalPython" in vplan or "EvalPython" in vplan  # decode lives here
