@@ -35,7 +35,11 @@ from .model import (
 )
 from .planner import MetricBag, MetricContext
 from .registry import get_expectation
-from .violations import build_violations_df, derive_unexpected_lists
+from .violations import (
+    build_violations_df,
+    derive_unexpected_lists,
+    violation_counts_df,
+)
 
 # import for registration side effects
 from .expectations import (  # noqa: F401
@@ -53,35 +57,63 @@ from .expectations import (  # noqa: F401
 _RF_ORDER = {"BOOLEAN_ONLY": 0, "BASIC": 1, "SUMMARY": 2, "COMPLETE": 3}
 
 
-def _observation_values(obs: Any, ctx: MetricContext) -> dict[str, Any]:
-    """Read Observation metrics robustly.
+def _read_observed_metrics(action_df: DataFrame, obs_name: str, keys: list[str]) -> dict[str, Any] | None:
+    """Read CollectMetrics values synchronously from a COMPLETED action's own
+    QueryExecution, bypassing `Observation.get`.
 
-    On some query shapes Spark 4.1 hands back the metrics row WITHOUT a
-    schema (GenericRow, not GenericRowWithSchema), which makes
-    Observation.get's toPyRow assert even though the values are present.
-    Fall back to positional extraction (metric order == expr order), and as
-    a last resort recompute with a direct agg."""
+    Observation's listener path is racy in a per-partition loop: the
+    QueryExecutionListener bus is async, and when the first action's event is
+    delayed or dropped, a LATER action over the now-cached violations DF —
+    whose CollectMetricsExec ran zero tasks — wins the first-write-once race
+    and pins an EMPTY metrics row (seen intermittently in the checkpoint
+    resume path as toPyRow ArrayIndexOutOfBounds on a 0-field row).  Reading
+    `queryExecution().observedMetrics()` on the exact DataFrame whose action
+    just returned is deterministic: tasks are complete and the accumulator is
+    merged before the action returns, and the traversal descends through
+    InMemoryTableScan into the cache-materialization plan.
+
+    Returns None if the row is absent or malformed (caller falls back to a
+    decode-free direct aggregation)."""
+    try:
+        qe = action_df._jdf.queryExecution()
+        opt = qe.observedMetrics().get(obs_name)
+        if opt.isEmpty():
+            return None
+        jrow = opt.get()
+        if jrow.length() != len(keys):
+            return None
+        try:
+            # the same JVM row → Python row conversion Observation.get uses
+            from pyspark.serializers import CPickleSerializer
+
+            jvm = action_df.sparkSession._jvm
+            utils = getattr(jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+            row = CPickleSerializer().loads(utils.toPyRow(jrow))
+            d = row.asDict(recursive=False)
+            return {k: d[k] for k in keys}
+        except Exception:
+            # schemaless GenericRow: positional extraction (metric order ==
+            # expr order, which CollectMetrics preserves)
+            return {k: jrow.apply(i) for i, k in enumerate(keys)}
+    except Exception:
+        return None
+
+
+def _denominator_agg(ctx: MetricContext) -> dict[str, Any]:
+    """Fallback for the observe denominators: ONE fused agg over the RAW
+    batch (no derived columns — the observe builders reference only source
+    columns, so Catalyst never plans the decode UDF here; the scan reads just
+    the referenced columns' pages).  Used when the violations pass could not
+    supply the metrics (poison-expression degraded path, or a malformed
+    observed-metrics row)."""
     keys = list(ctx._observe.keys())
+    exprs = [b().alias(k) for k, b in ctx._observe.items()]
     try:
-        return obs.get
+        row = ctx.df.agg(*exprs).collect()[0]
     except Exception:
-        pass
-    try:
-        jrow = obs._jo.getRow()
-        return {k: jrow.apply(i) for i, k in enumerate(keys)}
-    except Exception:
-        import warnings
-
-        warnings.warn(
-            "Observation metrics unreadable via both the public and the "
-            "positional JVM path; recomputing with a direct aggregation — "
-            "this re-scans the batch (and re-runs any derived-column UDFs)",
-            RuntimeWarning,
-        )
-        row = ctx.base_df().agg(
-            *[b().alias(k) for k, b in ctx._observe.items()]
-        ).collect()[0]
-        return {k: row[k] for k in keys}
+        # an observe builder referenced a derived column after all
+        row = ctx.base_df().agg(*exprs).collect()[0]
+    return {k: row[k] for k in keys}
 
 
 def _exception_evr(cfg: ExpectationConfiguration, exc: BaseException) -> ExpectationValidationResult:
@@ -234,14 +266,17 @@ class ValidationRun:
         persisted = False
         if ctx.violations and self.options.collect_violations:
             src = ctx.flagged_df(bag)
-            obs = None
+            obs_name = None
             if ctx._observe:
-                # denominator metrics ride the violations scan for free
-                from pyspark.sql import Observation
-
-                obs = Observation()
+                # denominator metrics ride the violations scan for free.
+                # String-named observe = a bare CollectMetrics node with NO
+                # session listener (an Observation object would register one
+                # per validate() call — a leak in a per-partition loop);
+                # values are read from the action's QueryExecution instead.
+                obs_name = f"gx_obs_{uuid.uuid4().hex[:12]}"
                 src = src.observe(
-                    obs, *[b().alias(k) for k, b in ctx._observe.items()]
+                    obs_name,
+                    *[b().alias(k) for k, b in ctx._observe.items()],
                 )
             violations = build_violations_df(
                 src, ctx.violations, bag,
@@ -253,9 +288,23 @@ class ValidationRun:
                 # (pandas-UDF audio decode) run exactly once per run
                 violations = violations.persist()
                 persisted = True
+            obs_vals: dict[str, Any] | None = None
             try:
+                # first action on the (persisted) violations DF: the counts
+                # job materializes the cache AND carries the observe metrics,
+                # read synchronously from ITS QueryExecution below
+                counts_df = violation_counts_df(violations)
+                counts = {
+                    r["expectation_index"]: int(r["cnt"])
+                    for r in counts_df.collect()
+                }
+                if obs_name is not None:
+                    obs_vals = _read_observed_metrics(
+                        counts_df, obs_name, list(ctx._observe.keys())
+                    )
                 lists = derive_unexpected_lists(
-                    violations, max_rf, self.options.partial_unexpected_count
+                    violations, max_rf, self.options.partial_unexpected_count,
+                    counts=counts,
                 )
             except Exception:
                 # a poison map condition (e.g. invalid regex) failed the fused
@@ -268,8 +317,8 @@ class ValidationRun:
                 )
             for idx, entry in lists.items():
                 bag.put(f"viol:{idx}", entry)
-            if obs is not None:
-                for k, v in _observation_values(obs, ctx).items():
+            if ctx._observe:
+                for k, v in (obs_vals or _denominator_agg(ctx)).items():
                     bag.put(k, v)
             ctx.release_aux()
 

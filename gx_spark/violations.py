@@ -94,10 +94,22 @@ def empty_violations_df(spark) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def violation_counts_df(viol_df: DataFrame) -> DataFrame:
+    """Job A of the lists derivation: exact per-expectation violation counts
+    (map-side partial agg, tiny result).  Exposed separately so the executor
+    can run it as the FIRST action on the persisted violations DF and read
+    the Observation denominators synchronously from this job's own
+    QueryExecution (see executor._read_observed_metrics)."""
+    return viol_df.groupBy("expectation_index").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def derive_unexpected_lists(
     viol_df: DataFrame,
     result_format: str,
     partial_limit: int,
+    counts: dict[int, int] | None = None,
 ) -> dict[int, dict[str, Any]]:
     """Per-expectation unexpected value+index lists from the (persisted)
     violations DataFrame — instead of the reference's per-expectation filter
@@ -115,13 +127,13 @@ def derive_unexpected_lists(
     from pyspark.sql import Window
 
     complete = result_format == "COMPLETE"
-    # job A: exact per-expectation counts (map-side partial agg, tiny result)
-    counts = {
-        r["expectation_index"]: int(r["cnt"])
-        for r in viol_df.groupBy("expectation_index")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    if counts is None:
+        # job A: exact per-expectation counts (skipped when the executor
+        # already ran violation_counts_df as the cache-materializing action)
+        counts = {
+            r["expectation_index"]: int(r["cnt"])
+            for r in violation_counts_df(viol_df).collect()
+        }
     # job B: the bounded first-N lists
     if complete:
         capped = viol_df

@@ -87,6 +87,48 @@ def test_kill_and_resume(spark, audio_dir, results_dir):
     assert got_v == expected_v
 
 
+def test_resume_decodes_each_row_once(spark, audio_dir, results_dir):
+    """The observe denominators are read synchronously from the counts job's
+    QueryExecution (executor._read_observed_metrics); the old listener-based
+    Observation.get raced in this loop and fell back to a re-aggregation.
+    Across a killed run + its resume, every row's audio decode must run
+    exactly once — no partition pays a second scan of the decode column."""
+    import gx_spark.expectations.audio_exp as audio_exp_mod
+    import gx_spark.audio as audio_mod
+
+    acc = spark.sparkContext.accumulator(0)
+    real_factory = audio_mod.make_audio_flags_udf
+
+    def counting_factory():
+        from pyspark.sql.functions import pandas_udf
+
+        from gx_spark.audio import AUDIO_FLAGS_SCHEMA
+
+        real_udf_fn = real_factory().func
+
+        # NB: no type hints — `from __future__ import annotations` would
+        # route pandas_udf through an inference path that drops
+        # executor-side accumulator updates (see test_round2)
+        @pandas_udf(AUDIO_FLAGS_SCHEMA)
+        def counted(*series):
+            acc.add(len(series[0]))
+            return real_udf_fn(*series)
+
+        return counted
+
+    old = audio_exp_mod.make_audio_flags_udf
+    audio_exp_mod.make_audio_flags_udf = counting_factory
+    try:
+        n = spark.read.parquet(f"{audio_dir}/audio_clips.parquet").count()
+        r1 = _runner(spark, audio_dir, results_dir).run(max_partitions=5)
+        assert len(r1.validated_partitions) == 5
+        r2 = _runner(spark, audio_dir, results_dir).run()
+        assert len(r1.validated_partitions) + len(r2.validated_partitions) == 16
+    finally:
+        audio_exp_mod.make_audio_flags_udf = old
+    assert acc.value == n, f"decode ran {acc.value} times for {n} rows"
+
+
 def test_snapshot_change_invalidates(spark, audio_dir, results_dir, tmp_path):
     # copy the table so we can mutate it
     tbl = str(tmp_path / "audio_clips.parquet")
