@@ -358,6 +358,43 @@ def q_image_metadata_violations(spark, sf_dir):
                 [res["element_count"], res["unexpected_count"]])
 
 
+def q_image_png_violations(spark, sf_dir):
+    """Real PNG decode path (gx_spark/png.py — pure zlib+numpy, no codec
+    libs): PNG images synthesized from documents.doc_id with three
+    corruption classes — width metadata lies (doc_id%10==7), truncated
+    payload (==9), single-bit IDAT flip caught by chunk CRC (==3).  The
+    engine must flag exactly those rows; the oracle recomputes the count
+    from the corruption arithmetic."""
+    from gx_spark import image as gim
+    from gx_spark.png import png_encode
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    rows = []
+    for i in ids:
+        img_id = f"png_{i}"
+        w, h = 16 + (i % 3) * 8, 16
+        b = png_encode(gim.synth_image(img_id, w, h))
+        width = w + 1 if i % 10 == 7 else w
+        if i % 10 == 9:
+            b = b[: len(b) // 2]
+        elif i % 10 == 3:
+            bb = bytearray(b)
+            bb[len(bb) // 2] ^= 0x01
+            b = bytes(bb)
+        rows.append((i, img_id, bytearray(b), width, h, 3, "png"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, img_id string, bytes binary, width int, height int, "
+        "channels int, format string",
+    )
+    r = _evr(spark, df,
+             ExpectationSuite("q").add("expect_image_metadata_to_be_consistent"))
+    res = r[0].result
+    return _row(spark, "element_count long, unexpected_count long",
+                [res["element_count"], res["unexpected_count"]])
+
+
 def q_ann_ivf_embeddings(spark, sf_dir):
     # rows-only: IVF coarse-quantizer ANN (k-means centroids not
     # reproducible in ANSI SQL); exactness at nprobe=n_centroids and
@@ -512,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "image_metadata_violations": q_image_metadata_violations,
+        "image_png_violations": q_image_png_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "chisquare_mktsegment": q_chisquare_mktsegment,
@@ -698,6 +736,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id FROM documents LIMIT 500) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM d"
+        ),
+        "image_png_violations": (
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (3, 7, 9) THEN 1 ELSE 0 END)::BIGINT "
             "AS unexpected_count FROM d"
         ),
         "word_jaccard_documents": (

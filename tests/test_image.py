@@ -78,7 +78,11 @@ def test_image_flags_mislabeled_format(spark):
     flags = gim.compute_image_flags_row(gim.raw_encode(px), 8, 8, 3, "jpeg")
     assert flags["decodable"] is False  # gxraw payload labeled jpeg -> flagged
     flags2 = gim.compute_image_flags_row(b"\xff\xd8\xff\xe0stub", 8, 8, 3, "jpeg")
-    assert flags2["decodable"] is True  # metadata-only path for real stub codec
+    # valid SOI magic but stubbed codec: UNVERIFIABLE (excluded from the
+    # metadata check), never a blind pass
+    assert flags2["decodable"] is None
+    flags3 = gim.compute_image_flags_row(b"garbage-bytes", 8, 8, 3, "jpeg")
+    assert flags3["decodable"] is False  # bad magic -> violation
 
 
 def test_resize_and_phash(spark):
@@ -118,3 +122,98 @@ def test_video_frame_sampling(spark):
         assert px.shape == (8, 8, 3)
     # frame content matches the original frame at that index
     assert bytes(out[1]["bytes"]) == frames[10]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (gx_spark/png.py): pure zlib+numpy decode, real in-sandbox
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_channel_counts():
+    from gx_spark.png import png_decode, png_encode
+
+    for c in (1, 2, 3, 4):
+        rng = np.random.default_rng(c)
+        px = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+        back = png_decode(png_encode(px))
+        assert back.shape == (13, 17, c)
+        assert np.array_equal(px, back)
+    # 2-d grayscale input normalizes to (h, w, 1)
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(png_decode(png_encode(g))[:, :, 0], g)
+
+
+def test_png_all_scanline_filters():
+    from gx_spark.png import png_decode, png_encode_filtered
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        back = png_decode(png_encode_filtered(px, f))
+        assert np.array_equal(px, back), f"filter {f} roundtrip failed"
+
+
+def test_png_malformed_payloads():
+    from gx_spark.png import png_decode, png_encode
+
+    good = png_encode(gim.synth_image("p", 16, 16))
+    with pytest.raises(ValueError):
+        png_decode(b"NOTPNG" + good[6:])
+    with pytest.raises(ValueError):
+        png_decode(good[: len(good) // 2])  # truncated
+    # corrupt one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad))
+    # interlaced header rejected honestly
+    import struct as _s
+    import zlib as _z
+    hdr = bytearray(good)
+    # IHDR data starts at offset 16; interlace byte is the 13th data byte
+    hdr[16 + 12] = 1
+    # fix the CRC so ONLY the unsupported feature triggers
+    crc = _z.crc32(b"IHDR" + bytes(hdr[16:29])) & 0xFFFFFFFF
+    hdr[29:33] = _s.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(bytes(hdr))
+
+
+def test_png_flags_and_expectation_end_to_end(spark):
+    """PNG rows in the image suite: real decode drives dims_ok/mean, and the
+    same corruption arithmetic as gxraw flags exactly the bad rows."""
+    from gx_spark.png import png_encode
+
+    rows = []
+    for i in range(40):
+        img_id = f"png_{i:05d}"
+        w, h = 16 + (i % 3) * 8, 16
+        px = gim.synth_image(img_id, w, h)
+        b = png_encode(px)
+        width = w + 1 if i % 10 == 7 else w
+        if i % 10 == 9:
+            b = b[: len(b) // 2]
+        rows.append((img_id, bytearray(b), width, h, 3, "png"))
+    df = spark.createDataFrame(
+        rows,
+        "img_id string, bytes binary, width int, height int, channels int, format string",
+    )
+    suite = (
+        ExpectationSuite("png")
+        .add("expect_image_metadata_to_be_consistent")
+        .add("expect_image_mean_intensity_to_be_between",
+             min_value=0.0, max_value=255.0)
+    )
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("img_id",)))
+    r_meta, r_mean = b.suite_result.results
+    assert r_meta.result["unexpected_count"] == 8  # 4 width-lies + 4 truncated
+    viol = {r.img_id for r in b.violations_table().collect()}
+    b.unpersist()
+    assert viol == {f"png_{i:05d}" for i in range(40) if i % 10 in (7, 9)}
+    assert r_mean.success
+    # flags row: decoded means match numpy ground truth exactly
+    px = gim.synth_image("png_00000", 16, 16)
+    fl = gim.compute_image_flags_row(png_encode(px), 16, 16, 3, "png")
+    assert fl["decodable"] is True and fl["dims_ok"] is True
+    assert fl["mean_r"] == pytest.approx(px[:, :, 0].mean())
