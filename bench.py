@@ -197,6 +197,9 @@ def main() -> None:
 
     @bench("embeddings_similarity")
     def _():
+        import shutil
+        import tempfile
+
         emb = load("embeddings")
         q = [float(x) for x in emb.where(F.col("vec_id") == 0)
              .select("embedding").first()[0]]
@@ -210,6 +213,18 @@ def main() -> None:
               .select("embedding").first()[0]]
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
+        # IVF at-scale shape: WRITE the index partitioned by cell once, then
+        # serve probes from the written table — the cell filter is partition
+        # pruning on the read (plan-asserted in tests/test_ivf.py)
+        ivf_dir = tempfile.mkdtemp(prefix="gx_ivf_")
+        try:
+            ops.write_ivf_index(emb, "vec_id", "embedding", ivf_dir,
+                                n_centroids=32)
+            index, C = ops.read_ivf_index(spark, ivf_dir)
+            ops.ivf_query(index, C, q, 10, nprobe=8).collect()
+            ops.ivf_query(index, C, q2, 10, nprobe=8).collect()
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
 
     @bench("image_suite")
     def _():

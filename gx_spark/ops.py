@@ -326,18 +326,32 @@ def cosine_topk(
 
     qv = np.asarray(query, dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-300)
+    dim = len(qn)
 
     @pandas_udf("double")
     def score(vecs):
         import numpy as _np
 
-        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        # None-/ragged-safe: invalid rows score null (excluded from top-k),
+        # matching the old SQL-expression cosine's null semantics instead of
+        # failing the whole job on one bad vector
+        n = len(vecs)
+        M = _np.zeros((n, dim), dtype=_np.float64)
+        valid = _np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = _np.asarray(v, dtype=_np.float64)
+            if a.shape == (dim,):
+                M[i] = a
+                valid[i] = True
         norms = _np.maximum(_np.linalg.norm(M, axis=1), 1e-300)
-        return pd.Series((M @ qn) / norms)
+        vals = (M @ qn) / norms
+        return pd.Series(vals).where(valid, None).astype("Float64")
 
     scored = df.select(
         F.col(id_col).alias("id"), score(F.col(vec_col)).alias("cosine")
-    )
+    ).filter(F.col("cosine").isNotNull())
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
 
@@ -365,9 +379,24 @@ def cosine_near_dup_pairs(
     def _nv(vecs):
         import numpy as _np
 
-        M = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vecs])
+        # None-/ragged-safe: invalid rows emit null (their pairs then fail
+        # the `cosine >= threshold` filter) instead of failing the job
+        dims = [len(v) for v in vecs if v is not None]
+        if not dims:
+            return pd.Series([None] * len(vecs))
+        dim = dims[0]
+        n = len(vecs)
+        M = _np.zeros((n, dim), dtype=_np.float64)
+        valid = _np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = _np.asarray(v, dtype=_np.float64)
+            if a.shape == (dim,):
+                M[i] = a
+                valid[i] = True
         M /= _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        return pd.Series(list(M))
+        return pd.Series([list(M[i]) if valid[i] else None for i in range(n)])
 
     base = df.select(F.col(id_col).alias("id"), _nv(F.col(vec_col)).alias("nv"))
     if mode == "exact":
@@ -462,7 +491,10 @@ def build_ann_index(
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError("no non-null vectors to index")
+    dim = len(first[0])
     P = _stacked_planes(dim, n_planes, seed, n_tables)  # (T*p, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -470,10 +502,22 @@ def build_ann_index(
     def buckets(vecs):
         import numpy as _np
 
-        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        # None-/ragged-safe: invalid rows get bucket -1 in every table,
+        # which no query probe set ever contains (buckets are >= 0)
+        n = len(vecs)
+        M = _np.zeros((n, dim), dtype=_np.float64)
+        valid = _np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = _np.asarray(v, dtype=_np.float64)
+            if a.shape == (dim,):
+                M[i] = a
+                valid[i] = True
         signs = (M @ P.T) >= 0  # (n, T*p)
-        bits = signs.reshape(len(M), -1, len(weights))  # (n, T, p)
+        bits = signs.reshape(n, -1, len(weights))  # (n, T, p)
         ids = (bits * weights).sum(axis=2)  # (n, T)
+        ids[~valid] = -1
         return pd.Series(list(ids))
 
     v = F.col(vec_col).cast("array<double>")
@@ -554,11 +598,18 @@ def train_ivf_centroids(
     over a bounded uniform sample, driver-side numpy (one (m, k) matmul per
     iteration).  The sample cap keeps driver memory constant at any corpus
     size; quantizer quality depends on sample coverage, not corpus size.
-    Returns L2-normalized centroids, shape (n_centroids, dim)."""
-    rows = (
-        df.select(vec_col).filter(F.col(vec_col).isNotNull())
-        .limit(sample_cap).collect()
-    )
+    Returns L2-normalized centroids, shape (n_centroids, dim).
+
+    The sample is a seeded Bernoulli `df.sample` across ALL partitions (one
+    extra count() job to size the fraction) — a bare limit() would take the
+    first partitions only and train a biased quantizer on data clustered or
+    sorted by embedding, degrading IVF recall at scale."""
+    vecs = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    n = vecs.count()
+    if n > sample_cap:
+        frac = min(1.0, sample_cap * 1.2 / n)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    rows = vecs.limit(sample_cap).collect()
     if not rows:
         raise ValueError("no vectors to train on")
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
@@ -588,20 +639,71 @@ def build_ivf_index(
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
 
     @pandas_udf("struct<cell: int, nv: array<double>>")
     def assign(vecs):
         import numpy as _np
 
-        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        # ragged-length rows (nulls are filtered below) get cell -1 and are
+        # dropped after the UDF instead of failing the job
+        n = len(vecs)
+        M = _np.zeros((n, dim), dtype=_np.float64)
+        valid = _np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = _np.asarray(v, dtype=_np.float64)
+            if a.shape == (dim,):
+                M[i] = a
+                valid[i] = True
         M /= _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         cells = (M @ C.T).argmax(axis=1).astype("int32")
+        cells[~valid] = -1
         return pd.DataFrame({"cell": cells, "nv": list(M)})
 
-    out = df.select(
+    out = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), assign(F.col(vec_col)).alias("a")
     )
-    return out.select("id", F.col("a.nv").alias("vec"), F.col("a.cell").alias("cell"))
+    return out.select(
+        "id", F.col("a.nv").alias("vec"), F.col("a.cell").alias("cell")
+    ).filter(F.col("cell") >= 0)
+
+
+def write_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, path: str,
+    n_centroids: int = 64, sample_cap: int = 20_000,
+    iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index at `path`, PARTITIONED BY cell — the
+    at-scale serving shape: ivf_query's `cell isin probes` filter becomes
+    Hive-style partition pruning on the read-back table, so a probe touches
+    nprobe/n_centroids of the corpus FILES (plan-asserted in
+    tests/test_ivf.py).  Centroids ride beside the index as a tiny parquet
+    table (`<path>/centroids`), FS-agnostic — no driver-local side files.
+    Returns the trained centroids."""
+    C = train_ivf_centroids(df, vec_col, n_centroids, sample_cap, iters, seed)
+    index = build_ivf_index(df, id_col, vec_col, C)
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return C
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a write_ivf_index() table: (index DataFrame with `cell` as a
+    partition column, centroids array).  Feed both to ivf_query()."""
+    index = spark.read.parquet(f"{path}/index")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    dim = len(crows[0]["centroid"])
+    C = np.zeros((len(crows), dim), dtype=np.float64)
+    for r in crows:
+        C[int(r["cell"])] = r["centroid"]
+    return index, C
 
 
 def ivf_query(
