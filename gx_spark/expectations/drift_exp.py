@@ -82,10 +82,13 @@ class _DivergenceBase:
 
             return finalize
 
-        # categorical partition {values, weights}.  Sketch mode: the
-        # partition object's value list IS the candidate set — one fused CMS
-        # aggregation probes exactly those values instead of a full groupBy
-        # over every distinct value (SURVEY.md §2.4 value_counts at scale).
+        # categorical partition {values, weights}.  Both modes are bounded:
+        # the divergence needs only the LISTED values' counts plus the total
+        # (everything else enters as aggregate unlisted mass), so the exact
+        # path is one conditional aggregation of |values|+1 counters — never
+        # a groupBy that collects every distinct value to the driver
+        # (unbounded on a high-cardinality column).  Sketch mode probes the
+        # same candidates through a CMS (SURVEY.md §2.4 value_counts).
         opts = ctx.options
 
         def vc_metric(df):
@@ -102,9 +105,19 @@ class _DivergenceBase:
                     seed=opts.cms_seed,
                 )
                 return {"counts": counts, "total": total}
-            rows = d.groupBy(column).count().collect()
-            vc = {r[column]: r["count"] for r in rows}
-            return {"counts": vc, "total": sum(vc.values())}
+            vals = list(po["values"])
+            row = d.agg(
+                F.count(F.lit(1)).alias("__total"),
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col(column) == F.lit(v), 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias(f"__v{i}")
+                    for i, v in enumerate(vals)
+                ],
+            ).collect()[0]
+            vc = {v: int(row[f"__v{i}"]) for i, v in enumerate(vals)}
+            return {"counts": vc, "total": int(row["__total"])}
 
         vc_ref = ctx.data("column.value_counts", dk, [column, opts.mode], vc_metric)
 

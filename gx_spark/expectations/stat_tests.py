@@ -53,9 +53,12 @@ class ChiSquareTest:
     partition_object {values, weights}; success iff p-value > p.
 
     With tail_weight_holdout > 0, values outside the partition get an "other"
-    bucket whose expected mass is the holdout (reference semantics); without
-    it, out-of-set observations are excluded from the test (and surfaced in
-    details.observed_out_of_set)."""
+    bucket whose expected mass is the holdout (reference semantics).  Without
+    a holdout, ANY out-of-set observation is failing evidence: its expected
+    count is 0, so the statistic is infinite and p = 0 (a column that is 90%
+    unknown categories must not pass because its in-set proportions happen
+    to match the weights); the out-of-set count is surfaced in
+    details.observed_out_of_set."""
 
     def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
         column = cfg.kwargs["column"]
@@ -97,6 +100,16 @@ class ChiSquareTest:
             if n_total == 0 or any(e <= 0 for e in expected):
                 return _result(cfg, rf, False, None,
                                {"error": "empty domain or zero expected bucket"})
+            if tail == 0.0 and n_other > 0:
+                # out-of-set mass with expected count 0: infinite statistic
+                details = {
+                    "chi_squared": math.inf,
+                    "dof": len(expected) - 1,
+                    "observed_counts": observed,
+                    "expected_counts": expected,
+                    "observed_out_of_set": n_other,
+                }
+                return _result(cfg, rf, False, 0.0, details)
             stat = sum((o - e) ** 2 / e for o, e in zip(observed, expected))
             pv = stats.chi2_sf(stat, len(expected) - 1)
             details = {

@@ -93,10 +93,10 @@ def minhash_signatures(
     )
 
 
-def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
-            carry_sig: bool) -> DataFrame:
+def _band_projection(sigs: DataFrame, bands: int, rows_per_band: int,
+                     carry_sig: bool) -> DataFrame:
     extra = ["sig"] if carry_sig else []
-    banded = sigs.select(
+    return sigs.select(
         "id",
         *extra,
         F.explode(
@@ -113,11 +113,25 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
             )
         ).alias("bb"),
     ).select("id", *extra, "bb.band", "bb.bucket")
-    # cap pathological buckets (all-identical boilerplate) before pairing
-    w = Window.partitionBy("band", "bucket")
-    return banded.withColumn(
-        "bsz", F.count(F.lit(1)).over(w)
-    ).filter(F.col("bsz") <= 1000)
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
+            carry_sig: bool, bucket_cap: int = 1000) -> DataFrame:
+    banded = _band_projection(sigs, bands, rows_per_band, carry_sig)
+    # cap pathological buckets (all-identical boilerplate) before pairing.
+    # The census runs on a SIG-FREE projection — a partial-agg shuffle of
+    # (band, bucket) longs only — and the oversized-bucket list (empty in a
+    # healthy corpus) comes back as a broadcast LEFT ANTI probe.  A window
+    # count over the carry_sig rows would drag every 32-long signature array
+    # through window shuffle state instead.
+    oversized = (
+        _band_projection(sigs, bands, rows_per_band, carry_sig=False)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    return banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
 
 
 def lsh_candidate_pairs(

@@ -291,6 +291,12 @@ def suggest_suite(
     - string: `value_lengths between` observed bounds
     - approx-unique columns (distinct ≈ nonnull): `be_unique`
     - low-cardinality columns: `be_in_set` of the observed values
+    - multimodal column groups (binary payload + its typed metadata
+      columns, audio or image): the payload expectations, with `mostly`
+      backed off to the violation fraction observed in one decode pass
+      (_suggest_multimodal).  Binary columns are otherwise exempt from the
+      distinct/unique/in_set rules — payload bytes must never be shuffled
+      or collected by a profiler.
     """
     from .model import ExpectationSuite
 
@@ -298,11 +304,15 @@ def suggest_suite(
     numeric = {f.name for f in fields
                if any(t in f.dataType.simpleString() for t in _NUMERIC_TYPES)}
     stringy = {f.name for f in fields if f.dataType.simpleString() == "string"}
+    binary = {f.name for f in fields if f.dataType.simpleString() == "binary"}
 
     exprs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
         c = f.name
         exprs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        if c in binary:
+            # null-count only: no distinct sketch over payload bytes
+            continue
         exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__dist"))
         if c in numeric:
             exprs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))
@@ -324,13 +334,21 @@ def suggest_suite(
     for f in fields:
         c = f.name
         nn = int(row[f"{c}__nn"])
-        dist = int(row[f"{c}__dist"])
+        dist = 0 if c in binary else int(row[f"{c}__dist"])
         if nn == n:
             suite.add("expect_column_values_to_not_be_null", column=c)
         elif n > 0 and nn > 0:
+            import math
+
+            # backoff must never exceed the OBSERVED non-null fraction
+            # (rounding up would fail the suite on its own profiling batch
+            # for null fractions below ~4e-4), so both terms round DOWN;
+            # clamp into (0, 1] — mostly=0.0 is outside the documented domain
             observed_null_frac = 1 - nn / n
+            backoff = math.floor((1 - 1.2 * observed_null_frac) * 1000) / 1000
+            observed = math.floor((nn / n) * 1000) / 1000
             suite.add("expect_column_values_to_not_be_null", column=c,
-                      mostly=max(0.0, round(1 - 1.2 * observed_null_frac, 3)))
+                      mostly=max(0.001, min(backoff, observed)))
         if c in numeric and nn > 0:
             suite.add("expect_column_values_to_be_between", column=c,
                       min_value=float(row[f"{c}__mn"]),
@@ -356,4 +374,62 @@ def suggest_suite(
             if len(vals) <= low_cardinality_max:
                 suite.add("expect_column_values_to_be_in_set", column=c,
                           value_set=sorted(vals))
+    _suggest_multimodal(df, suite, {f.name for f in fields}, binary)
     return suite
+
+
+_AUDIO_META = frozenset({"sr_hz", "dur_ms", "codec", "transcript"})
+_IMAGE_META = frozenset({"width", "height", "channels", "format"})
+
+
+def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
+    """Emit payload expectations for recognized (binary `bytes` + typed
+    metadata) column groups — the north-rule audio table and the image
+    table.  One decode pass (a probe validation) measures each candidate's
+    violation fraction so the emitted suite still passes its own profiling
+    batch: zero violations -> no mostly; some -> floored backoff (same rule
+    as not_be_null); (nearly) all violating -> not emitted, since no
+    passing form of the expectation exists."""
+    if "bytes" not in binary:
+        return
+    if _AUDIO_META <= cols and "clip_id" in cols:
+        candidates = [
+            ("expect_audio_metadata_to_be_consistent", {}),
+            ("expect_audio_snr_to_be_at_least", {"min_snr_db": 30.0}),
+            ("expect_transcript_to_match_reference", {}),
+        ]
+    elif _IMAGE_META <= cols:
+        candidates = [
+            ("expect_image_metadata_to_be_consistent", {}),
+            ("expect_image_mean_intensity_to_be_between",
+             {"min_value": 0.0, "max_value": 255.0}),
+        ]
+    else:
+        return
+    import math
+
+    from .executor import validate as _validate
+    from .model import EngineOptions
+    from .model import ExpectationSuite as _Suite
+
+    probe = _Suite("__multimodal_probe")
+    for t, kw in candidates:
+        probe.add(t, **kw)
+    bundle = _validate(df.sparkSession, df, probe,
+                       EngineOptions(result_format="BASIC"))
+    for (t, kw), evr in zip(candidates, bundle.suite_result.results):
+        res = evr.result
+        ec = int(res.get("element_count") or 0)
+        mc = int(res.get("missing_count") or 0)
+        uc = int(res.get("unexpected_count") or 0)
+        denom = max(ec - mc, 0)
+        if denom == 0:
+            continue
+        frac = uc / denom
+        if uc == 0:
+            suite.add(t, **kw)
+        elif frac < 0.999:
+            backoff = math.floor((1 - 1.2 * frac) * 1000) / 1000
+            observed = math.floor((1 - frac) * 1000) / 1000
+            suite.add(t, mostly=max(0.001, min(backoff, observed)), **kw)
+    bundle.unpersist()

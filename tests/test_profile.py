@@ -149,3 +149,80 @@ def test_suggest_suite_nulls_get_mostly(spark):
     assert all(r.success for r in b.suite_result.results), [
         (r.expectation_config.expectation_type, r.expectation_config.kwargs)
         for r in b.suite_result.results if not r.success]
+
+
+def test_suggest_suite_one_null_row_rounds_down(spark):
+    """ADVICE r2: one null in a large batch must not round mostly UP to 1.0
+    (stricter than observed) — the suite must still pass its own batch."""
+    from gx_spark import EngineOptions, validate
+    from gx_spark.profile import suggest_suite
+
+    df = spark.createDataFrame(
+        [(i, None if i == 0 else "x") for i in range(5000)],
+        "id long, maybe string",
+    )
+    suite = suggest_suite(df)
+    cfgs = {(c.expectation_type, c.kwargs.get("column")): c.kwargs
+            for c in suite.expectations}
+    m = cfgs[("expect_column_values_to_not_be_null", "maybe")]["mostly"]
+    assert 0 < m < 1.0
+    assert m <= 1 - 1 / 5000 + 1e-9
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    assert all(r.success for r in b.suite_result.results)
+
+
+def test_suggest_suite_audio_table(spark, audio_dir):
+    """Multimodal onboarding: profiling the north-rule audio table emits the
+    payload expectations with violation-rate backoff, binary column exempt
+    from unique/in_set, and the suite passes its own batch."""
+    from gx_spark import EngineOptions, validate
+    from gx_spark.profile import suggest_suite
+
+    df = spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
+    suite = suggest_suite(df)
+    types = [c.expectation_type for c in suite.expectations]
+    assert "expect_audio_metadata_to_be_consistent" in types
+    assert "expect_audio_snr_to_be_at_least" in types
+    assert "expect_transcript_to_match_reference" in types
+    # fixture table contains violation rows -> backed-off mostly present
+    cfgs = {c.expectation_type: c.kwargs for c in suite.expectations}
+    assert 0 < cfgs["expect_audio_metadata_to_be_consistent"]["mostly"] < 1
+    # binary payload never suggested for unique/in_set
+    for c in suite.expectations:
+        if c.kwargs.get("column") == "bytes":
+            assert c.expectation_type == "expect_column_values_to_not_be_null"
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("clip_id",)))
+    b.unpersist()
+    failed = [(r.expectation_config.expectation_type, r.expectation_config.kwargs)
+              for r in b.suite_result.results if not r.success]
+    assert not failed, failed
+
+
+def test_suggest_suite_image_table(spark):
+    """Image group detection: (bytes + width/height/channels/format)."""
+    from gx_spark import EngineOptions, validate
+    from gx_spark import image as gim
+    from gx_spark.profile import suggest_suite
+
+    rows = []
+    for i in range(50):
+        img_id = f"img_{i:05d}"
+        w, h = 16 + (i % 3) * 8, 16
+        b = gim.raw_encode(gim.synth_image(img_id, w, h))
+        width = w + 1 if i % 10 == 7 else w  # 10% metadata lies
+        rows.append((img_id, bytearray(b), width, h, 3, "gxraw"))
+    df = spark.createDataFrame(
+        rows,
+        "img_id string, bytes binary, width int, height int, channels int, format string",
+    )
+    suite = suggest_suite(df)
+    types = [c.expectation_type for c in suite.expectations]
+    assert "expect_image_metadata_to_be_consistent" in types
+    assert "expect_image_mean_intensity_to_be_between" in types
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("img_id",)))
+    b.unpersist()
+    assert all(r.success for r in b.suite_result.results), [
+        (r.expectation_config.expectation_type, r.expectation_config.kwargs)
+        for r in b.suite_result.results if not r.success]
