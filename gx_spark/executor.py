@@ -116,6 +116,30 @@ def _denominator_agg(ctx: MetricContext) -> dict[str, Any]:
     return {k: row[k] for k in keys}
 
 
+def _violation_filter_query(spec, bag: MetricBag, src: DataFrame) -> str | None:
+    """Render a ViolationSpec's condition Column as the GE-parity
+    `unexpected_index_query` string (Spark engine form:
+    `df.filter(F.expr(<condition sql>))`, ref: expectation.py#
+    _format_map_output's unexpected_index_query key).  The SQL is produced by
+    Catalyst's own Expression.sql(), so it round-trips through F.expr on the
+    same (flagged) batch frame.  Conditions that embed Python UDF calls
+    (audio/image flag structs) still render — the UDF name appears in the SQL
+    and the string documents the filter rather than being re-runnable, which
+    matches the reference's behavior for spark-native conditions.  Returns
+    None when no SQL can be produced (the key is then omitted).
+
+    Spark 4's Column wraps a ColumnNode with no direct .sql(); the condition
+    is analyzed through a (never-executed) select on the batch frame and the
+    SQL read off the resolved Alias child — driver-side only, no job."""
+    try:
+        sel = src.select(spec.condition(bag).alias("__gx_cond"))
+        expr = sel._jdf.queryExecution().analyzed().expressions().apply(0)
+        sql = expr.child().sql()
+        return f"df.filter(F.expr({sql!r}))"
+    except Exception:
+        return None
+
+
 def _exception_evr(cfg: ExpectationConfiguration, exc: BaseException) -> ExpectationValidationResult:
     return ExpectationValidationResult(
         success=False,
@@ -315,6 +339,21 @@ class ValidationRun:
                 violations, lists, persisted = self._violations_fallback(
                     ctx, src, bag, max_rf
                 )
+            if max_rf == "COMPLETE":
+                # COMPLETE tier carries unexpected_index_query for EVERY map
+                # expectation (zero-violation ones included — the query is a
+                # property of the expectation, not of the rows it caught)
+                for spec in ctx.violations:
+                    q = _violation_filter_query(spec, bag, src)
+                    if q is not None:
+                        lists.setdefault(
+                            spec.exp_index,
+                            {
+                                "unexpected_count": 0,
+                                "partial_unexpected_list": [],
+                                "partial_unexpected_index_list": [],
+                            },
+                        )["unexpected_index_query"] = q
             for idx, entry in lists.items():
                 bag.put(f"viol:{idx}", entry)
             if ctx._observe:

@@ -41,6 +41,7 @@ def build_map_result(
     partial_unexpected_counts: list[dict[str, Any]] | None = None,
     unexpected_list: list[Any] | None = None,
     unexpected_index_list: list[Any] | None = None,
+    unexpected_index_query: str | None = None,
 ) -> dict[str, Any]:
     """Assemble the tiered result dict for a map-type expectation."""
     if result_format == "BOOLEAN_ONLY":
@@ -69,6 +70,11 @@ def build_map_result(
         result["unexpected_index_list"] = (
             unexpected_index_list if unexpected_index_list is not None else []
         )
+        if unexpected_index_query is not None:
+            # GE parity (SURVEY Appendix A): a query string that re-derives
+            # the unexpected rows from the batch.  Spark-engine form matches
+            # the reference's: df.filter(F.expr(<condition sql>)).
+            result["unexpected_index_query"] = unexpected_index_query
     return result
 
 

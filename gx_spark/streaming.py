@@ -7,6 +7,14 @@ append to the same `_validation_results` / `_violations` parquet tables as
 the checkpoint runner, keyed by (run_id, batch_id).  Use watermarking /
 windowing upstream of the validated stream as usual — the engine only sees
 the materialized micro-batch DataFrame.
+
+Semantics caveat (inherent to per-batch validation, not this adapter):
+GLOBAL expectations — uniqueness, compound uniqueness, row_count vs other
+table — are evaluated within each micro-batch.  A duplicate key pair split
+across two micro-batches is invisible; route the stream through a
+key-partitioned source (or repartition upstream by the key) when cross-batch
+uniqueness matters, or run a periodic batch validation over the landed
+table.  Per-row (map) and per-batch aggregate expectations are unaffected.
 """
 
 from __future__ import annotations

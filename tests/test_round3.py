@@ -95,3 +95,42 @@ def test_chisquare_out_of_set_mass_fails_without_holdout(spark):
     )
     b2 = validate(spark, df, suite2, EngineOptions(collect_violations=False))
     assert b2.suite_result.results[0].success
+
+
+def test_unexpected_index_query_complete(spark):
+    """COMPLETE-tier map results carry GE's `unexpected_index_query` key
+    (SURVEY Appendix A): a `df.filter(F.expr(<sql>))` string whose condition
+    re-derives the unexpected rows; lower tiers omit it; zero-violation
+    expectations still report their query."""
+    import ast
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, None)], "id int, v string"
+    )
+    suite = ExpectationSuite("uiq").add(
+        "expect_column_values_to_be_in_set", column="v",
+        value_set=["a", "b"], result_format="COMPLETE",
+    ).add(
+        "expect_column_values_to_not_be_null", column="id",
+        result_format="COMPLETE",
+    ).add(
+        "expect_column_value_lengths_to_be_between", column="v",
+        min_value=1, max_value=5, result_format="BASIC",
+    )
+    b = validate(
+        spark, df, suite,
+        EngineOptions(unexpected_index_column_names=("id",)),
+    )
+    in_set, not_null, basic = b.suite_result.results
+    q = in_set.result["unexpected_index_query"]
+    m = re.fullmatch(r"df\.filter\(F\.expr\((.*)\)\)", q, re.S)
+    assert m, q
+    cond_sql = ast.literal_eval(m.group(1))
+    assert df.filter(F.expr(cond_sql)).count() == 1  # the 'zz' row
+    # zero-violation expectation still reports its query
+    assert not_null.success
+    assert "unexpected_index_query" in not_null.result
+    # BASIC tier omits the key
+    assert "unexpected_index_query" not in basic.result
+    b.unpersist()

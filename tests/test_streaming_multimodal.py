@@ -1,0 +1,74 @@
+"""Streaming adapter over the FULL multimodal (audio) suite: three
+micro-batches through foreachBatch must produce exactly the batch-mode
+violation set, with per-batch results + checkpoint (VERDICT r2 punch #8).
+
+The audio suite's decode pandas-UDF runs inside each micro-batch the same
+way it does in batch mode (persist-once per validate() call), so the
+streaming path inherits the decode-once-per-run guarantee per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import EngineOptions, validate  # noqa: E402
+from gx_spark.streaming import validate_stream  # noqa: E402
+from gx_spark.suites import audio_suite  # noqa: E402
+
+
+def test_stream_audio_suite_matches_batch(spark, audio_dir, audio_df, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    # shard the batch table into 3 files -> 3 micro-batches at
+    # maxFilesPerTrigger=1 (the sandbox table is a single file).  Sharding
+    # hashes clip_id so duplicate keys co-locate in ONE micro-batch: global
+    # expectations (unique) only match batch mode under key-partitioned
+    # micro-batches — inherent to per-batch validation, documented in
+    # gx_spark/streaming.py.
+    audio_df.repartition(3, F.col("clip_id")).write.parquet(src)
+
+    opts = EngineOptions(unexpected_index_column_names=("clip_id",))
+    batch_bundle = validate(spark, spark.read.parquet(src), audio_suite(), opts)
+    batch_set = {
+        (r["clip_id"], r["expectation_type"])
+        for r in batch_bundle.violations_table()
+        .select("clip_id", "expectation_type")
+        .collect()
+    }
+    batch_bundle.unpersist()
+    assert batch_set  # generator plants violations; the test must see them
+
+    stream = (
+        spark.readStream.schema(audio_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = validate_stream(
+        stream, audio_suite(), out, opts, checkpoint_location=chk
+    )
+    q.awaitTermination(300)
+
+    viol = spark.read.parquet(f"{out}/_violations")
+    assert viol.select("batch_id").distinct().count() >= 3
+    stream_set = {
+        (r["clip_id"], r["expectation_type"])
+        for r in viol.select("clip_id", "expectation_type").collect()
+    }
+    assert stream_set == batch_set
+
+    # per-batch EVR rows landed for every micro-batch (one row per
+    # expectation per batch), keyed by (run_id-b<batch>, partition_id)
+    results = spark.read.parquet(f"{out}/_validation_results")
+    n_exp = len(audio_suite().expectations)
+    per_batch = (
+        results.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert len(per_batch) >= 3
+    assert all(r["n"] == n_exp for r in per_batch)
