@@ -69,10 +69,12 @@ def ensure_image_table() -> str:
 
 
 def ensure_audio_table(spark) -> str:
-    marker = os.path.join(AUDIO_DIR, "expected_aggregates.json")
-    if not os.path.exists(marker):
-        from tools.gen_audio import generate_small, generate_spark
+    from tools.gen_audio import generate_small, generate_spark, table_is_current
 
+    if not table_is_current(AUDIO_DIR):
+        import shutil
+
+        shutil.rmtree(AUDIO_DIR, ignore_errors=True)
         if AUDIO_N <= 20000:
             generate_small(AUDIO_N, AUDIO_DIR, 16)
         else:

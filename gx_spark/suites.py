@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from .model import ExpectationSuite
 
-AUDIO_CODECS = ["pcm_s16le", "flac", "opus"]
+AUDIO_CODECS = ["pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw", "opus"]
 CLIP_ID_REGEX = r"^clip_\d{10}$"
 
 

@@ -31,9 +31,12 @@ def spark():
 
 @pytest.fixture(scope="session")
 def audio_dir():
-    if not os.path.exists(os.path.join(AUDIO_DIR, "expected_aggregates.json")):
-        from tools.gen_audio import generate_small
+    from tools.gen_audio import generate_small, table_is_current
 
+    if not table_is_current(AUDIO_DIR):
+        import shutil
+
+        shutil.rmtree(AUDIO_DIR, ignore_errors=True)
         generate_small(AUDIO_N, AUDIO_DIR, p_partitions=16)
     return AUDIO_DIR
 

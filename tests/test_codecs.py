@@ -1,0 +1,118 @@
+"""From-scratch codec layer: FLAC subset (gx_spark/flac.py) and G.711
+mu-law/A-law (gx_spark/g711.py) — round-trips, corruption detection,
+container/label consistency, and flag integration."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark.audio import (  # noqa: E402
+    compute_flags_row,
+    decode_payload,
+    encode_payload,
+    snr_db,
+    synth_pcm,
+    wav_encode,
+)
+from gx_spark.flac import crc8, crc16, flac_decode, flac_encode  # noqa: E402
+from gx_spark.g711 import (  # noqa: E402
+    ALAW_DECODE,
+    MULAW_DECODE,
+    alaw_decode,
+    alaw_encode,
+    mulaw_decode,
+    mulaw_encode,
+)
+
+
+def test_crc_check_values():
+    # published check values: CRC-8/0x07("123456789")=0xF4,
+    # CRC-16/BUYPASS("123456789")=0xFEE8
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+
+
+@pytest.mark.parametrize("n", [0, 1, 191, 4096, 4097, 12_345, 96_000])
+def test_flac_roundtrip_bit_exact(n):
+    rng = np.random.default_rng(n)
+    pcm = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    sr, out = flac_decode(flac_encode(pcm, 44100), verify=True)
+    assert sr == 44100
+    assert np.array_equal(pcm, out)
+
+
+def test_flac_corruption_detected():
+    pcm = synth_pcm("clip_0000000042", 16000, 700)
+    b = bytearray(flac_encode(pcm, 16000))
+    flipped = bytearray(b)
+    flipped[len(b) // 2] ^= 0x01
+    with pytest.raises(ValueError):
+        flac_decode(bytes(flipped), verify=True)  # frame CRC-16
+    with pytest.raises(ValueError):
+        flac_decode(bytes(b[: len(b) // 3]))  # structural truncation
+    with pytest.raises(ValueError):
+        flac_decode(b"fLaX" + bytes(b[4:]))  # bad magic
+
+
+def test_g711_snr_and_tables():
+    # G.711 companding keeps the synthetic mixture well above the 30 dB
+    # north-rule gate (≈38 dB), and the decode tables span full scale
+    pcm = synth_pcm("clip_0000000001", 16000, 1500)
+    for enc, dec in ((mulaw_encode, mulaw_decode), (alaw_encode, alaw_decode)):
+        out = dec(enc(pcm).tobytes())
+        assert 33.0 < snr_db(pcm, out) < 45.0
+    assert MULAW_DECODE.max() > 30000 and MULAW_DECODE.min() < -30000
+    assert ALAW_DECODE.max() > 30000 and ALAW_DECODE.min() < -30000
+    # idempotent quantization: decode->encode->decode is a fixed point
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(mulaw_decode(mulaw_encode(MULAW_DECODE[codes])),
+                          MULAW_DECODE[codes])
+    assert np.array_equal(alaw_decode(alaw_encode(ALAW_DECODE[codes])),
+                          ALAW_DECODE[codes])
+
+
+@pytest.mark.parametrize("codec", ["pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw"])
+def test_payload_roundtrip_all_codecs(codec):
+    pcm = synth_pcm("clip_0000000007", 22050, 900)
+    sr, out = decode_payload(encode_payload(pcm, 22050, codec), codec)
+    assert sr == 22050
+    assert len(out) == len(pcm)
+    if codec in ("pcm_s16le", "flac"):
+        assert np.array_equal(pcm, out)  # lossless
+    else:
+        assert snr_db(pcm, out) >= 33.0  # G.711 companding noise only
+
+
+def test_container_label_mismatch_rejected():
+    pcm = synth_pcm("clip_0000000007", 16000, 400)
+    mulaw_bytes = encode_payload(pcm, 16000, "pcm_mulaw")
+    with pytest.raises(ValueError):
+        decode_payload(mulaw_bytes, "pcm_s16le")  # fmt tag 7 != PCM label
+    with pytest.raises(ValueError):
+        decode_payload(wav_encode(pcm, 16000), "flac")  # WAV labeled flac
+
+
+@pytest.mark.parametrize("codec", ["flac", "pcm_mulaw", "pcm_alaw"])
+def test_flags_real_codecs(codec):
+    clip = "clip_0000000011"
+    sr, dur = 16000, 500
+    pcm = synth_pcm(clip, sr, dur)
+    good = encode_payload(pcm, sr, codec)
+    f = compute_flags_row(clip, good, sr, dur, codec, None)
+    assert f["decodable"] and f["header_sr_ok"] and f["dur_ok"]
+    assert f["snr_db"] >= 33.0
+    # header mismatch (violation class 5): encoded at 2x the metadata sr
+    bad = encode_payload(pcm, sr * 2, codec)
+    f = compute_flags_row(clip, bad, sr, dur, codec, None)
+    assert f["decodable"] and f["header_sr_ok"] is False
+    # truncation (class 6): 75% of samples
+    trunc = encode_payload(pcm[: int(len(pcm) * 0.75)], sr, codec)
+    f = compute_flags_row(clip, trunc, sr, dur, codec, None)
+    assert f["decodable"] and f["dur_ok"] is False

@@ -91,13 +91,19 @@ def test_audio_flags_codec_hardening():
     f = compute_flags_row("clip_0000000001", wav, 16000, 300, "mp3", None)
     assert f["decodable"] is False
 
-    # known stub codec with opaque payload: metadata-only pass
-    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "flac", None)
+    # known stub codec (opus only now) with opaque payload: metadata-only pass
+    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "opus", None)
     assert f["decodable"] is True and f["header_sr_ok"] is True
 
-    # RIFF payload mislabeled as flac/opus: flagged
-    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "flac", None)
+    # RIFF payload mislabeled as opus: flagged
+    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "opus", None)
     assert f["decodable"] is False
+
+    # flac now decodes for real: stub bytes under the flac label are flagged
+    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "flac", None)
+    assert f["decodable"] is False
+    f = compute_flags_row("clip_0000000001", wav, 16000, 300, "flac", None)
+    assert f["decodable"] is False  # WAV container mislabeled as flac
 
     # pcm path unchanged
     f = compute_flags_row("clip_0000000001", wav, 16000, 300, "pcm_s16le", None)

@@ -30,7 +30,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gx_spark.audio import (  # noqa: E402
+    CONVENTIONS_VERSION,
+    DECODABLE_CODECS,
     crc,
+    encode_payload,
     ref_codec,
     ref_dur_ms,
     ref_sr_hz,
@@ -43,6 +46,21 @@ N_SPEAKERS = 200
 ORPHAN_PER_MILLE = 5  # ~0.5% orphan FK rows
 VIOL_PER_MILLE = 20  # ~2% row-level violations
 DRIFT_DUR_SHIFT = 600  # ms added to the drifted partition
+
+
+def table_is_current(out_dir: str) -> bool:
+    """True when a generated table exists AND was produced under the current
+    payload/codec conventions (meta.json carries CONVENTIONS_VERSION — a
+    stale cache would silently fail the sidecar-exact-match tests)."""
+    meta = os.path.join(out_dir, "meta.json")
+    if not (os.path.exists(meta)
+            and os.path.exists(os.path.join(out_dir, "expected_aggregates.json"))):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f).get("conventions") == CONVENTIONS_VERSION
+    except (OSError, json.JSONDecodeError):
+        return False
 
 
 def violation_class(orig_id: str) -> int | None:
@@ -93,7 +111,7 @@ def gen_row(i: int, p_partitions: int) -> tuple[dict, list[tuple[str, str, str]]
         sr = 3000
         header_sr = 3000
         sidecar.append((clip_id, "expect_column_values_to_be_between", "sr_hz"))
-    elif cls == 5 and codec == "pcm_s16le":  # header/metadata mismatch
+    elif cls == 5 and codec in DECODABLE_CODECS:  # header/metadata mismatch
         header_sr = sr * 2
         sidecar.append((clip_id, "expect_audio_metadata_to_be_consistent", "bytes"))
     elif cls == 8:  # wrong transcript: swap first two words
@@ -102,7 +120,7 @@ def gen_row(i: int, p_partitions: int) -> tuple[dict, list[tuple[str, str, str]]
         transcript = " ".join(w)
         sidecar.append((clip_id, "expect_transcript_to_match_reference", "transcript"))
 
-    if codec == "pcm_s16le" or codec == "mp3":
+    if codec in DECODABLE_CODECS or codec == "mp3":
         pcm = synth_pcm(clip_id, sr, dur)
         if cls == 6:  # truncated payload
             pcm = pcm[: int(len(pcm) * 0.75)]
@@ -114,9 +132,12 @@ def gen_row(i: int, p_partitions: int) -> tuple[dict, list[tuple[str, str, str]]
             noise = rng.uniform(-amp, amp, size=len(pcm))
             pcm = np.clip(pcm.astype(np.float64) + noise, -32768, 32767).astype(np.int16)
             sidecar.append((clip_id, "expect_audio_snr_to_be_at_least", "bytes"))
-        b = wav_encode(pcm, header_sr)
+        # mp3 = mislabeled-codec violation class: the payload is a WAV the
+        # engine cannot certify under that label
+        b = (wav_encode(pcm, header_sr) if codec == "mp3"
+             else encode_payload(pcm, header_sr, codec))
     else:
-        # flac/opus: no in-sandbox encoder — deterministic opaque payload
+        # opus: the one remaining stub codec — deterministic opaque payload
         b = b"STUB" + clip_id.encode() + bytes([crc(clip_id + "pad") % 256] * 64)
 
     if speaker_for(clip_id).startswith("spk_9"):
@@ -208,9 +229,9 @@ def gen_row_sidecar_only(i: int, p_partitions: int) -> list[tuple[str, str, str]
         8: ("expect_transcript_to_match_reference", "transcript"),
     }
     codec = "mp3" if cls == 2 else ref_codec(clip_id)
-    if cls in mapping and not (cls == 5 and codec != "pcm_s16le"):
+    if cls in mapping and not (cls == 5 and codec not in DECODABLE_CODECS):
         out.append((clip_id,) + mapping[cls])
-    if codec == "pcm_s16le":
+    if codec in DECODABLE_CODECS:
         if cls == 6:
             out.append((clip_id, "expect_audio_metadata_to_be_consistent", "bytes"))
         elif cls == 7:
@@ -264,7 +285,8 @@ def _write_sidecars(out_dir: str, sidecar: list, p_partitions: int) -> None:
         json.dump({k: (float(v) if v is not None else None) for k, v in zip(names, aggs)},
                   f, indent=1)
     with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump({"p_partitions": p_partitions}, f)
+        json.dump({"p_partitions": p_partitions,
+                   "conventions": CONVENTIONS_VERSION}, f)
 
 
 if __name__ == "__main__":
