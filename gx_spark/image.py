@@ -68,16 +68,20 @@ def raw_decode(b: bytes) -> np.ndarray:
 def decode_image(b: bytes, fmt: str) -> np.ndarray:
     """Decode an image payload to (h, w, c) uint8.
 
-    `gxraw` (deterministic raw container) and `png` (pure zlib+numpy codec,
-    gx_spark/png.py) decode fully in-sandbox; jpeg remains STUBBED (no
-    libjpeg here) — production swaps in a real decoder; every caller below
-    is agnostic to it."""
+    All three formats decode for real in-sandbox: `gxraw` (deterministic
+    raw container), `png` (pure zlib+numpy codec, gx_spark/png.py), and
+    `jpeg` (baseline T.81 codec, gx_spark/jpeg.py).  Production may swap in
+    libjpeg-turbo etc. — every caller below is agnostic to it."""
     if fmt == "gxraw":
         return raw_decode(b)
     if fmt == "png":
         from .png import png_decode
 
         return png_decode(b)
+    if fmt == "jpeg":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(b)
     raise NotImplementedError(f"no in-sandbox decoder for image format {fmt!r}")
 
 
@@ -100,15 +104,7 @@ def compute_image_flags_row(b, width, height, channels, fmt):
            "dims_ok": None, "mean_r": None, "mean_g": None, "mean_b": None}
     if b is None:
         return out
-    if fmt == "jpeg":
-        # stub codec: only the container magic is verifiable in-sandbox.
-        # Valid SOI marker -> decodable=None (UNVERIFIABLE, excluded from
-        # the metadata check — never a blind pass); anything else (incl. a
-        # mislabeled gxraw/png payload) -> decodable=False (violation).
-        if bytes(b[:2]) == b"\xff\xd8":
-            out["decodable"] = None
-        return out
-    if fmt not in ("gxraw", "png"):
+    if fmt not in ("gxraw", "png", "jpeg"):
         return out
     try:
         px = decode_image(bytes(b), fmt)

@@ -24,8 +24,10 @@ def test_raw_codec_roundtrip():
 
 
 def test_decode_stubs_and_malformed():
+    with pytest.raises(ValueError):
+        gim.decode_image(b"\xff\xd8\xff", "jpeg")  # truncated JPEG
     with pytest.raises(NotImplementedError):
-        gim.decode_image(b"\xff\xd8\xff", "jpeg")
+        gim.decode_image(b"\x00\x00\x01\xba", "h264")
     with pytest.raises(ValueError):
         gim.raw_decode(b"NOPE" + b"\x00" * 20)
     with pytest.raises(ValueError):
@@ -78,11 +80,18 @@ def test_image_flags_mislabeled_format(spark):
     flags = gim.compute_image_flags_row(gim.raw_encode(px), 8, 8, 3, "jpeg")
     assert flags["decodable"] is False  # gxraw payload labeled jpeg -> flagged
     flags2 = gim.compute_image_flags_row(b"\xff\xd8\xff\xe0stub", 8, 8, 3, "jpeg")
-    # valid SOI magic but stubbed codec: UNVERIFIABLE (excluded from the
-    # metadata check), never a blind pass
-    assert flags2["decodable"] is None
+    # jpeg decodes for real now (gx_spark/jpeg.py): a truncated/garbage
+    # stream with a valid SOI is a decode FAILURE, not an excluded stub
+    assert flags2["decodable"] is False
     flags3 = gim.compute_image_flags_row(b"garbage-bytes", 8, 8, 3, "jpeg")
     assert flags3["decodable"] is False  # bad magic -> violation
+    # a real baseline JPEG decodes and verifies dims
+    from gx_spark.jpeg import jpeg_encode
+
+    good = gim.compute_image_flags_row(jpeg_encode(px, 90), 8, 8, 3, "jpeg")
+    assert good["decodable"] is True and good["dims_ok"] is True
+    bad = gim.compute_image_flags_row(jpeg_encode(px, 90), 9, 8, 3, "jpeg")
+    assert bad["decodable"] is True and bad["dims_ok"] is False
 
 
 def test_resize_and_phash(spark):
