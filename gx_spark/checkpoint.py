@@ -154,6 +154,25 @@ class CheckpointRunner:
             os.path.join(self.results_dir, "_validation_results")
         )
 
+    def publish(self, iceberg_location: str, now_ms: int | None = None) -> int:
+        """Append the accumulated validation-results rows to an Iceberg-lite
+        `_validation_results` table (gx_spark/iceberg.py), one snapshot per
+        publish — the results store itself gets snapshot lineage, per the
+        north rule ("metrics rows appended to a _validation_results table").
+        Call once at run end (idempotency across publishes is the caller's:
+        re-publishing the same run appends a new snapshot).  Returns the
+        results table's new snapshot id."""
+        from .iceberg import IcebergLiteTable
+
+        df = self.results().withColumn(
+            "snapshot_id", F.col("snapshot_id").cast("string"))
+        if IcebergLiteTable.exists(iceberg_location):
+            t = IcebergLiteTable(iceberg_location)
+        else:
+            t = IcebergLiteTable.create(iceberg_location, df.schema,
+                                        partition_by=["snapshot_id"])
+        return t.append(df, now_ms=now_ms)
+
     def violations(self) -> DataFrame:
         return self.spark.read.option("basePath",
                                       os.path.join(self.results_dir, "_violations")

@@ -1,0 +1,554 @@
+"""Iceberg-lite: a pure-Python implementation of the Apache Iceberg table
+format (v2 metadata layout), spec-faithful in structure, runnable with no
+iceberg-spark-runtime jar.
+
+The north rule targets "Iceberg tables of audio clip + transcript pairs"
+with resume keyed on "Iceberg snapshot-id + partition lineage".  The
+sandbox has no Iceberg jar, so rounds 1-2 emulated snapshots with a
+file-listing hash (table_provider.FileTableProvider).  This module closes
+that gap for real: it reads and writes the actual on-disk Iceberg layout —
+
+    <location>/metadata/v<N>.metadata.json     table metadata (format v2)
+    <location>/metadata/snap-<id>-*.avro       manifest list (Avro OCF)
+    <location>/metadata/manifest-*.avro        manifests (Avro OCF)
+    <location>/metadata/version-hint.text      current version pointer
+    <location>/data/...                        parquet data files
+
+using gx_spark/avro_ocf.py (pure-stdlib Avro codec written from the public
+Avro spec) and pyarrow for parquet footers.  Everything is derived from the
+published Iceberg spec (https://iceberg.apache.org/spec/); the upstream
+great_expectations reference has no table-format layer (reference mount is
+empty, SURVEY.md §0).
+
+Supported:
+- create / append (each append = a new snapshot, new manifest, new
+  manifest list, new metadata version) — atomic via temp+rename
+- identity partition specs (hive-layout data dirs, partition tuple recorded
+  per data file in the manifest, exactly how identity transforms behave)
+- snapshot time travel (snapshot_id= / as_of_ms=) and incremental reads
+  (files added in (from_snapshot, to_snapshot])
+- manifest-level partition pruning: `plan_files(filter={col: value})`
+  selects data files by their manifest partition tuple BEFORE Spark sees
+  anything, so a pruned read never opens excluded files — the at-scale
+  behavior Iceberg provides on a real cluster
+- schema round-trip for the Spark types gx_spark tables use (string, int,
+  long, float, double, boolean, binary, timestamp, date, decimal)
+
+Intentionally out of scope (documented, not hidden): non-identity
+transforms (bucket/truncate/days), row-level deletes (v2 delete files),
+column-id field mapping inside parquet (files are written by Spark with
+names, read back by name), and catalog integration — on a real cluster the
+same gx_spark call sites accept `spark.table("catalog.db.t")` via
+IcebergTableProvider.
+
+Scale note: planning is metadata-only (Avro manifests list files + stats;
+no data I/O), mirroring real Iceberg job planning.  The Spark scan itself
+receives an explicit pruned file list; at 10^12 rows the planning cost is
+proportional to manifest count, not data size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from .avro_ocf import read_ocf, write_ocf
+
+try:  # pyarrow is baked into the sandbox; guard anyway for lib-only use
+    import pyarrow.parquet as pq
+except Exception:  # pragma: no cover
+    pq = None
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> Iceberg schema mapping
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICE = {
+    "string": "string",
+    "integer": "int",
+    "int": "int",
+    "long": "long",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "binary",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+
+_ICE_TO_SPARK = {
+    "string": "string",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "binary",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "date": "date",
+}
+
+
+def _spark_schema_to_iceberg(spark_schema) -> list[dict]:
+    """StructType -> Iceberg schema fields with sequential field ids."""
+    fields = []
+    for i, f in enumerate(spark_schema.fields, start=1):
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            ice = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _SPARK_TO_ICE:
+            ice = _SPARK_TO_ICE[tn]
+        else:
+            raise ValueError(f"iceberg-lite: unsupported Spark type {tn!r} for {f.name!r}")
+        fields.append(
+            {"id": i, "name": f.name, "required": not f.nullable, "type": ice}
+        )
+    return fields
+
+
+def iceberg_fields_to_spark_ddl(fields: list[dict]) -> str:
+    parts = []
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            sp = t.replace(" ", "")
+        else:
+            sp = _ICE_TO_SPARK.get(t)
+            if sp is None:
+                raise ValueError(f"iceberg-lite: unsupported Iceberg type {t!r}")
+        parts.append(f"`{f['name']}` {sp}")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifest + manifest list (structural subset of the spec's
+# schemas: the required fields with their spec names & field-id metadata)
+# ---------------------------------------------------------------------------
+
+def _partition_avro_fields(partition_cols: list[tuple[str, str]]) -> list[dict]:
+    # identity transforms: partition value has the source column's type
+    ice_to_avro = {
+        "string": "string", "int": "int", "long": "long", "float": "float",
+        "double": "double", "boolean": "boolean", "date": "int",
+        "timestamp": "long", "binary": "bytes",
+    }
+    out = []
+    for i, (name, ice_type) in enumerate(partition_cols):
+        avro_t = ice_to_avro.get(ice_type, "string")
+        out.append({"name": name, "type": ["null", avro_t], "default": None,
+                    "field-id": 1000 + i})
+    return out
+
+
+def _manifest_entry_schema(partition_cols: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None,
+             "field-id": 3},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": _partition_avro_fields(partition_cols),
+                            },
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+@dataclass
+class DataFileInfo:
+    file_path: str
+    record_count: int
+    file_size_in_bytes: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    snapshot_id: int = 0
+
+
+# ---------------------------------------------------------------------------
+# the table
+# ---------------------------------------------------------------------------
+
+class IcebergLiteTable:
+    """Read/write handle on an Iceberg-layout table directory."""
+
+    def __init__(self, location: str) -> None:
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "metadata")
+        self.data_dir = os.path.join(self.location, "data")
+        self._meta: dict | None = None
+
+    # -- metadata plumbing --------------------------------------------------
+
+    def _current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            raise FileNotFoundError(f"not an iceberg table: {self.location}")
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    @property
+    def metadata(self) -> dict:
+        if self._meta is None:
+            v = self._current_version()
+            with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def refresh(self) -> "IcebergLiteTable":
+        self._meta = None
+        return self
+
+    def _write_metadata(self, meta: dict, version: int) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, path)
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        with open(hint + ".tmp", "w") as f:
+            f.write(str(version))
+        os.replace(hint + ".tmp", hint)
+        self._meta = meta
+
+    # -- public surface -----------------------------------------------------
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", "version-hint.text"))
+
+    @classmethod
+    def create(cls, location: str, spark_schema, partition_by: list[str] | None = None,
+               now_ms: int = 0) -> "IcebergLiteTable":
+        t = cls(location)
+        if cls.exists(location):
+            raise FileExistsError(f"iceberg table already exists at {location}")
+        fields = _spark_schema_to_iceberg(spark_schema)
+        by_name = {f["name"]: f for f in fields}
+        partition_by = partition_by or []
+        for c in partition_by:
+            if c not in by_name:
+                raise ValueError(f"partition column {c!r} not in schema")
+        spec_fields = [
+            {"name": c, "transform": "identity", "source-id": by_name[c]["id"],
+             "field-id": 1000 + i}
+            for i, c in enumerate(partition_by)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
+            "location": t.location,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": fields[-1]["id"],
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        t._write_metadata(meta, 1)
+        os.makedirs(t.data_dir, exist_ok=True)
+        return t
+
+    @property
+    def partition_cols(self) -> list[tuple[str, str]]:
+        meta = self.metadata
+        schema = meta["schemas"][meta["current-schema-id"]]
+        by_id = {f["id"]: f for f in schema["fields"]}
+        spec = meta["partition-specs"][meta["default-spec-id"]]
+        return [(pf["name"], by_id[pf["source-id"]]["type"]) for pf in spec["fields"]]
+
+    @property
+    def schema_fields(self) -> list[dict]:
+        meta = self.metadata
+        return meta["schemas"][meta["current-schema-id"]]["fields"]
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata["snapshots"])
+
+    def current_snapshot_id(self) -> int | None:
+        sid = self.metadata["current-snapshot-id"]
+        return None if sid == -1 else sid
+
+    def _resolve_snapshot(self, snapshot_id: int | None = None,
+                          as_of_ms: int | None = None) -> dict | None:
+        snaps = self.metadata["snapshots"]
+        if not snaps:
+            return None
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        if as_of_ms is not None:
+            eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return max(eligible, key=lambda s: s["timestamp-ms"])
+        cur = self.metadata["current-snapshot-id"]
+        return next(s for s in snaps if s["snapshot-id"] == cur)
+
+    # -- append -------------------------------------------------------------
+
+    def append(self, df, now_ms: int | None = None) -> int:
+        """Write df as parquet data files and commit one new snapshot.
+        Returns the new snapshot id (deterministic: derived from the table
+        uuid + sequence number, so tests and resumed jobs are reproducible).
+        """
+        if pq is None:  # pragma: no cover
+            raise RuntimeError("pyarrow required for iceberg-lite appends")
+        meta = dict(self.metadata)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = int.from_bytes(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{meta['table-uuid']}#{seq}").bytes[:8],
+            "big",
+        ) >> 1  # positive long
+        if now_ms is None:
+            now_ms = meta["last-updated-ms"] + 1
+        pcols = self.partition_cols
+        pnames = [c for c, _ in pcols]
+
+        # 1. data files: hive layout under data/snap-<id>/ — Spark's native
+        # partitioned write (scales with the cluster; no driver data path).
+        out_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        writer = df.write.mode("error")
+        if pnames:
+            writer = writer.partitionBy(*pnames)
+        writer.parquet(out_dir)
+
+        # 2. manifest entries from the written files' footers (record counts
+        # from parquet metadata — no data read) + dir-encoded partition tuples
+        entries = []
+        total_rows = 0
+        for root, _, files in os.walk(out_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(root, out_dir)
+                part: dict[str, Any] = {}
+                if rel != ".":
+                    for piece in rel.split(os.sep):
+                        k, _, v = piece.partition("=")
+                        part[k] = _decode_hive_value(v, dict(pcols).get(k, "string"))
+                nrows = pq.ParquetFile(p).metadata.num_rows
+                total_rows += nrows
+                entries.append({
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {c: part.get(c) for c in pnames},
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                })
+
+        # 3. manifest avro + manifest list avro
+        man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
+        write_ocf(man_path, _manifest_entry_schema(pcols), entries,
+                  extra_meta={"schema": json.dumps(
+                      meta["schemas"][meta["current-schema-id"]]).encode(),
+                      "partition-spec-id": b"0", "content": b"data"})
+        prev = self._resolve_snapshot() if meta["snapshots"] else None
+        prev_manifests = []
+        if prev is not None:
+            _, prev_list = read_ocf(prev["manifest-list"])
+            prev_manifests = prev_list
+        new_manifest = {
+            "manifest_path": man_path,
+            "manifest_length": os.path.getsize(man_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
+        write_ocf(list_path, _MANIFEST_LIST_SCHEMA,
+                  [new_manifest] + prev_manifests)
+
+        # 4. commit: new metadata version
+        snap = {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"]
+            if meta["current-snapshot-id"] != -1 else None,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(total_rows)},
+            "schema-id": meta["current-schema-id"],
+        }
+        meta["snapshots"] = meta["snapshots"] + [snap]
+        meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(meta, self._current_version() + 1)
+        return snap_id
+
+    # -- scan planning ------------------------------------------------------
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+        added_after_snapshot_id: int | None = None,
+    ) -> list[DataFileInfo]:
+        """Metadata-only scan planning: resolve snapshot -> manifest list ->
+        manifests -> data files, pruning whole files by their partition
+        tuple.  `added_after_snapshot_id` gives incremental reads (only
+        files whose sequence number is beyond that snapshot's)."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        min_seq = None
+        if added_after_snapshot_id is not None:
+            base = self._resolve_snapshot(added_after_snapshot_id)
+            min_seq = base["sequence-number"]
+        _, manifests = read_ocf(snap["manifest-list"])
+        out: list[DataFileInfo] = []
+        for m in manifests:
+            if min_seq is not None and m["sequence_number"] <= min_seq:
+                continue  # manifest-level pruning for incremental reads
+            _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                dfile = e["data_file"]
+                part = dfile.get("partition") or {}
+                if partition_filter and any(
+                    k in part and part[k] != v for k, v in partition_filter.items()
+                ):
+                    continue
+                out.append(DataFileInfo(
+                    file_path=dfile["file_path"],
+                    record_count=dfile["record_count"],
+                    file_size_in_bytes=dfile["file_size_in_bytes"],
+                    partition=part,
+                    snapshot_id=e.get("snapshot_id") or 0,
+                ))
+        return out
+
+    def read(
+        self,
+        spark,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+        added_after_snapshot_id: int | None = None,
+    ):
+        """Spark DataFrame over the planned files.  Partition columns are
+        restored from the hive dirs via basePath (grouped per snapshot dir —
+        Spark allows one basePath per read)."""
+        from functools import reduce
+
+        files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
+                                added_after_snapshot_id)
+        ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
+        if not files:
+            return spark.createDataFrame([], ddl)
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            base = f.file_path
+            # basePath = .../data/snap-<id> (the dir the partition dirs hang off)
+            while os.path.basename(os.path.dirname(base)) != os.path.basename(self.data_dir):
+                base = os.path.dirname(base)
+                if base == "/":
+                    raise ValueError(f"file outside table data dir: {f.file_path}")
+            groups.setdefault(base, []).append(f.file_path)
+        parts = [
+            spark.read.option("basePath", base).parquet(*paths)
+            for base, paths in sorted(groups.items())
+        ]
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        # present columns in schema order (partition cols come back last
+        # from the hive-layout read)
+        return df.select(*[f["name"] for f in self.schema_fields])
+
+
+def _decode_hive_value(v: str, ice_type: str) -> Any:
+    from urllib.parse import unquote
+
+    v = unquote(v)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ice_type in ("int", "long", "date"):
+        return int(v)
+    if ice_type in ("float", "double"):
+        return float(v)
+    if ice_type == "boolean":
+        return v.lower() == "true"
+    return v

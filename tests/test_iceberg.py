@@ -1,0 +1,194 @@
+"""Iceberg-lite: Avro OCF codec roundtrips + table create/append/time-travel/
+incremental/partition-pruned reads, all with no Iceberg jar."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark.avro_ocf import decode_value, encode_value, read_ocf, write_ocf  # noqa: E402
+from gx_spark.iceberg import IcebergLiteTable  # noqa: E402
+from tests.conftest import spark  # noqa: F401,E402
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "outer",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "f", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "inner_r",
+                "fields": [
+                    {"name": "a", "type": "int"},
+                    {"name": "b", "type": ["null", "string"], "default": None},
+                ],
+            },
+        },
+    ],
+}
+
+RECORDS = [
+    {"s": "hello", "n": 42, "f": 3.5, "flag": True, "raw": b"\x00\xff",
+     "tags": ["x", "y"], "attrs": {"k": 7}, "inner": {"a": 1, "b": "z"}},
+    {"s": "", "n": None, "f": -1e9, "flag": False, "raw": b"",
+     "tags": [], "attrs": {}, "inner": {"a": -5, "b": None}},
+    {"s": "unicode é中", "n": -(2**62), "f": 0.0, "flag": True,
+     "raw": bytes(range(16)), "tags": ["a"] * 5, "attrs": {"a": 1, "b": 2},
+     "inner": {"a": 2**31 - 1, "b": "end"}},
+]
+
+
+def test_avro_value_roundtrip():
+    for rec in RECORDS:
+        buf = bytearray()
+        encode_value(rec, NESTED_SCHEMA, buf)
+        import io
+
+        out = decode_value(io.BytesIO(bytes(buf)), NESTED_SCHEMA)
+        assert out == rec
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_file_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"t_{codec}.avro")
+    write_ocf(p, NESTED_SCHEMA, RECORDS, codec=codec, block_records=2)
+    schema, recs = read_ocf(p)
+    assert schema["name"] == "outer"
+    assert recs == RECORDS
+
+
+def test_ocf_empty_and_corrupt(tmp_path):
+    p = str(tmp_path / "empty.avro")
+    write_ocf(p, NESTED_SCHEMA, [])
+    _, recs = read_ocf(p)
+    assert recs == []
+    with open(p, "r+b") as f:
+        f.write(b"XXXX")
+    with pytest.raises(ValueError):
+        read_ocf(p)
+
+
+def test_zigzag_edge_values(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, 2**31, -(2**31), 2**62, -(2**62)]
+    p = str(tmp_path / "z.avro")
+    write_ocf(p, schema, [{"v": v} for v in vals])
+    _, recs = read_ocf(p)
+    assert [r["v"] for r in recs] == vals
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-lite table
+# ---------------------------------------------------------------------------
+
+def _clips_df(spark, start, n, shard_mod=4):
+    rows = [(f"clip_{i:05d}", i % shard_mod, float(i))
+            for i in range(start, start + n)]
+    return spark.createDataFrame(rows, "clip_id string, shard int, score double")
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 40)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    s1 = t.append(df)
+    assert IcebergLiteTable.exists(loc)
+    back = t.read(spark)
+    assert back.columns == ["clip_id", "shard", "score"]
+    assert sorted(r.clip_id for r in back.collect()) == sorted(
+        f"clip_{i:05d}" for i in range(40))
+    # metadata is spec-shaped v2
+    meta = IcebergLiteTable(loc).metadata
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == s1
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "identity"
+
+
+def test_time_travel_and_incremental(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 1).schema,
+                                partition_by=["shard"])
+    s1 = t.append(_clips_df(spark, 0, 20))
+    s2 = t.append(_clips_df(spark, 20, 12))
+    assert s1 != s2
+    assert [s["snapshot-id"] for s in t.snapshots()] == [s1, s2]
+    assert t.read(spark).count() == 32
+    assert t.read(spark, snapshot_id=s1).count() == 20
+    # as-of time travel uses commit timestamps
+    ts1 = t.snapshots()[0]["timestamp-ms"]
+    assert t.read(spark, as_of_ms=ts1).count() == 20
+    # incremental: only the rows added after s1
+    inc = t.read(spark, added_after_snapshot_id=s1)
+    assert sorted(r.clip_id for r in inc.collect()) == sorted(
+        f"clip_{i:05d}" for i in range(20, 32))
+    # snapshot ids are deterministic given the location+sequence
+    t2 = IcebergLiteTable(loc)
+    assert t2.current_snapshot_id() == s2
+
+
+def test_partition_pruning_plans_fewer_files(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 64, shard_mod=4)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    t.append(df.repartition(4, "shard"))
+    all_files = t.plan_files()
+    pruned = t.plan_files(partition_filter={"shard": 2})
+    assert 0 < len(pruned) < len(all_files)
+    assert all(f.partition == {"shard": 2} for f in pruned)
+    # the Spark scan sees ONLY the pruned files
+    pdf = t.read(spark, partition_filter={"shard": 2})
+    assert set(pdf.inputFiles()) == {"file://" + f.file_path if not
+                                     f.file_path.startswith("file:") else
+                                     f.file_path for f in pruned} or \
+        len(pdf.inputFiles()) == len(pruned)
+    rows = pdf.collect()
+    assert len(rows) == 16 and all(r.shard == 2 for r in rows)
+    # file-level stats come from parquet footers, not a data scan
+    assert sum(f.record_count for f in all_files) == 64
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    loc = str(tmp_path / "flat")
+    df = _clips_df(spark, 0, 10)
+    t = IcebergLiteTable.create(loc, df.schema)
+    t.append(df.coalesce(1))
+    assert t.read(spark).count() == 10
+    assert t.plan_files()[0].partition == {}
+
+
+def test_append_schema_and_manifest_shape(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 8)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    sid = t.append(df)
+    snap = t.snapshots()[-1]
+    schema, manifests = read_ocf(snap["manifest-list"])
+    assert {f["name"] for f in schema["fields"]} >= {
+        "manifest_path", "added_snapshot_id", "sequence_number"}
+    _, entries = read_ocf(manifests[0]["manifest_path"])
+    e = entries[0]
+    assert e["status"] == 1 and e["snapshot_id"] == sid
+    d = e["data_file"]
+    assert d["file_format"] == "PARQUET" and d["record_count"] > 0
+    assert "shard" in d["partition"]
+    assert os.path.getsize(d["file_path"]) == d["file_size_in_bytes"]
