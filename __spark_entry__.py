@@ -485,6 +485,97 @@ def q_ks_stat_uniform_quantity(spark, sf_dir):
     return d_exact
 
 
+def q_audio_flac_violations(spark, sf_dir):
+    """Real FLAC decode path (gx_spark/flac.py — pure-spec codec): clips
+    synthesized from documents.doc_id, FLAC-encoded, with four deterministic
+    corruption classes — sr_hz column lies (doc_id%10==7), truncated stream
+    (==9), additive noise pushing SNR below 30 dB (==5), wrong transcript
+    (==3).  The engine's three audio expectations must flag exactly those
+    classes; the oracle recomputes each count from the corruption
+    arithmetic.  The sr-lie class fails BOTH metadata and SNR: the
+    reference signal is re-synthesized at the (lying) sr_hz column, so the
+    decoded PCM no longer matches it — the correct cascade for a mislabeled
+    sample rate."""
+    import numpy as np
+
+    from gx_spark.audio import ref_transcript, synth_pcm
+    from gx_spark.flac import flac_encode
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    sr, dur = 8000, 250
+    rows = []
+    for i in ids:
+        clip_id = f"flac_{i}"
+        pcm = synth_pcm(clip_id, sr, dur)
+        if i % 10 == 5:  # deterministic noise: SNR ~6 dB, well under 30
+            noise = np.where(np.arange(len(pcm)) % 2 == 0, 8000, -8000)
+            pcm = np.clip(pcm.astype(np.int32) + noise, -32768, 32767).astype(np.int16)
+        b = flac_encode(pcm, sr)
+        sr_col = sr * 2 if i % 10 == 7 else sr
+        if i % 10 == 9:
+            b = b[: len(b) // 2]
+        tr = "WRONG TRANSCRIPT" if i % 10 == 3 else ref_transcript(clip_id)
+        rows.append((i, clip_id, bytearray(b), sr_col, dur, "flac", tr))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("flac")
+        .add("expect_audio_metadata_to_be_consistent")
+        .add("expect_audio_snr_to_be_at_least", min_snr_db=30.0)
+        .add("expect_transcript_to_match_reference"),
+    )
+    return _row(
+        spark,
+        "element_count long, meta_unexpected long, snr_unexpected long, "
+        "transcript_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"],
+         r[1].result["unexpected_count"], r[2].result["unexpected_count"]],
+    )
+
+
+def q_iceberg_snapshot_reads(spark, sf_dir):
+    """Iceberg-lite round trip (gx_spark/iceberg.py — real v2 layout, no
+    jar): orders written as two appends (even, then odd o_orderkey) into a
+    shard-partitioned table; reads back the first snapshot (time travel),
+    the current snapshot, the incremental slice between them, and a
+    manifest-pruned single shard.  The oracle recomputes every figure from
+    the same arithmetic directly over orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("shard"))
+    tmp = tempfile.mkdtemp(prefix="gx_ice_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema,
+                                    partition_by=["shard"])
+        s1 = t.append(orders.filter("o_orderkey % 2 = 0").repartition(4, "shard"))
+        t.append(orders.filter("o_orderkey % 2 = 1").repartition(4, "shard"))
+        snap1 = t.read(spark, snapshot_id=s1).count()
+        current = t.read(spark).count()
+        inc = t.read(spark, added_after_snapshot_id=s1).count()
+        pruned_df = t.read(spark, partition_filter={"shard": 1})
+        agg = pruned_df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        return _row(
+            spark,
+            "snap1_count long, current_count long, incremental_count long, "
+            "pruned_count long, pruned_sum double",
+            [snap1, current, inc, int(agg["c"]), float(agg["s"])],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -554,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
+        "audio_flac_violations": q_audio_flac_violations,
+        "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
     }
 
 
@@ -743,6 +836,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (3, 7, 9) THEN 1 ELSE 0 END)::BIGINT "
             "AS unexpected_count FROM d"
+        ),
+        "audio_flac_violations": (
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
+            "AS meta_unexpected, "
+            "SUM(CASE WHEN doc_id % 10 IN (5, 7) THEN 1 ELSE 0 END)::BIGINT "
+            "AS snr_unexpected, "
+            "SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT "
+            "AS transcript_unexpected FROM d"
+        ),
+        "iceberg_snapshot_reads": (
+            "SELECT "
+            "SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS snap1_count, "
+            "count(*)::BIGINT AS current_count, "
+            "SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS incremental_count, "
+            "SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS pruned_count, "
+            "ROUND(SUM(CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice END), 2) "
+            "AS pruned_sum FROM orders"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -1,16 +1,19 @@
 """Table providers: snapshot identity + partition discovery.
 
-The north rule targets Iceberg tables (snapshot-id + partition lineage); the
-sandbox has no Iceberg runtime jar (SURVEY.md §0), so the abstraction is a
-small interface with:
+The north rule targets Iceberg tables (snapshot-id + partition lineage):
 
-- ParquetDirTableProvider — parquet directory; snapshot_id is a content hash
-  of the file listing (name, size, mtime), partitions come from a partition
-  column's distinct values (pruned scans via parquet row-group stats /
-  partition pruning when the directory is hive-partitioned).
-- IcebergTableProvider — drop-in for real clusters: `spark.table(name)`,
-  snapshot-id from the table's current_snapshot, partition predicates from
-  the partitions metadata table.  Raises cleanly when the runtime is absent.
+- IcebergLiteTableProvider — the primary north-rule provider: real Iceberg
+  v2 on-disk layout via gx_spark/iceberg.py (pure Python, no runtime jar).
+  snapshot_id() is the table's actual current snapshot id; partitions()
+  is manifest-driven (metadata-only, no Spark job); incremental mode
+  validates only files appended after a given snapshot.
+- ParquetDirTableProvider / FileTableProvider — plain file directories;
+  snapshot_id is a content hash of the file listing (name, size, mtime),
+  partitions come from a partition column's distinct values.
+- IcebergTableProvider — catalog tables on real clusters with the runtime
+  jar: `spark.table(name)`, snapshot-id from current_snapshot, partition
+  predicates from the partitions metadata table.  Raises cleanly when the
+  runtime is absent (it is absent in-sandbox, SURVEY.md §0).
 """
 
 from __future__ import annotations
