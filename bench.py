@@ -250,7 +250,14 @@ def main() -> None:
 
     # binary-column scan: small columnar batches (multi-MB byte[] rows)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
-    audio_df = spark.read.parquet(audio_path)
+    # north rule: the throughput metric is defined on the ICEBERG
+    # audio+transcript table — import (metadata-only, idempotent) and read
+    # through the snapshot-planned file list
+    from gx_spark.iceberg import IcebergLiteTable
+
+    ice = IcebergLiteTable.create_from_parquet(
+        audio_path.rstrip("/") + ".iceberg", audio_path)
+    audio_df = ice.read(spark)
     # Decode tasks each pair an executor thread with a python worker; this
     # box has 16 physical cores behind 32 SMT threads, so concurrency above
     # ~10 tasks oversubscribes and LOWERS throughput (measured: local[32]

@@ -113,6 +113,36 @@ def _spark_schema_to_iceberg(spark_schema) -> list[dict]:
     return fields
 
 
+def _arrow_schema_to_iceberg(arrow_schema, partition_by: list[str]) -> list[dict]:
+    """pyarrow Schema -> Iceberg schema fields, for building table metadata
+    from parquet footers alone (no SparkSession — the add_files migration
+    path runs in plain Python before spark-submit launches)."""
+    _ARROW_TO_ICE = {
+        "string": "string", "large_string": "string",
+        "int32": "int", "int64": "long",
+        "float": "float", "double": "double", "bool": "boolean",
+        "binary": "binary", "large_binary": "binary",
+        "date32[day]": "date",
+    }
+    fields = []
+    names = set(arrow_schema.names)
+    for c in partition_by:
+        if c not in names:
+            raise ValueError(f"partition column {c!r} not in parquet schema")
+    for i, f in enumerate(arrow_schema, start=1):
+        tn = str(f.type)
+        if tn.startswith("timestamp"):
+            ice = "timestamptz" if getattr(f.type, "tz", None) else "timestamp"
+        elif tn.startswith("decimal"):
+            ice = tn.replace("decimal128", "decimal").replace("decimal64", "decimal")
+        elif tn in _ARROW_TO_ICE:
+            ice = _ARROW_TO_ICE[tn]
+        else:
+            raise ValueError(f"iceberg-lite: unsupported arrow type {tn!r} for {f.name!r}")
+        fields.append({"id": i, "name": f.name, "required": not f.nullable, "type": ice})
+    return fields
+
+
 def iceberg_fields_to_spark_ddl(fields: list[dict]) -> str:
     parts = []
     for f in fields:
@@ -271,10 +301,56 @@ class IcebergLiteTable:
     @classmethod
     def create(cls, location: str, spark_schema, partition_by: list[str] | None = None,
                now_ms: int = 0) -> "IcebergLiteTable":
+        return cls._create_with_fields(
+            location, _spark_schema_to_iceberg(spark_schema), partition_by, now_ms)
+
+    @classmethod
+    def create_from_parquet(cls, location: str, source_dir: str,
+                            partition_by: list[str] | None = None,
+                            now_ms: int = 0) -> "IcebergLiteTable":
+        """Create an Iceberg-lite table whose schema comes from a parquet
+        footer under `source_dir`, then `add_files`-import every parquet
+        file there — the no-SparkSession migration path (schema read +
+        manifest build are pure pyarrow footer work, O(#files), zero data
+        bytes moved).  Idempotent entry point for tooling: if `location`
+        already exists it is returned as-is."""
+        if cls.exists(location):
+            t = cls(location)
+            # self-heal: if the imported files were regenerated under a new
+            # layout, the old manifests dangle — rebuild the import
+            if all(os.path.exists(f.file_path) for f in t.plan_files()):
+                return t
+            import shutil
+
+            shutil.rmtree(t.meta_dir)
+        if pq is None:  # pragma: no cover
+            raise RuntimeError("pyarrow required for iceberg-lite create_from_parquet")
+        sample = None
+        if os.path.isfile(source_dir):
+            sample = source_dir
+        else:
+            for root, _, files in sorted(os.walk(source_dir)):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        sample = os.path.join(root, fn)
+                        break
+                if sample:
+                    break
+        if sample is None:
+            raise ValueError(f"no parquet files under {source_dir}")
+        fields = _arrow_schema_to_iceberg(
+            pq.ParquetFile(sample).schema_arrow, partition_by or [])
+        t = cls._create_with_fields(location, fields, partition_by, now_ms)
+        t.add_files(source_dir, now_ms=now_ms + 1)
+        return t.refresh()
+
+    @classmethod
+    def _create_with_fields(cls, location: str, fields: list[dict],
+                            partition_by: list[str] | None,
+                            now_ms: int) -> "IcebergLiteTable":
         t = cls(location)
         if cls.exists(location):
             raise FileExistsError(f"iceberg table already exists at {location}")
-        fields = _spark_schema_to_iceberg(spark_schema)
         by_name = {f["name"]: f for f in fields}
         partition_by = partition_by or []
         for c in partition_by:
@@ -376,22 +452,35 @@ class IcebergLiteTable:
         writer.parquet(out_dir)
 
         # 2. manifest entries from the written files' footers (record counts
-        # from parquet metadata — no data read) + dir-encoded partition tuples
+        # from parquet metadata — no data read) + dir-encoded partition
+        # tuples; 3-4. manifest avro + manifest list avro + metadata commit
+        entries = self._scan_dir_entries(out_dir, pcols, snap_id, seq)
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="append")
+
+    def _scan_dir_entries(self, d: str, pcols, snap_id: int, seq: int) -> list[dict]:
+        """Manifest entries for every parquet file under `d`: record counts
+        from the parquet footers (no data read), partition tuples from any
+        hive-style key=value path segments below `d`.  A single .parquet
+        file path is accepted as a one-file source."""
         entries = []
-        total_rows = 0
-        for root, _, files in os.walk(out_dir):
+        if os.path.isfile(d):
+            walk = [(os.path.dirname(d), [], [os.path.basename(d)])]
+            d = os.path.dirname(d)
+        else:
+            walk = os.walk(d)
+        for root, _, files in walk:
             for fn in sorted(files):
                 if not fn.endswith(".parquet"):
                     continue
                 p = os.path.join(root, fn)
-                rel = os.path.relpath(root, out_dir)
+                rel = os.path.relpath(root, d)
                 part: dict[str, Any] = {}
                 if rel != ".":
                     for piece in rel.split(os.sep):
                         k, _, v = piece.partition("=")
                         part[k] = _decode_hive_value(v, dict(pcols).get(k, "string"))
-                nrows = pq.ParquetFile(p).metadata.num_rows
-                total_rows += nrows
+                pnames = [c for c, _ in pcols]
                 entries.append({
                     "status": 1,  # ADDED
                     "snapshot_id": snap_id,
@@ -401,22 +490,51 @@ class IcebergLiteTable:
                         "file_path": p,
                         "file_format": "PARQUET",
                         "partition": {c: part.get(c) for c in pnames},
-                        "record_count": nrows,
+                        "record_count": pq.ParquetFile(p).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(p),
                     },
                 })
+        return entries
 
-        # 3. manifest avro + manifest list avro
+    def add_files(self, source_dir: str, now_ms: int | None = None) -> int:
+        """Metadata-only import of existing parquet files — the migration
+        path, mirroring Iceberg's `add_files` procedure: commits a snapshot
+        whose manifest points at the files IN PLACE.  No byte of data is
+        rewritten, so importing a multi-TB table is O(#files) footer reads.
+
+        Hive-style `key=value` dirs under `source_dir` become partition
+        tuples when they match the table's partition spec.  For flat
+        sources the table should be unpartitioned (all schema columns live
+        in the files)."""
+        if pq is None:  # pragma: no cover
+            raise RuntimeError("pyarrow required for iceberg-lite add_files")
+        meta = dict(self.metadata)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = int.from_bytes(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{meta['table-uuid']}#{seq}").bytes[:8],
+            "big",
+        ) >> 1
+        if now_ms is None:
+            now_ms = meta["last-updated-ms"] + 1
+        entries = self._scan_dir_entries(os.path.abspath(source_dir),
+                                         self.partition_cols, snap_id, seq)
+        if not entries:
+            raise ValueError(f"no parquet files under {source_dir}")
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="add-files")
+
+    def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
+                        seq: int, now_ms: int, operation: str) -> int:
+        pcols = self.partition_cols
+        total_rows = sum(e["data_file"]["record_count"] for e in entries)
         man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
         write_ocf(man_path, _manifest_entry_schema(pcols), entries,
                   extra_meta={"schema": json.dumps(
                       meta["schemas"][meta["current-schema-id"]]).encode(),
                       "partition-spec-id": b"0", "content": b"data"})
-        prev = self._resolve_snapshot() if meta["snapshots"] else None
         prev_manifests = []
-        if prev is not None:
-            _, prev_list = read_ocf(prev["manifest-list"])
-            prev_manifests = prev_list
+        if meta["snapshots"]:
+            _, prev_manifests = read_ocf(self._resolve_snapshot()["manifest-list"])
         new_manifest = {
             "manifest_path": man_path,
             "manifest_length": os.path.getsize(man_path),
@@ -435,8 +553,6 @@ class IcebergLiteTable:
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
         write_ocf(list_path, _MANIFEST_LIST_SCHEMA,
                   [new_manifest] + prev_manifests)
-
-        # 4. commit: new metadata version
         snap = {
             "snapshot-id": snap_id,
             "parent-snapshot-id": meta["current-snapshot-id"]
@@ -444,7 +560,7 @@ class IcebergLiteTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
-            "summary": {"operation": "append",
+            "summary": {"operation": operation,
                         "added-data-files": str(len(entries)),
                         "added-records": str(total_rows)},
             "schema-id": meta["current-schema-id"],
@@ -522,12 +638,19 @@ class IcebergLiteTable:
             return spark.createDataFrame([], ddl)
         groups: dict[str, list[str]] = {}
         for f in files:
-            base = f.file_path
-            # basePath = .../data/snap-<id> (the dir the partition dirs hang off)
-            while os.path.basename(os.path.dirname(base)) != os.path.basename(self.data_dir):
-                base = os.path.dirname(base)
-                if base == "/":
-                    raise ValueError(f"file outside table data dir: {f.file_path}")
+            base = os.path.dirname(f.file_path)
+            if f.file_path.startswith(self.data_dir + os.sep):
+                # internal: basePath = .../data/snap-<id> (the dir the
+                # partition dirs hang off)
+                while os.path.dirname(base) != self.data_dir:
+                    base = os.path.dirname(base)
+                    if base == "/":
+                        raise ValueError(f"file outside table data dir: {f.file_path}")
+            else:
+                # imported via add_files: basePath = the dir above any
+                # hive key=value segments (flat sources: the parent dir)
+                while "=" in os.path.basename(base):
+                    base = os.path.dirname(base)
             groups.setdefault(base, []).append(f.file_path)
         parts = [
             spark.read.option("basePath", base).parquet(*paths)

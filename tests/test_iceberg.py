@@ -192,3 +192,58 @@ def test_append_schema_and_manifest_shape(spark, tmp_path):
     assert d["file_format"] == "PARQUET" and d["record_count"] > 0
     assert "shard" in d["partition"]
     assert os.path.getsize(d["file_path"]) == d["file_size_in_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# add_files / create_from_parquet (metadata-only import — migration path)
+# ---------------------------------------------------------------------------
+
+def test_add_files_metadata_only_import(spark, tmp_path):
+    # source: plain Spark-written parquet, OUTSIDE the table location
+    src = str(tmp_path / "src.parquet")
+    _clips_df(spark, 0, 30).coalesce(3).write.parquet(src)
+    src_files = {
+        os.path.join(r, f) for r, _, fs in os.walk(src)
+        for f in fs if f.endswith(".parquet")
+    }
+    mtimes = {p: os.path.getmtime(p) for p in src_files}
+
+    loc = str(tmp_path / "imported")
+    t = IcebergLiteTable.create_from_parquet(loc, src)
+    # schema derived from the footer, no data rewritten (same files, same mtimes)
+    assert [f["name"] for f in t.schema_fields] == ["clip_id", "shard", "score"]
+    planned = {f.file_path for f in t.plan_files()}
+    assert planned == src_files
+    assert {p: os.path.getmtime(p) for p in src_files} == mtimes
+    assert not os.path.exists(os.path.join(loc, "data")) or not any(
+        fn.endswith(".parquet") for _, _, fs in os.walk(os.path.join(loc, "data"))
+        for fn in fs)
+    # snapshot summary records the migration operation + counts
+    snap = t.snapshots()[-1]
+    assert snap["summary"]["operation"] == "add-files"
+    assert snap["summary"]["added-records"] == "30"
+    # reads plan through the manifest and see every row
+    back = t.read(spark)
+    assert back.columns == ["clip_id", "shard", "score"]
+    assert sorted(r.clip_id for r in back.collect()) == sorted(
+        f"clip_{i:05d}" for i in range(30))
+    # idempotent re-entry: same table handle, no second snapshot
+    t2 = IcebergLiteTable.create_from_parquet(loc, src)
+    assert len(t2.snapshots()) == 1
+
+
+def test_add_files_then_append_coexist(spark, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    _clips_df(spark, 0, 10).coalesce(1).write.parquet(src)
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create_from_parquet(loc, src)
+    s1 = t.current_snapshot_id()
+    # a normal append AFTER the import: internal + external files coexist
+    t.append(_clips_df(spark, 10, 5).coalesce(1))
+    assert t.read(spark).count() == 15
+    # time travel back to the import snapshot
+    assert t.read(spark, snapshot_id=s1).count() == 10
+    # incremental read sees only the appended rows
+    inc = t.read(spark, added_after_snapshot_id=s1)
+    assert sorted(r.clip_id for r in inc.collect()) == [
+        f"clip_{i:05d}" for i in range(10, 15)]

@@ -26,7 +26,16 @@ def main() -> None:
     from gx_spark import EngineOptions, validate
     from gx_spark.suites import audio_suite
 
-    df = spark.read.parquet(table_path)
+    # North rule: the metric is defined "on the Iceberg audio+transcript
+    # table".  If the path is an Iceberg(-lite) table, read it through the
+    # snapshot-planned file list (gx_spark/iceberg.py); a plain parquet dir
+    # still works for ad-hoc runs.
+    from gx_spark.iceberg import IcebergLiteTable
+
+    if IcebergLiteTable.exists(table_path):
+        df = IcebergLiteTable(table_path).read(spark)
+    else:
+        df = spark.read.parquet(table_path)
     n = df.count()  # also warms the scan/footer caches
 
     # decode tasks pair an executor thread with a python worker; above the

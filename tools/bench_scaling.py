@@ -128,6 +128,16 @@ def main() -> None:
     table = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "build", "audio", "n480000", "audio_clips.parquet"
     )
+    # North rule: throughput is defined "on the Iceberg audio+transcript
+    # table" — import the parquet dir as an Iceberg-lite table (metadata
+    # only, idempotent) so audio_job reads through snapshot-planned files.
+    sys.path.insert(0, REPO)
+    from gx_spark.iceberg import IcebergLiteTable
+
+    if not IcebergLiteTable.exists(table):
+        table = IcebergLiteTable.create_from_parquet(
+            table.rstrip("/") + ".iceberg", table).location
+        print(f"iceberg-lite import -> {table}", flush=True)
     zpath = build_zip()
     # Pairs must sit in the physical-core region of this box (16 physical
     # cores, 32 SMT threads, hypervisor steal).  A pandas-UDF pipeline runs
