@@ -576,6 +576,76 @@ def q_iceberg_snapshot_reads(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_add_files(spark, sf_dir):
+    """Metadata-only Iceberg migration (iceberg.py add_files /
+    create_from_parquet): lineitem written as plain parquet, imported
+    in place (no data rewrite — manifests point at the source files),
+    then a normal append on top; checks the imported totals, the
+    post-append totals, and time travel back to the import snapshot.
+    Oracle recomputes the same arithmetic directly over lineitem."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_mig_")
+    try:
+        src = f"{tmp}/li.parquet"
+        li.coalesce(4).write.parquet(src)
+        t = IcebergLiteTable.create_from_parquet(f"{tmp}/li_ice", src)
+        s_import = t.current_snapshot_id()
+        imp = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("l_extendedprice"), 2).alias("s")).first()
+        t.append(li.filter("l_orderkey % 10 = 0").coalesce(2))
+        after = t.read(spark).count()
+        travel = t.read(spark, snapshot_id=s_import).count()
+        op = t.snapshots()[0]["summary"]["operation"]
+        return _row(
+            spark,
+            "imported_count long, imported_sum double, after_append_count long, "
+            "travel_count long, import_op string",
+            [int(imp["c"]), float(imp["s"]), after, travel, op],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_iceberg_position_deletes(spark, sf_dir):
+    """Iceberg v2 positional deletes (iceberg.py delete): orders loaded
+    into an Iceberg-lite table, rows with o_orderstatus='F' deleted (v2
+    delete files — no data rewrite), remaining totals checked against the
+    pre-delete snapshot via time travel.  Oracle recomputes both states
+    directly over orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_del_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        s_before = t.append(orders.coalesce(4))
+        t.delete(spark, "o_orderstatus = 'F'")
+        after = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        before_count = t.read(spark, snapshot_id=s_before).count()
+        n_del = int(t.snapshots()[-1]["summary"]["added-position-deletes"])
+        return _row(
+            spark,
+            "remaining_count long, remaining_sum double, before_count long, "
+            "deleted_rows long",
+            [int(after["c"]), float(after["s"]), before_count, n_del],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -647,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
         "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
+        "iceberg_add_files": q_iceberg_add_files,
+        "iceberg_position_deletes": q_iceberg_position_deletes,
     }
 
 
@@ -857,6 +929,24 @@ def oracle_sql() -> dict[str, str]:
             "AS pruned_count, "
             "ROUND(SUM(CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice END), 2) "
             "AS pruned_sum FROM orders"
+        ),
+        "iceberg_add_files": (
+            "SELECT count(*)::BIGINT AS imported_count, "
+            "ROUND(SUM(l_extendedprice), 2) AS imported_sum, "
+            "(count(*) + SUM(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END))"
+            "::BIGINT AS after_append_count, "
+            "count(*)::BIGINT AS travel_count, "
+            "'add-files' AS import_op FROM lineitem"
+        ),
+        "iceberg_position_deletes": (
+            "SELECT "
+            "SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT "
+            "AS remaining_count, "
+            "ROUND(SUM(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END), 2) "
+            "AS remaining_sum, "
+            "count(*)::BIGINT AS before_count, "
+            "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT "
+            "AS deleted_rows FROM orders"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -34,12 +34,17 @@ Supported:
 - schema round-trip for the Spark types gx_spark tables use (string, int,
   long, float, double, boolean, binary, timestamp, date, decimal)
 
+Also supported (round 3): metadata-only `add_files`/`create_from_parquet`
+migration of existing parquet (manifests point at files in place, no data
+rewrite) and positional row-level deletes (v2 delete files: parquet
+(file_path, pos) keyed on the reader's `_metadata.row_index`, content=1
+manifests, applied at read as a broadcast anti-join).
+
 Intentionally out of scope (documented, not hidden): non-identity
-transforms (bucket/truncate/days), row-level deletes (v2 delete files),
-column-id field mapping inside parquet (files are written by Spark with
-names, read back by name), and catalog integration — on a real cluster the
-same gx_spark call sites accept `spark.table("catalog.db.t")` via
-IcebergTableProvider.
+transforms (bucket/truncate/days), equality deletes, column-id field
+mapping inside parquet (files are written by Spark with names, read back
+by name), and catalog integration — on a real cluster the same gx_spark
+call sites accept `spark.table("catalog.db.t")` via IcebergTableProvider.
 
 Scale note: planning is metadata-only (Avro manifests list files + stats;
 no data I/O), mirroring real Iceberg job planning.  The Spark scan itself
@@ -243,6 +248,7 @@ class DataFileInfo:
     file_size_in_bytes: int
     partition: dict[str, Any] = field(default_factory=dict)
     snapshot_id: int = 0
+    sequence_number: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -432,14 +438,7 @@ class IcebergLiteTable:
         """
         if pq is None:  # pragma: no cover
             raise RuntimeError("pyarrow required for iceberg-lite appends")
-        meta = dict(self.metadata)
-        seq = meta["last-sequence-number"] + 1
-        snap_id = int.from_bytes(
-            uuid.uuid5(uuid.NAMESPACE_URL, f"{meta['table-uuid']}#{seq}").bytes[:8],
-            "big",
-        ) >> 1  # positive long
-        if now_ms is None:
-            now_ms = meta["last-updated-ms"] + 1
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
         pcols = self.partition_cols
         pnames = [c for c, _ in pcols]
 
@@ -508,14 +507,7 @@ class IcebergLiteTable:
         in the files)."""
         if pq is None:  # pragma: no cover
             raise RuntimeError("pyarrow required for iceberg-lite add_files")
-        meta = dict(self.metadata)
-        seq = meta["last-sequence-number"] + 1
-        snap_id = int.from_bytes(
-            uuid.uuid5(uuid.NAMESPACE_URL, f"{meta['table-uuid']}#{seq}").bytes[:8],
-            "big",
-        ) >> 1
-        if now_ms is None:
-            now_ms = meta["last-updated-ms"] + 1
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
         entries = self._scan_dir_entries(os.path.abspath(source_dir),
                                          self.partition_cols, snap_id, seq)
         if not entries:
@@ -523,15 +515,76 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="add-files")
 
+    def _begin(self, now_ms: int | None) -> tuple[dict, int, int, int]:
+        """Start a commit: next sequence number + deterministic snapshot id
+        (derived from table uuid + seq, so tests and resumed jobs are
+        reproducible)."""
+        meta = dict(self.metadata)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = int.from_bytes(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{meta['table-uuid']}#{seq}").bytes[:8],
+            "big",
+        ) >> 1  # positive long
+        if now_ms is None:
+            now_ms = meta["last-updated-ms"] + 1
+        return meta, seq, snap_id, now_ms
+
+    def delete(self, spark, condition: str, now_ms: int | None = None) -> int | None:
+        """Positional row-level delete (Iceberg v2 delete files): rows of
+        the CURRENT snapshot matching `condition` (a Spark SQL predicate)
+        are recorded as (file_path, pos) pairs in parquet delete files and
+        committed under a content=1 (deletes) manifest.  No data file is
+        rewritten — readers apply the deletes as an anti-join (see read()).
+        Positions come from the parquet reader's `_metadata.row_index`, so
+        the whole delete scan is distributed; nothing rows through the
+        driver.  Returns the new snapshot id, or None if nothing matched.
+
+        Spec notes (https://iceberg.apache.org/spec/#position-delete-files):
+        files are sorted by (file_path, pos); a delete file written at
+        sequence s applies to data files with sequence <= s — and since a
+        position delete can only name files that existed when it was
+        written, applying the whole delete set of a snapshot to its whole
+        data set is equivalent, which is what read() does."""
+        files = self.plan_files()
+        if not files:
+            return None
+        from pyspark.sql import functions as F
+
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        matches = (
+            self._files_df(spark, files, with_position=True)
+            .filter(condition)
+            .select(F.col("_gx_file_path").alias("file_path"),
+                    F.col("_gx_pos").alias("pos"))
+        )
+        out_dir = os.path.join(self.data_dir, f"deletes-{snap_id}")
+        (matches.repartition(1).sortWithinPartitions("file_path", "pos")
+         .write.mode("error").parquet(out_dir))
+        entries = self._scan_dir_entries(out_dir, [], snap_id, seq)
+        n_deleted = sum(e["data_file"]["record_count"] for e in entries)
+        if n_deleted == 0:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        pnames = [c for c, _ in self.partition_cols]
+        for e in entries:
+            e["data_file"]["content"] = 1  # POSITION_DELETES
+            e["data_file"]["partition"] = {c: None for c in pnames}
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="delete", content=1)
+
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
-                        seq: int, now_ms: int, operation: str) -> int:
+                        seq: int, now_ms: int, operation: str,
+                        content: int = 0) -> int:
         pcols = self.partition_cols
         total_rows = sum(e["data_file"]["record_count"] for e in entries)
         man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
         write_ocf(man_path, _manifest_entry_schema(pcols), entries,
                   extra_meta={"schema": json.dumps(
                       meta["schemas"][meta["current-schema-id"]]).encode(),
-                      "partition-spec-id": b"0", "content": b"data"})
+                      "partition-spec-id": b"0",
+                      "content": b"deletes" if content else b"data"})
         prev_manifests = []
         if meta["snapshots"]:
             _, prev_manifests = read_ocf(self._resolve_snapshot()["manifest-list"])
@@ -539,7 +592,7 @@ class IcebergLiteTable:
             "manifest_path": man_path,
             "manifest_length": os.path.getsize(man_path),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
@@ -561,8 +614,11 @@ class IcebergLiteTable:
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
             "summary": {"operation": operation,
-                        "added-data-files": str(len(entries)),
-                        "added-records": str(total_rows)},
+                        **({"added-delete-files": str(len(entries)),
+                            "added-position-deletes": str(total_rows)}
+                           if content else
+                           {"added-data-files": str(len(entries)),
+                            "added-records": str(total_rows)})},
             "schema-id": meta["current-schema-id"],
         }
         meta["snapshots"] = meta["snapshots"] + [snap]
@@ -597,6 +653,8 @@ class IcebergLiteTable:
         _, manifests = read_ocf(snap["manifest-list"])
         out: list[DataFileInfo] = []
         for m in manifests:
+            if m.get("content", 0) != 0:
+                continue  # delete manifests planned by plan_delete_files
             if min_seq is not None and m["sequence_number"] <= min_seq:
                 continue  # manifest-level pruning for incremental reads
             _, entries = read_ocf(m["manifest_path"])
@@ -615,6 +673,40 @@ class IcebergLiteTable:
                     file_size_in_bytes=dfile["file_size_in_bytes"],
                     partition=part,
                     snapshot_id=e.get("snapshot_id") or 0,
+                    sequence_number=e.get("sequence_number")
+                    or m["sequence_number"],
+                ))
+        return out
+
+    def plan_delete_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> list[DataFileInfo]:
+        """Position-delete files (content=1 manifests) in the resolved
+        snapshot.  A delete file applies to data files whose sequence
+        number is <= its own (Iceberg v2 scan rule for position deletes)."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        _, manifests = read_ocf(snap["manifest-list"])
+        out: list[DataFileInfo] = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                dfile = e["data_file"]
+                out.append(DataFileInfo(
+                    file_path=dfile["file_path"],
+                    record_count=dfile["record_count"],
+                    file_size_in_bytes=dfile["file_size_in_bytes"],
+                    partition=dfile.get("partition") or {},
+                    snapshot_id=e.get("snapshot_id") or 0,
+                    sequence_number=e.get("sequence_number")
+                    or m["sequence_number"],
                 ))
         return out
 
@@ -628,14 +720,45 @@ class IcebergLiteTable:
     ):
         """Spark DataFrame over the planned files.  Partition columns are
         restored from the hive dirs via basePath (grouped per snapshot dir —
-        Spark allows one basePath per read)."""
-        from functools import reduce
-
+        Spark allows one basePath per read).  Position deletes present in
+        the resolved snapshot are applied as a broadcast left_anti join on
+        (file path, row position) — delete sets are tiny relative to data,
+        so at scale this is a map-side filter, never a shuffle of the data
+        side."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
                                 added_after_snapshot_id)
         ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
         if not files:
             return spark.createDataFrame([], ddl)
+        dels = self.plan_delete_files(snapshot_id, as_of_ms)
+        if not dels:
+            return self._files_df(spark, files).select(
+                *[f["name"] for f in self.schema_fields])
+        from pyspark.sql import functions as F
+
+        df = self._files_df(spark, files, with_position=True)
+        del_df = spark.read.parquet(*[d.file_path for d in dels]) \
+            .select("file_path", "pos")
+        if sum(d.file_size_in_bytes for d in dels) < 64 * 1024 * 1024:
+            del_df = F.broadcast(del_df)
+        df = df.join(
+            del_df,
+            (df["_gx_file_path"] == del_df["file_path"])
+            & (df["_gx_pos"] == del_df["pos"]),
+            "left_anti",
+        )
+        return df.select(*[f["name"] for f in self.schema_fields])
+
+    def _files_df(self, spark, files: list[DataFileInfo],
+                  with_position: bool = False):
+        """DataFrame over concrete data files; with_position adds
+        `_gx_file_path` / `_gx_pos` from the parquet reader's hidden
+        `_metadata` column (file URI + row index within the file) — the
+        coordinates Iceberg position deletes are keyed on."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         groups: dict[str, list[str]] = {}
         for f in files:
             base = os.path.dirname(f.file_path)
@@ -652,14 +775,16 @@ class IcebergLiteTable:
                 while "=" in os.path.basename(base):
                     base = os.path.dirname(base)
             groups.setdefault(base, []).append(f.file_path)
-        parts = [
-            spark.read.option("basePath", base).parquet(*paths)
-            for base, paths in sorted(groups.items())
-        ]
-        df = reduce(lambda a, b: a.unionByName(b), parts)
-        # present columns in schema order (partition cols come back last
-        # from the hive-layout read)
-        return df.select(*[f["name"] for f in self.schema_fields])
+        parts = []
+        for base, paths in sorted(groups.items()):
+            p = spark.read.option("basePath", base).parquet(*paths)
+            if with_position:
+                p = p.withColumns({
+                    "_gx_file_path": F.col("_metadata.file_path"),
+                    "_gx_pos": F.col("_metadata.row_index"),
+                })
+            parts.append(p)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _decode_hive_value(v: str, ice_type: str) -> Any:

@@ -247,3 +247,74 @@ def test_add_files_then_append_coexist(spark, tmp_path):
     inc = t.read(spark, added_after_snapshot_id=s1)
     assert sorted(r.clip_id for r in inc.collect()) == [
         f"clip_{i:05d}" for i in range(10, 15)]
+
+
+# ---------------------------------------------------------------------------
+# positional row-level deletes (Iceberg v2 delete files)
+# ---------------------------------------------------------------------------
+
+def test_positional_delete_roundtrip(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 40)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    s_data = t.append(df)
+    s_del = t.delete(spark, "score >= 30")
+    assert s_del is not None and s_del != s_data
+    # current read excludes deleted rows; no data file was rewritten
+    back = t.read(spark)
+    assert back.count() == 30
+    assert back.agg({"score": "max"}).collect()[0][0] == 29.0
+    assert {f.file_path for f in t.plan_files()} == {
+        f.file_path for f in t.plan_files(snapshot_id=s_data)}
+    # time travel BEFORE the delete still sees all 40 rows
+    assert t.read(spark, snapshot_id=s_data).count() == 40
+    # snapshot summary records the v2 delete commit
+    snap = t.snapshots()[-1]
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-position-deletes"] == "10"
+    # delete manifest is content=1 in the manifest list
+    _, manifests = read_ocf(snap["manifest-list"])
+    assert sorted(m["content"] for m in manifests) == [0, 1]
+    # delete files live in parquet with the spec's (file_path, pos) shape
+    dels = t.plan_delete_files()
+    assert dels and all(d.file_path.endswith(".parquet") for d in dels)
+    # plan shape: deletes apply as a broadcast anti-join — the data side
+    # never shuffles (the at-scale contract)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftAnti" in plan or "BroadcastNestedLoop" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_delete_then_append_and_more_deletes(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 20)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    t.append(df)
+    s1 = t.delete(spark, "clip_id = 'clip_00003'")
+    # rows appended AFTER a delete are unaffected by it
+    t.append(_clips_df(spark, 20, 10))
+    assert t.read(spark).count() == 29
+    # a second delete hits both old and new files
+    s2 = t.delete(spark, "shard = 1")
+    remaining = t.read(spark)
+    assert remaining.filter("shard = 1").count() == 0
+    # 30 total - 1 (clip_00003, shard 3) - ceil: shard==1 rows among 0..29
+    n_shard1 = sum(1 for i in range(30) if i % 4 == 1)
+    assert remaining.count() == 30 - 1 - n_shard1
+    # snapshot chain: time travel to s1 sees the single-row delete only
+    assert t.read(spark, snapshot_id=s1).count() == 19
+    assert s2 != s1
+    # no-match delete commits nothing
+    assert t.delete(spark, "score < 0") is None
+    assert t.snapshots()[-1]["snapshot-id"] == s2
+
+
+def test_delete_on_imported_files(spark, tmp_path):
+    # deletes compose with add_files: positions keyed on the imported files
+    src = str(tmp_path / "src.parquet")
+    _clips_df(spark, 0, 12).coalesce(2).write.parquet(src)
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create_from_parquet(loc, src)
+    t.delete(spark, "score >= 10")
+    assert sorted(r.clip_id for r in t.read(spark).collect()) == [
+        f"clip_{i:05d}" for i in range(10)]
