@@ -646,6 +646,44 @@ def q_iceberg_position_deletes(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_schema_evolution(spark, sf_dir):
+    """Iceberg schema evolution (iceberg.py add/rename/drop_column):
+    orders appended in two eras around an add_column — era-1 files
+    null-fill the new column at read, era-2 files carry it — and
+    o_totalprice renamed to price with era-1 files aliased through the
+    stable field id.  Oracle recomputes the era arithmetic over orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_evo_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        t.append(orders.filter("o_orderkey % 2 = 0").coalesce(2))
+        t.add_column("era", "string")
+        t.append(orders.filter("o_orderkey % 2 = 1")
+                 .withColumn("era", F.lit("v2")).coalesce(2))
+        t.rename_column("o_totalprice", "price")
+        back = t.read(spark)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("era").isNull(), 1).otherwise(0)).alias("era_nulls"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+            F.round(F.sum(F.when(F.col("era") == "v2", F.col("price"))), 2)
+            .alias("v2_price_sum")).first()
+        return _row(
+            spark,
+            "n long, era_nulls long, price_sum double, v2_price_sum double",
+            [int(agg["n"]), int(agg["era_nulls"]),
+             float(agg["price_sum"]), float(agg["v2_price_sum"])],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -719,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_position_deletes": q_iceberg_position_deletes,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
     }
 
 
@@ -947,6 +986,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS before_count, "
             "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT "
             "AS deleted_rows FROM orders"
+        ),
+        "iceberg_schema_evolution": (
+            "SELECT count(*)::BIGINT AS n, "
+            "SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS era_nulls, "
+            "ROUND(SUM(o_totalprice), 2) AS price_sum, "
+            "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
+            "AS v2_price_sum FROM orders"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -515,6 +515,73 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="add-files")
 
+    # -- schema evolution ---------------------------------------------------
+
+    def _evolve_schema(self, mutate) -> None:
+        """Commit a new schema version (metadata-only, no snapshot):
+        copy the current schema, apply `mutate(fields)`, append it with a
+        fresh schema-id and point current-schema-id at it."""
+        meta = dict(self.metadata)
+        cur = meta["schemas"][meta["current-schema-id"]]
+        fields = [dict(f) for f in cur["fields"]]
+        mutate(fields)
+        new_schema = {"type": "struct", "schema-id": len(meta["schemas"]),
+                      "fields": fields}
+        meta = dict(meta)
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = max(
+            (f["id"] for f in fields), default=meta["last-column-id"])
+        self._write_metadata(meta, self._current_version() + 1)
+
+    def add_column(self, name: str, ice_type: str) -> None:
+        """Add an optional column (Iceberg schema evolution).  Existing
+        data files don't have it; reads null-fill (the spec's default-value
+        semantics for new optional fields).  Metadata-only — no snapshot,
+        no data rewrite."""
+        def mutate(fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} already exists")
+            if (ice_type not in _ICE_TO_SPARK
+                    and not str(ice_type).startswith("decimal")):
+                raise ValueError(f"unsupported iceberg type {ice_type!r}")
+            fields.append({"id": self.metadata["last-column-id"] + 1,
+                           "name": name, "required": False, "type": ice_type})
+        self._evolve_schema(mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column; the field id is stable (spec semantics).  Files
+        are written/read by NAME in iceberg-lite (no field-id mapping in
+        parquet — documented limitation), so the previous name is kept on
+        the field and aliased at read for pre-rename files."""
+        def mutate(fields):
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} already exists")
+            for f in fields:
+                if f["name"] == old:
+                    prev = f.get("gx-previous-names", [])
+                    f["gx-previous-names"] = prev + [old]
+                    f["name"] = new
+                    return
+            raise ValueError(f"no column {old!r}")
+        self._evolve_schema(mutate)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column from the current schema; old files keep the bytes
+        (immutably), reads simply stop projecting it.  Partition source
+        columns can't be dropped."""
+        if name in [c for c, _ in self.partition_cols]:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        def mutate(fields):
+            for i, f in enumerate(fields):
+                if f["name"] == name:
+                    del fields[i]
+                    if not fields:
+                        raise ValueError("cannot drop the last column")
+                    return
+            raise ValueError(f"no column {name!r}")
+        self._evolve_schema(mutate)
+
     def _begin(self, now_ms: int | None) -> tuple[dict, int, int, int]:
         """Start a commit: next sequence number + deterministic snapshot id
         (derived from table uuid + seq, so tests and resumed jobs are
@@ -783,8 +850,31 @@ class IcebergLiteTable:
                     "_gx_file_path": F.col("_metadata.file_path"),
                     "_gx_pos": F.col("_metadata.row_index"),
                 })
-            parts.append(p)
+            parts.append(self._align_to_schema(p))
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _align_to_schema(self, df):
+        """Project a file group onto the CURRENT schema: pre-rename columns
+        aliased to their new name, columns added after the files were
+        written null-filled with their declared type, dropped columns
+        projected out (schema-evolution read semantics)."""
+        from pyspark.sql import functions as F
+
+        have = set(df.columns)
+        cols = []
+        for f in self.schema_fields:
+            t = f["type"]
+            sp = (str(t).replace(" ", "") if str(t).startswith("decimal")
+                  else _ICE_TO_SPARK[t])
+            if f["name"] in have:
+                cols.append(F.col(f["name"]))
+            else:
+                src = next((p for p in reversed(f.get("gx-previous-names", []))
+                            if p in have), None)
+                cols.append(F.col(src).alias(f["name"]) if src
+                            else F.lit(None).cast(sp).alias(f["name"]))
+        cols += [F.col(c) for c in df.columns if c.startswith("_gx_")]
+        return df.select(*cols)
 
 
 def _decode_hive_value(v: str, ice_type: str) -> Any:

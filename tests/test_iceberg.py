@@ -318,3 +318,58 @@ def test_delete_on_imported_files(spark, tmp_path):
     t.delete(spark, "score >= 10")
     assert sorted(r.clip_id for r in t.read(spark).collect()) == [
         f"clip_{i:05d}" for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (add / rename / drop column)
+# ---------------------------------------------------------------------------
+
+def test_schema_evolution_add_rename_drop(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 6).schema,
+                                partition_by=["shard"])
+    t.append(_clips_df(spark, 0, 6))
+
+    # add: old files null-fill, new appends carry the column
+    t.add_column("lang", "string")
+    assert [f["name"] for f in t.schema_fields] == [
+        "clip_id", "shard", "score", "lang"]
+    new = spark.createDataFrame(
+        [(f"clip_{i:05d}", i % 4, float(i), "en") for i in range(6, 9)],
+        "clip_id string, shard int, score double, lang string")
+    t.append(new)
+    back = t.read(spark)
+    assert back.columns == ["clip_id", "shard", "score", "lang"]
+    got = {r.clip_id: r.lang for r in back.collect()}
+    assert got["clip_00001"] is None and got["clip_00007"] == "en"
+
+    # rename: field id stable, old-era files aliased at read
+    t.rename_column("score", "quality")
+    sf = [f for f in t.schema_fields if f["name"] == "quality"][0]
+    assert sf["gx-previous-names"] == ["score"] and sf["id"] == 3
+    back = t.read(spark)
+    assert "quality" in back.columns and "score" not in back.columns
+    assert back.filter("quality = 2.0").count() == 1
+
+    # metadata-only: no new snapshots from evolution
+    assert len(t.snapshots()) == 2
+
+    # drop: projection-only; partition columns protected
+    t.drop_column("lang")
+    assert t.read(spark).columns == ["clip_id", "shard", "quality"]
+    with pytest.raises(ValueError):
+        t.drop_column("shard")
+    with pytest.raises(ValueError):
+        t.add_column("quality", "double")
+    # schema history preserved (one entry per evolution)
+    assert len(t.metadata["schemas"]) == 4
+
+
+def test_schema_evolution_composes_with_deletes(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 10).schema)
+    t.append(_clips_df(spark, 0, 10).coalesce(1))
+    t.rename_column("score", "quality")
+    # delete predicate uses the NEW name against old-era files
+    t.delete(spark, "quality >= 8")
+    assert t.read(spark).count() == 8
