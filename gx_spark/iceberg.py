@@ -641,9 +641,42 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="delete", content=1)
 
+    def rewrite_data_files(self, spark, target_files: int | None = None,
+                           now_ms: int | None = None) -> int | None:
+        """Compaction (Iceberg's rewrite_data_files maintenance action):
+        reads the current snapshot (position deletes folded in), writes a
+        fresh set of data files, and commits a REPLACE snapshot whose
+        manifest lists only the new files.  Old files stay on disk for
+        time travel; accumulated delete files stop applying (the replace
+        snapshot's manifest list carries no delete manifests).  This is
+        the standing answer to the small-file problem at scale: scan cost
+        is O(#files) footers, so periodic compaction keeps planning and
+        read parallelism healthy.
+
+        target_files coalesces the rewrite (per partition dir when the
+        table is partitioned); default keeps Spark's natural output."""
+        files = self.plan_files()
+        if not files:
+            return None
+        df = self.read(spark)
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        pcols = self.partition_cols
+        pnames = [c for c, _ in pcols]
+        out_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        if target_files:
+            df = (df.repartition(target_files, *pnames) if pnames
+                  else df.coalesce(target_files))
+        writer = df.write.mode("error")
+        if pnames:
+            writer = writer.partitionBy(*pnames)
+        writer.parquet(out_dir)
+        entries = self._scan_dir_entries(out_dir, pcols, snap_id, seq)
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="replace", replace=True)
+
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
-                        content: int = 0) -> int:
+                        content: int = 0, replace: bool = False) -> int:
         pcols = self.partition_cols
         total_rows = sum(e["data_file"]["record_count"] for e in entries)
         man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
@@ -653,7 +686,7 @@ class IcebergLiteTable:
                       "partition-spec-id": b"0",
                       "content": b"deletes" if content else b"data"})
         prev_manifests = []
-        if meta["snapshots"]:
+        if meta["snapshots"] and not replace:
             _, prev_manifests = read_ocf(self._resolve_snapshot()["manifest-list"])
         new_manifest = {
             "manifest_path": man_path,

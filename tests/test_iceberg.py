@@ -373,3 +373,47 @@ def test_schema_evolution_composes_with_deletes(spark, tmp_path):
     # delete predicate uses the NEW name against old-era files
     t.delete(spark, "quality >= 8")
     assert t.read(spark).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# compaction (rewrite_data_files — replace snapshot)
+# ---------------------------------------------------------------------------
+
+def test_rewrite_data_files_compacts_and_folds_deletes(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 40).schema)
+    # many small files + a delete
+    for i in range(0, 40, 10):
+        t.append(_clips_df(spark, i, 10).coalesce(2))
+    s_pre = t.current_snapshot_id()
+    t.delete(spark, "score >= 35")
+    assert len(t.plan_files()) == 8
+    before = sorted(r.clip_id for r in t.read(spark).collect())
+
+    s_rw = t.rewrite_data_files(spark, target_files=2)
+    # fewer files, delete files no longer consulted, identical data
+    assert len(t.plan_files()) == 2
+    assert t.plan_delete_files() == []
+    assert sorted(r.clip_id for r in t.read(spark).collect()) == before
+    assert t.read(spark).count() == 35
+    snap = t.snapshots()[-1]
+    assert snap["snapshot-id"] == s_rw
+    assert snap["summary"]["operation"] == "replace"
+    # time travel to pre-compaction snapshots still works (old files kept)
+    assert t.read(spark, snapshot_id=s_pre).count() == 40
+    # appends continue normally on top of the replace snapshot
+    t.append(_clips_df(spark, 40, 5).coalesce(1))
+    assert t.read(spark).count() == 40
+
+
+def test_rewrite_partitioned_table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 32)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    t.append(df.repartition(8))
+    t.rewrite_data_files(spark, target_files=1)
+    # one file per partition dir; partition pruning still metadata-only
+    assert len(t.plan_files()) == 4
+    pruned = t.plan_files(partition_filter={"shard": 3})
+    assert len(pruned) == 1
+    assert t.read(spark, partition_filter={"shard": 3}).count() == 8
