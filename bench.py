@@ -199,9 +199,6 @@ def main() -> None:
 
     @bench("embeddings_similarity")
     def _():
-        import shutil
-        import tempfile
-
         emb = load("embeddings")
         q = [float(x) for x in emb.where(F.col("vec_id") == 0)
              .select("embedding").first()[0]]
@@ -215,9 +212,22 @@ def main() -> None:
               .select("embedding").first()[0]]
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
-        # IVF at-scale shape: WRITE the index partitioned by cell once, then
-        # serve probes from the written table — the cell filter is partition
-        # pruning on the read (plan-asserted in tests/test_ivf.py)
+
+    @bench("ivf_written_index")
+    def _():
+        # IVF at-scale shape (separate bench key — strictly more work than
+        # embeddings_similarity: k-means train + a partitioned-by-cell index
+        # WRITE, then probes served from the written table, where the cell
+        # filter is partition pruning on the read; plan-asserted in
+        # tests/test_ivf.py)
+        import shutil
+        import tempfile
+
+        emb = load("embeddings")
+        q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .select("embedding").first()[0]]
+        q2 = [float(x) for x in emb.where(F.col("vec_id") == 1)
+              .select("embedding").first()[0]]
         ivf_dir = tempfile.mkdtemp(prefix="gx_ivf_")
         try:
             ops.write_ivf_index(emb, "vec_id", "embedding", ivf_dir,

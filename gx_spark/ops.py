@@ -118,20 +118,19 @@ def _band_projection(sigs: DataFrame, bands: int, rows_per_band: int,
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
             carry_sig: bool, bucket_cap: int = 1000) -> DataFrame:
     banded = _band_projection(sigs, bands, rows_per_band, carry_sig)
-    # cap pathological buckets (all-identical boilerplate) before pairing.
-    # The census runs on a SIG-FREE projection — a partial-agg shuffle of
-    # (band, bucket) longs only — and the oversized-bucket list (empty in a
-    # healthy corpus) comes back as a broadcast LEFT ANTI probe.  A window
-    # count over the carry_sig rows would drag every 32-long signature array
-    # through window shuffle state instead.
-    oversized = (
-        _band_projection(sigs, bands, rows_per_band, carry_sig=False)
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band", "bucket")
-    )
-    return banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    # Cap pathological buckets (all-identical boilerplate) before pairing,
+    # with a window count over the banded rows.  MEASURED tradeoff (sf0.1
+    # bench, round 3): the alternative — a sig-free (band, bucket) census +
+    # broadcast anti-join — re-executes the entire minhash-signature
+    # subplan for the census because the lineage is uncached, which took
+    # near_dup_pairs from ~13 s to ~21 s.  The window computes signatures
+    # ONCE, and its partitionBy(band, bucket) exchange is exactly the
+    # partitioning the downstream bucket self-join needs, so Catalyst
+    # reuses it — the sig arrays cross the wire once either way.
+    w = Window.partitionBy("band", "bucket")
+    return banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(w)
+    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
 
 def lsh_candidate_pairs(
