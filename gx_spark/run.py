@@ -1,10 +1,11 @@
 """spark-submit entry point: resumable suite validation over a table.
 
     spark-submit --py-files gx_spark.zip -m ... gx_spark/run.py \
-        --table-path /data/audio_clips.parquet \
+        --table-path /data/audio_clips  (parquet dir OR Iceberg table) \
         --suite audio | /path/to/suite.json \
         --results-dir /data/_gx_out \
-        [--partition-column part_id] [--mode sketch] [--max-partitions N]
+        [--partition-column part_id] [--mode sketch] [--max-partitions N] \
+        [--snapshot-id N] [--incremental-from N]   (Iceberg tables)
 
 In-sandbox it runs with a local master; on a cluster the same script runs
 unchanged under spark-submit (the session builder respects an existing
@@ -33,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", default=None)
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot (default: current)")
+    ap.add_argument("--incremental-from", type=int, default=None,
+                    help="validate only files appended after this Iceberg "
+                         "snapshot id (steady-state append-only mode)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,10 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = builder.getOrCreate()
 
     from gx_spark.checkpoint import CheckpointRunner
+    from gx_spark.iceberg import IcebergLiteTable
     from gx_spark.model import EngineOptions
     from gx_spark.suite_io import load_suite
     from gx_spark.suites import audio_aggregate_suite, audio_suite
-    from gx_spark.table_provider import ParquetDirTableProvider
+    from gx_spark.table_provider import (IcebergLiteTableProvider,
+                                         ParquetDirTableProvider)
 
     if args.suite == "audio":
         suite = audio_suite()
@@ -64,9 +72,19 @@ def main(argv: list[str] | None = None) -> int:
             c for c in args.index_columns.split(",") if c
         ),
     )
+    # Iceberg(-lite) tables are auto-detected (the north-rule input shape):
+    # true snapshot-id lineage + manifest-driven (metadata-only) partition
+    # planning, with optional snapshot pinning / incremental slices.
+    if IcebergLiteTable.exists(args.table_path):
+        provider = IcebergLiteTableProvider(
+            args.table_path, snapshot_id=args.snapshot_id,
+            incremental_from=args.incremental_from)
+    else:
+        if args.snapshot_id is not None or args.incremental_from is not None:
+            ap.error("--snapshot-id/--incremental-from require an Iceberg table")
+        provider = ParquetDirTableProvider(args.table_path, args.partition_column)
     runner = CheckpointRunner(
-        spark, suite,
-        ParquetDirTableProvider(args.table_path, args.partition_column),
+        spark, suite, provider,
         args.results_dir, options,
     )
     res = runner.run(max_partitions=args.max_partitions)

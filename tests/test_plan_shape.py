@@ -140,3 +140,31 @@ def test_image_suite_plan_shape(spark, tmp_path):
     vplan = formatted_plan(violations_df(ctx))
     assert "Exchange" not in vplan, f"violations pass must not shuffle:\n{vplan}"
     assert "ArrowEvalPython" in vplan or "EvalPython" in vplan  # decode lives here
+
+
+def test_audio_suite_over_iceberg_read_keeps_binary_off_shuffles(
+        spark, audio_dir, tmp_path):
+    """The bench/scaling jobs read the audio table THROUGH Iceberg-lite
+    (north rule); the plan invariants must hold on that path too: binary
+    off every exchange, one fused partial/final agg pair, one scan."""
+    from gx_spark.iceberg import IcebergLiteTable
+
+    t = IcebergLiteTable.create_from_parquet(
+        str(tmp_path / "audio_ice"), f"{audio_dir}/audio_clips.parquet")
+    df = t.read(spark)
+    suite = ExpectationSuite(
+        "a",
+        [e for e in audio_suite().expectations
+         if e.expectation_type != "expect_column_values_to_be_unique"],
+    )
+    ctx = compile_suite(spark, df, suite)
+    plan = formatted_plan(stage1_df(ctx))
+    for ex in exchange_sections(plan):
+        assert "bytes" not in ex, f"binary column entered a shuffle:\n{ex}"
+    n_agg = (count_nodes(plan, "HashAggregate")
+             + count_nodes(plan, "ObjectHashAggregate")
+             + count_nodes(plan, "SortAggregate"))
+    assert n_agg == 2, plan
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    # column pruning still reaches the scan: the fused agg reads no bytes
+    assert all("bytes" not in rs for rs in read_schemas(plan)), plan

@@ -187,7 +187,10 @@ header/duration consistency + SNR>=30dB vs deterministic re-synthesis +
 transcript equality — ONE fused agg pass over the non-binary columns + ONE
 fused violations pass that decodes audio exactly once, denominators riding
 that pass as Observation metrics) over `{r['table']}`
-({p['n_clips']:,} clips, ~13.3 GB), launched via
+({p['n_clips']:,} clips, ~13.3 GB — an Iceberg-lite table imported
+metadata-only via add_files and read through the snapshot-planned file
+list, per the north rule's "on the Iceberg audio+transcript table"),
+launched via
 `spark-submit --py-files gx_spark.zip tools/audio_job.py` per the north
 rule.  No real cluster in-sandbox: the N -> 4N executor criterion is
 evidenced at two local parallelism levels on the same input
@@ -204,14 +207,18 @@ evidenced at two local parallelism levels on the same input
 {'MET' if r['meets_target'] else 'NOT MET'}).
 
 \\* hardware ceiling = measured pure-CPU multiprocessing speedup of this
-sandbox between the same process counts (no JVM, no Spark).  The box
-advertises 32 logical CPUs but has 16 physical cores + SMT + hypervisor
-steal (pure integer burn: 8 procs -> 49M iter/s, 32 procs -> 122M, only
-2.5x), and a pandas-UDF pipeline runs one python worker per executor
-thread, so local[32] means 64 hot processes on 16 cores — oversubscription
-no real cluster would configure (executors are sized to physical cores).
-The measured spans above sit in the hardware's linear region and are the
-faithful stand-in for N -> 4N executors; walls are best-of-2 to reject
+sandbox between the same process counts (no JVM, no Spark), measured in
+the same window as the Spark pair.  The box advertises 32 logical CPUs
+but has 16 physical cores + SMT + hypervisor steal, and a pandas-UDF
+pipeline runs one python worker per executor thread, so local[32] means
+64 hot processes on 16 cores — oversubscription no real cluster would
+configure (executors are sized to physical cores).  Read each row's
+efficiency against its in-window ceiling: when the 8 -> 32 control
+itself goes BELOW 1x (the box throttled under 64-process
+oversubscription + steal), a sub-1x Spark speedup with
+eff-vs-hardware >= 1 means the box, not the plan, is the limit.  The
+1 -> 4 span sits in the hardware's linear region and is the faithful
+stand-in for N -> 4N executors; walls are best-of-2 to reject
 hypervisor-steal interference (single-shot walls vary up to 2x).
 
 Wall time excludes JVM/session startup (measured steady-state after a
