@@ -36,12 +36,14 @@ Supported:
 
 Also supported (round 3): metadata-only `add_files`/`create_from_parquet`
 migration of existing parquet (manifests point at files in place, no data
-rewrite) and positional row-level deletes (v2 delete files: parquet
-(file_path, pos) keyed on the reader's `_metadata.row_index`, content=1
-manifests, applied at read as a broadcast anti-join).
+rewrite) and v2 row-level deletes of BOTH kinds: positional (parquet
+(file_path, pos) keyed on the reader's `_metadata.row_index`, applied at
+read as a broadcast anti-join) and equality (content=2 files storing key
+tuples + field ids, null-safe matching, strict sequence scoping via era
+grouping).
 
 Intentionally out of scope (documented, not hidden): non-identity
-transforms (bucket/truncate/days), equality deletes, column-id field
+transforms (bucket/truncate/days), column-id field
 mapping inside parquet (files are written by Spark with names, read back
 by name), and catalog integration — on a real cluster the same gx_spark
 call sites accept `spark.table("catalog.db.t")` via IcebergTableProvider.
@@ -213,6 +215,9 @@ def _manifest_entry_schema(partition_cols: list[tuple[str, str]]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array", "items": "int"}],
+                         "default": None, "field-id": 135},
                     ],
                 },
             },
@@ -249,6 +254,8 @@ class DataFileInfo:
     partition: dict[str, Any] = field(default_factory=dict)
     snapshot_id: int = 0
     sequence_number: int = 0
+    content: int = 0  # 0 data, 1 position deletes, 2 equality deletes
+    equality_ids: list[int] | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +498,7 @@ class IcebergLiteTable:
                         "partition": {c: part.get(c) for c in pnames},
                         "record_count": pq.ParquetFile(p).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(p),
+                        "equality_ids": None,
                     },
                 })
         return entries
@@ -641,6 +649,41 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="delete", content=1)
 
+    def equality_delete(self, spark, keys_df,
+                        columns: list[str] | None = None,
+                        now_ms: int | None = None) -> int | None:
+        """Equality delete (Iceberg v2 content=2 delete files): every row
+        whose `columns` tuple matches a row of `keys_df` is deleted — from
+        data files STRICTLY OLDER than this commit only (sequence scoping
+        per the spec: an equality delete at sequence s applies to data
+        files with sequence < s, so rows re-inserted later survive).
+        The delete file stores the distinct key tuples as parquet plus the
+        columns' field ids (`equality_ids`), so the mapping survives
+        renames.  Matching is null-safe (<=>), mirroring Iceberg.
+        Returns the new snapshot id, or None for an empty key set."""
+        columns = columns or list(keys_df.columns)
+        by_name = {f["name"]: f for f in self.schema_fields}
+        for c in columns:
+            if c not in by_name:
+                raise ValueError(f"no column {c!r} in table schema")
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        out_dir = os.path.join(self.data_dir, f"eqdeletes-{snap_id}")
+        keys = keys_df.select(*columns).distinct()
+        keys.repartition(1).write.mode("error").parquet(out_dir)
+        entries = self._scan_dir_entries(out_dir, [], snap_id, seq)
+        if sum(e["data_file"]["record_count"] for e in entries) == 0:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        pnames = [c for c, _ in self.partition_cols]
+        for e in entries:
+            e["data_file"]["content"] = 2  # EQUALITY_DELETES
+            e["data_file"]["partition"] = {c: None for c in pnames}
+            e["data_file"]["equality_ids"] = [by_name[c]["id"] for c in columns]
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="delete", content=1)
+
     def rewrite_data_files(self, spark, target_files: int | None = None,
                            now_ms: int | None = None) -> int | None:
         """Compaction (Iceberg's rewrite_data_files maintenance action):
@@ -783,9 +826,12 @@ class IcebergLiteTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
     ) -> list[DataFileInfo]:
-        """Position-delete files (content=1 manifests) in the resolved
-        snapshot.  A delete file applies to data files whose sequence
-        number is <= its own (Iceberg v2 scan rule for position deletes)."""
+        """Delete files (content=1 manifests) in the resolved snapshot —
+        both kinds, distinguished by DataFileInfo.content: 1 = position
+        deletes (apply to data files with sequence <= theirs; path-keyed,
+        so applying globally is equivalent), 2 = equality deletes (apply
+        to data files with sequence STRICTLY below theirs; read() does the
+        era grouping)."""
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -807,6 +853,8 @@ class IcebergLiteTable:
                     snapshot_id=e.get("snapshot_id") or 0,
                     sequence_number=e.get("sequence_number")
                     or m["sequence_number"],
+                    content=dfile.get("content", 1),
+                    equality_ids=dfile.get("equality_ids"),
                 ))
         return out
 
@@ -834,20 +882,56 @@ class IcebergLiteTable:
         if not dels:
             return self._files_df(spark, files).select(
                 *[f["name"] for f in self.schema_fields])
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
-        df = self._files_df(spark, files, with_position=True)
-        del_df = spark.read.parquet(*[d.file_path for d in dels]) \
-            .select("file_path", "pos")
-        if sum(d.file_size_in_bytes for d in dels) < 64 * 1024 * 1024:
-            del_df = F.broadcast(del_df)
-        df = df.join(
-            del_df,
-            (df["_gx_file_path"] == del_df["file_path"])
-            & (df["_gx_pos"] == del_df["pos"]),
-            "left_anti",
-        )
+        pos = [d for d in dels if d.content != 2]
+        eqs = [d for d in dels if d.content == 2]
+        if eqs:
+            # Sequence scoping: an equality delete applies only to data
+            # files STRICTLY older than it.  Group data files into eras by
+            # their applicable delete set so each era gets exactly the
+            # anti-joins the spec prescribes (#eras <= #eq-delete commits
+            # + 1, so the plan stays bounded).
+            eras: dict[tuple, list[DataFileInfo]] = {}
+            for f in files:
+                key = tuple(sorted(d.file_path for d in eqs
+                                   if d.sequence_number > f.sequence_number))
+                eras.setdefault(key, []).append(f)
+            by_path = {d.file_path: d for d in eqs}
+            parts = []
+            for key in sorted(eras):
+                part = self._files_df(spark, eras[key], with_position=bool(pos))
+                for dp in key:
+                    d = by_path[dp]
+                    names = [self._field_name(i) for i in d.equality_ids or []]
+                    keys = spark.read.parquet(d.file_path).toDF(*names).distinct()
+                    cond = reduce(lambda a, b: a & b,
+                                  [part[c].eqNullSafe(keys[c]) for c in names])
+                    part = part.join(F.broadcast(keys), cond, "left_anti")
+                parts.append(part)
+            df = reduce(lambda a, b: a.unionByName(b), parts)
+        else:
+            df = self._files_df(spark, files, with_position=True)
+        if pos:
+            del_df = spark.read.parquet(*[d.file_path for d in pos]) \
+                .select("file_path", "pos")
+            if sum(d.file_size_in_bytes for d in pos) < 64 * 1024 * 1024:
+                del_df = F.broadcast(del_df)
+            df = df.join(
+                del_df,
+                (df["_gx_file_path"] == del_df["file_path"])
+                & (df["_gx_pos"] == del_df["pos"]),
+                "left_anti",
+            )
         return df.select(*[f["name"] for f in self.schema_fields])
+
+    def _field_name(self, field_id: int) -> str:
+        for f in self.schema_fields:
+            if f["id"] == field_id:
+                return f["name"]
+        raise ValueError(f"no field with id {field_id}")
 
     def _files_df(self, spark, files: list[DataFileInfo],
                   with_position: bool = False):

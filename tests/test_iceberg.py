@@ -417,3 +417,57 @@ def test_rewrite_partitioned_table(spark, tmp_path):
     pruned = t.plan_files(partition_filter={"shard": 3})
     assert len(pruned) == 1
     assert t.read(spark, partition_filter={"shard": 3}).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (Iceberg v2 content=2 delete files)
+# ---------------------------------------------------------------------------
+
+def test_equality_delete_sequence_scoping(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 10).schema)
+    t.append(_clips_df(spark, 0, 10).coalesce(1))
+    keys = spark.createDataFrame([("clip_00002",), ("clip_00005",)],
+                                 "clip_id string")
+    s_del = t.equality_delete(spark, keys)
+    assert s_del is not None
+    got = sorted(r.clip_id for r in t.read(spark).collect())
+    assert "clip_00002" not in got and "clip_00005" not in got
+    assert len(got) == 8
+    # STRICT sequence scoping: re-inserting a deleted key AFTER the delete
+    # survives (the delete only applies to strictly older files)
+    t.append(spark.createDataFrame([("clip_00002", 2, 2.0)],
+                                   "clip_id string, shard int, score double")
+             .coalesce(1))
+    got2 = sorted(r.clip_id for r in t.read(spark).collect())
+    assert got2.count("clip_00002") == 1 and len(got2) == 9
+    # the delete entry carries the column's field id (survives renames)
+    d = [x for x in t.plan_delete_files() if x.content == 2][0]
+    assert d.equality_ids == [1]
+    # rename the key column: the old delete still applies via the field id
+    t.rename_column("clip_id", "clip")
+    got3 = sorted(r.clip for r in t.read(spark).collect())
+    assert got3.count("clip_00002") == 1 and "clip_00005" not in got3
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 12).schema)
+    t.append(_clips_df(spark, 0, 12).coalesce(1))
+    t.delete(spark, "score >= 10")                       # positional: 10, 11
+    t.equality_delete(
+        spark, spark.createDataFrame([(0,), (1,)], "shard int"))  # shard 0/1
+    got = sorted(r.clip_id for r in t.read(spark).collect())
+    expect = [f"clip_{i:05d}" for i in range(10) if i % 4 in (2, 3)]
+    assert got == expect
+    # multi-column equality keys, null-safe matching
+    t2 = IcebergLiteTable.create(str(tmp_path / "t2"),
+                                 _clips_df(spark, 0, 6).schema)
+    t2.append(_clips_df(spark, 0, 6).coalesce(1))
+    t2.equality_delete(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "shard int, score double"))
+    assert t2.read(spark).count() == 4
+    # compaction folds equality deletes and drops the delete manifests
+    t2.rewrite_data_files(spark, target_files=1)
+    assert t2.plan_delete_files() == []
+    assert t2.read(spark).count() == 4
