@@ -684,6 +684,17 @@ def q_iceberg_schema_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end exact training-data curation (ops.curation_pipeline):
+    md5 dedup -> lang filter -> quality band -> surviving token budget,
+    in one summary row.  The oracle recomputes the identical pipeline as
+    a DuckDB CTE chain — every stage exact and SQL-portable."""
+    from gx_spark import ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return ops.curation_pipeline(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -758,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_position_deletes": q_iceberg_position_deletes,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "curation_pipeline_documents": q_curation_pipeline,
     }
 
 
@@ -994,6 +1006,36 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS price_sum, "
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
+        ),
+        "curation_pipeline_documents": (
+            "WITH d AS ("
+            "  SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS c"
+            "  FROM documents GROUP BY md5(text)"
+            "), f AS ("
+            "  SELECT c,"
+            "    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,"
+            "    (CASE"
+            "      WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'"
+            "      WHEN regexp_matches(lower(text), '(^| )(und|der|nicht)( |$)') THEN 'de'"
+            "      WHEN regexp_matches(lower(text), '(^| )(et|le|les)( |$)') THEN 'fr'"
+            "      WHEN regexp_matches(lower(text), '(^| )(el|los|una)( |$)') THEN 'es'"
+            "      WHEN regexp_matches(lower(text), '(^| )(the|and|of)( |$)') THEN 'en'"
+            "      ELSE 'other' END) = 'en' AS lang_ok,"
+            "    (len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 5 AND 1000"
+            "     AND ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+            "         / GREATEST(length(text), 1), 6) <= 0.2"
+            "     AND ROUND(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            "         x -> list_contains(['the','a','and','of','to','in','is'], x)))"
+            "         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)"
+            "         >= 0.01) AS quality_ok"
+            "  FROM d)"
+            "SELECT SUM(c)::BIGINT AS n_input,"
+            " count(*)::BIGINT AS n_after_dedup,"
+            " SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_after_lang,"
+            " SUM(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_final,"
+            " COALESCE(SUM(CASE WHEN lang_ok AND quality_ok THEN n_tokens END), 0)"
+            "::BIGINT AS final_tokens FROM f"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -829,3 +829,66 @@ def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("fingerprint")
     )
+
+
+def curation_pipeline(
+    df: DataFrame, id_col: str, text_col: str, lang: str = "en",
+    min_tokens: int = 5, max_tokens: int = 1000,
+    max_punct_ratio: float = 0.2, min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """End-to-end EXACT training-data curation over a documents table —
+    the composition a pretraining pipeline runs before tokenization:
+
+        1. exact dedup (md5-keyed: 128-bit hashes shuffle, never bodies;
+           keep the min id per group)
+        2. language filter (deterministic marker-rule lang_id)
+        3. quality filter (token-count band, punctuation ratio,
+           stopword ratio)
+
+    Returns ONE summary row: n_input, n_after_dedup, n_after_lang,
+    n_final, final_tokens (the surviving token budget).  Plan shape: a
+    single partial/final groupBy on the md5 key, then pure column flags
+    and one single-row aggregate — two exchanges total at any scale, and
+    document bodies cross the wire only once (inside the dedup groupBy's
+    representative text).  Every step is exact and SQL-portable, so the
+    whole pipeline is DuckDB-oracle-checked end to end
+    (__spark_entry__.py curation_pipeline_documents); the approximate
+    siblings (MinHash/SimHash near-dup, LSH) remain separate ops."""
+    t = F.col(text_col)
+    dedup = df.groupBy(F.md5(t.cast("binary")).alias("h")).agg(
+        F.min(id_col).alias("doc_id"),
+        F.min(t).alias("text"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    tt = F.col("text")
+    n_tokens = token_count(tt)
+    n_chars = F.length(tt)
+    n_punct = n_chars - F.length(F.regexp_replace(tt, _PUNCT, ""))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(tt)), r"\s+"),
+            lambda w: w.isin(["the", "a", "and", "of", "to", "in", "is"]),
+        )
+    )
+    flags = dedup.select(
+        "c",
+        n_tokens.alias("n_tokens"),
+        (lang_id(tt) == lang).alias("lang_ok"),
+        (
+            (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+            & (F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+               <= max_punct_ratio)
+            & (F.round(stop / F.greatest(n_tokens, F.lit(1)), 6)
+               >= min_stopword_ratio)
+        ).alias("quality_ok"),
+    )
+    final = F.col("lang_ok") & F.col("quality_ok")
+    return flags.agg(
+        F.sum("c").cast("long").alias("n_input"),
+        F.count(F.lit(1)).cast("long").alias("n_after_dedup"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).cast("long")
+        .alias("n_after_lang"),
+        F.sum(F.when(final, 1).otherwise(0)).cast("long").alias("n_final"),
+        F.coalesce(F.sum(F.when(final, F.col("n_tokens"))), F.lit(0))
+        .cast("long").alias("final_tokens"),
+    )

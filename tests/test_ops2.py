@@ -108,3 +108,32 @@ def test_audio_flags_codec_hardening():
     # pcm path unchanged
     f = compute_flags_row("clip_0000000001", wav, 16000, 300, "pcm_s16le", None)
     assert f["decodable"] is True and f["header_sr_ok"] is True and f["dur_ok"] is True
+
+
+def test_curation_pipeline_stages_all_bite(spark):
+    from gx_spark import ops
+
+    rows = [
+        # 3 copies of one good English doc -> dedup keeps 1
+        (0, "the cat and the dog walk to the house of cards."),
+        (1, "the cat and the dog walk to the house of cards."),
+        (2, "the cat and the dog walk to the house of cards."),
+        # good unique English docs
+        (3, "a small boat and the river of dreams is calm today."),
+        (4, "the sun rises and sets of its own accord in the west."),
+        # wrong language -> lang filter drops
+        (5, "el rio y los montes una tierra."),
+        (6, "und der berg nicht weit."),
+        # English but junk quality: too few tokens
+        (7, "the of and."),
+        # English but punctuation soup (punct_ratio > 0.2)
+        (8, "the and of the good day !!!! ,,,, ;;;; !!!! ,,,, ;;;; !!!! ,,,,"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.curation_pipeline(df, "doc_id", "text").collect()[0]
+    assert out.n_input == 9
+    assert out.n_after_dedup == 7          # dedup removed 2 copies
+    assert out.n_after_lang == 5           # es + de dropped
+    assert out.n_final == 3                # short + punct-soup dropped
+    expected_tokens = sum(len(rows[i][1].split()) for i in (0, 3, 4))
+    assert out.final_tokens == expected_tokens
