@@ -684,6 +684,25 @@ def q_iceberg_schema_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (ops.bpe_token_count): GPT-2-style
+    pretokenizer alternation, lookahead-free so the Java-regex Spark count
+    and the RE2 DuckDB count match exactly.  One JVM-side
+    regexp_extract_all, no UDF."""
+    from gx_spark import ops
+
+    docs = _load(spark, sf_dir, "documents")
+    bt = ops.bpe_token_count(F.col("text"))
+    wt = ops.token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(bt).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(bt), 6).alias("avg_bpe_tokens"),
+        F.max(bt).cast("long").alias("max_bpe_tokens"),
+        F.round(F.sum(bt) / F.sum(wt), 6).alias("bpe_per_word"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -770,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_position_deletes": q_iceberg_position_deletes,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "curation_pipeline_documents": q_curation_pipeline,
+        "bpe_token_stats_documents": q_bpe_token_stats,
     }
 
 
@@ -1036,6 +1056,19 @@ def oracle_sql() -> dict[str, str]:
             " AS n_final,"
             " COALESCE(SUM(CASE WHEN lang_ok AND quality_ok THEN n_tokens END), 0)"
             "::BIGINT AS final_tokens FROM f"
+        ),
+        "bpe_token_stats_documents": (
+            "WITH b AS (SELECT"
+            "  len(regexp_extract_all(text,"
+            "    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+"
+            "| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS bt,"
+            "  len(regexp_split_to_array(trim(text), '\\s+')) AS wt"
+            " FROM documents) "
+            "SELECT count(*)::BIGINT AS n_docs,"
+            " SUM(bt)::BIGINT AS total_bpe_tokens,"
+            " ROUND(AVG(bt), 6) AS avg_bpe_tokens,"
+            " MAX(bt)::BIGINT AS max_bpe_tokens,"
+            " ROUND(SUM(bt) / SUM(wt), 6) AS bpe_per_word FROM b"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

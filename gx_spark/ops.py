@@ -761,6 +761,25 @@ def token_count(text_col: Column) -> Column:
     return F.size(F.split(F.trim(text_col), r"\s+"))
 
 
+# GPT-2-style pretokenizer alternation (contractions | letter runs with
+# optional leading space | digit runs | other-symbol runs | whitespace),
+# restricted to constructs BOTH Java regex and RE2 support (no lookahead),
+# so Spark and the DuckDB oracle count identical matches.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """BPE-ish subword-boundary token count: the standard pre-merge
+    segmentation a byte-pair tokenizer applies (the merge table then only
+    splits within these pieces, so this upper-bounds-approximates real BPE
+    token counts closely enough for budget planning).  One JVM-side
+    regexp_extract_all — no UDF."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def token_stats(df: DataFrame, text_col: str) -> DataFrame:
     tc = token_count(F.col(text_col))
     return df.agg(

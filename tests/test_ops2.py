@@ -137,3 +137,24 @@ def test_curation_pipeline_stages_all_bite(spark):
     assert out.n_final == 3                # short + punct-soup dropped
     expected_tokens = sum(len(rows[i][1].split()) for i in (0, 3, 4))
     assert out.final_tokens == expected_tokens
+
+
+def test_bpe_token_count_segmentation(spark):
+    from gx_spark import ops
+
+    df = spark.createDataFrame(
+        [("it's 2024, don't stop!",), ("hello   world",), ("",)],
+        "text string")
+    out = [r[0] for r in df.select(
+        ops.bpe_token_count(F.col("text"))).collect()]
+    # "it" "'s" " 2024" "," " don" "'t" " stop" "!"  -> 8
+    # "hello" "   " (ws run) "world"... leading-space fold: "hello" "  " "world" -> 3
+    assert out[0] == 8
+    assert out[1] == 3
+    assert out[2] == 0
+    # always >= whitespace tokens on plain prose
+    txt = "the quick brown fox jumps over the lazy dog"
+    n = spark.createDataFrame([(txt,)], "text string").select(
+        ops.bpe_token_count(F.col("text")),
+        ops.token_count(F.col("text"))).collect()[0]
+    assert n[0] == n[1] == 9
