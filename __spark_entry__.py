@@ -703,6 +703,30 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (ops.winnowing_fingerprints,
+    MOSS SIGMOD'03) + overlap pairs.  Oracle recomputes the identical
+    k-gram md5 rolling hashes, min-per-window selection, stop-gram cap,
+    and pair join in DuckDB SQL."""
+    from gx_spark import ops
+
+    docs = _load(spark, sf_dir, "documents")
+    fps = ops.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    pairs = ops.fingerprint_overlap_pairs(fps, min_shared=3, max_df=50)
+    n_fps = fps.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct("id").alias("d")).first()
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.sum("shared"), F.lit(0)).alias("s")).first()
+    return _row(
+        spark,
+        "n_fingerprints long, n_docs_fingerprinted long, n_overlap_pairs "
+        "long, total_shared long",
+        [int(n_fps["c"]), int(n_fps["d"]), int(p["c"]), int(p["s"])],
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -790,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
+        "winnowing_fingerprints_documents": q_winnowing_fingerprints,
     }
 
 
@@ -1069,6 +1094,36 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(AVG(bt), 6) AS avg_bpe_tokens,"
             " MAX(bt)::BIGINT AS max_bpe_tokens,"
             " ROUND(SUM(bt) / SUM(wt), 6) AS bpe_per_word FROM b"
+        ),
+        "winnowing_fingerprints_documents": (
+            "WITH d AS ("
+            " SELECT doc_id AS id,"
+            "  regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm"
+            " FROM documents"
+            " WHERE length(regexp_replace(lower(text), '\\s+', ' ', 'g')) >= 8"
+            "), g0 AS ("
+            " SELECT id, norm,"
+            "  unnest(generate_series(1, length(norm) - 7)) AS pos FROM d"
+            "), g AS ("
+            " SELECT id, pos, md5(substr(norm, pos, 8)) AS h FROM g0"
+            "), w AS ("
+            " SELECT id, MIN(h) OVER (PARTITION BY id ORDER BY pos"
+            "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g"
+            "), fps AS (SELECT DISTINCT id, fp FROM w"
+            "), dfr AS (SELECT fp, count(*) AS dfc FROM fps GROUP BY fp"
+            "), kept AS ("
+            " SELECT fps.id, fps.fp FROM fps JOIN dfr USING (fp)"
+            " WHERE dfc <= 50"
+            "), pairs AS ("
+            " SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared"
+            " FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id"
+            " GROUP BY 1, 2 HAVING count(*) >= 3) "
+            "SELECT (SELECT count(*) FROM fps)::BIGINT AS n_fingerprints,"
+            " (SELECT count(DISTINCT id) FROM fps)::BIGINT"
+            "  AS n_docs_fingerprinted,"
+            " (SELECT count(*) FROM pairs)::BIGINT AS n_overlap_pairs,"
+            " (SELECT COALESCE(SUM(shared), 0) FROM pairs)::BIGINT"
+            "  AS total_shared"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "

@@ -158,3 +158,31 @@ def test_bpe_token_count_segmentation(spark):
         ops.bpe_token_count(F.col("text")),
         ops.token_count(F.col("text"))).collect()[0]
     assert n[0] == n[1] == 9
+
+
+def test_winnowing_guarantee_and_overlap(spark):
+    from gx_spark import ops
+
+    shared = "a common stretch of copied text that is long enough"
+    rows = [
+        (1, "unique preamble one. " + shared + " tail one."),
+        (2, "another beginning here. " + shared + " different end."),
+        (3, "completely unrelated content with no copying at all here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = ops.winnowing_fingerprints(df, "doc_id", "text", k=8, window=4)
+    by_doc = {r.id: set() for r in fps.collect()}
+    for r in fps.collect():
+        by_doc[r.id].add(r.fp)
+    # winnowing guarantee: shared substring >= k+window-1 chars =>
+    # at least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    pairs = {(r.id_a, r.id_b): r.shared
+             for r in ops.fingerprint_overlap_pairs(fps, min_shared=3)
+             .collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert not any(3 in p for p in pairs)
+    # fingerprints are a small fraction of all k-grams (~2/(w+1))
+    total_grams = sum(len(t) for _, t in
+                      [(i, r[1].lower()) for i, r in enumerate(rows)]) - 3 * 7
+    assert sum(len(v) for v in by_doc.values()) < 0.6 * total_grams
