@@ -44,13 +44,25 @@ def test_exact_kl_bounded_on_high_cardinality(spark):
     assert det["unlisted_weight"] == pytest.approx(0.5)
 
 
-def test_minhash_jaccard_plan_has_no_window(spark):
+def test_minhash_jaccard_bucket_cap_single_signature_pass(spark):
+    """The bucket cap must not re-execute the minhash-signature subplan.
+    Round 3 first tried a sig-free census + broadcast anti-join — zero
+    Window nodes, but the census re-ran the whole signature computation
+    (uncached lineage) and measured 13 -> 21 s on the sf0.1 bench.  The
+    window count computes signatures ONCE and its partitionBy(band,
+    bucket) exchange is the partitioning the bucket self-join needs
+    anyway, so the invariant to pin is: exactly ONE xxhash64 signature
+    subplan per join side, no extra aggregate-based census."""
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta {i % 7}") for i in range(50)],
         "doc_id long, text string",
     )
     plan = formatted_plan(ops.minhash_jaccard(docs, "doc_id", "text", threshold=0.2))
-    assert count_nodes(plan, "Window") == 0
+    # the census design's fingerprint: a (band,bucket)-count aggregate fed
+    # into a broadcast LEFT ANTI join — must be absent
+    assert "LeftAnti" not in plan, plan
+    # cap rides the join's own exchange: at most one Window per join side
+    assert 0 < count_nodes(plan, "Window") <= 2, plan
 
 
 def test_lsh_bucket_cap_still_bounds_boilerplate(spark):
