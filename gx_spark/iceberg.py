@@ -218,6 +218,12 @@ def _manifest_entry_schema(partition_cols: list[tuple[str, str]]) -> dict:
                         {"name": "equality_ids",
                          "type": ["null", {"type": "array", "items": "int"}],
                          "default": None, "field-id": 135},
+                        # per-column min/max from the parquet footers (the
+                        # spec's lower_bounds/upper_bounds, JSON-encoded
+                        # by column name in iceberg-lite) — enables
+                        # manifest-level data skipping on value predicates
+                        {"name": "gx_bounds", "type": ["null", "string"],
+                         "default": None, "field-id": 136},
                     ],
                 },
             },
@@ -256,6 +262,7 @@ class DataFileInfo:
     sequence_number: int = 0
     content: int = 0  # 0 data, 1 position deletes, 2 equality deletes
     equality_ids: list[int] | None = None
+    bounds: dict[str, list] | None = None  # col -> [min, max] from footers
 
 
 # ---------------------------------------------------------------------------
@@ -499,6 +506,7 @@ class IcebergLiteTable:
                         "record_count": pq.ParquetFile(p).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(p),
                         "equality_ids": None,
+                        "gx_bounds": _footer_bounds(p),
                     },
                 })
         return entries
@@ -717,6 +725,80 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="replace", replace=True)
 
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> dict:
+        """Maintenance: expire old snapshots (Iceberg's expire_snapshots).
+        Metadata keeps the surviving snapshots; manifest lists, manifests,
+        and data/delete files referenced ONLY by expired snapshots are
+        deleted from disk.  Because every commit's manifest list carries
+        the prior manifests forward, files still reachable from any
+        surviving snapshot are always retained — what actually gets
+        reclaimed is pre-compaction/pre-replace garbage, which is the
+        at-scale point: bounded metadata and storage under continuous
+        appends + compaction.  Files OUTSIDE the table location
+        (add_files imports) are never deleted.
+
+        keep_last: keep the most recent N snapshots (the current one is
+        always kept).  older_than_ms: expire only snapshots with commit
+        timestamp strictly below this (still keeping the current)."""
+        meta = dict(self.metadata)
+        snaps = meta["snapshots"]
+        current = meta["current-snapshot-id"]
+        if older_than_ms is not None:
+            keep = [s for s in snaps
+                    if s["timestamp-ms"] >= older_than_ms
+                    or s["snapshot-id"] == current]
+        else:
+            keep = [s for s in snaps[-max(keep_last, 1):]]
+            if not any(s["snapshot-id"] == current for s in keep):
+                keep = [s for s in snaps if s["snapshot-id"] == current] + keep
+        keep_ids = {s["snapshot-id"] for s in keep}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        stats = {"expired_snapshots": len(expired), "deleted_data_files": 0,
+                 "deleted_manifests": 0, "deleted_manifest_lists": 0}
+        if not expired:
+            return stats
+        referenced: set[str] = set()
+        kept_manifests: set[str] = set()
+        kept_lists = {s["manifest-list"] for s in keep}
+        for s in keep:
+            _, manifests = read_ocf(s["manifest-list"])
+            for m in manifests:
+                kept_manifests.add(m["manifest_path"])
+                _, entries = read_ocf(m["manifest_path"])
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+        for s in expired:
+            lst = s["manifest-list"]
+            if lst in kept_lists or not os.path.exists(lst):
+                continue
+            _, manifests = read_ocf(lst)
+            for m in manifests:
+                mp = m["manifest_path"]
+                if mp in kept_manifests or not os.path.exists(mp):
+                    continue
+                _, entries = read_ocf(mp)
+                for e in entries:
+                    p = e["data_file"]["file_path"]
+                    if (p not in referenced and os.path.exists(p)
+                            and p.startswith(self.location + os.sep)):
+                        os.remove(p)
+                        stats["deleted_data_files"] += 1
+                        d = os.path.dirname(p)
+                        while (d.startswith(self.data_dir)
+                               and d != self.data_dir and not os.listdir(d)):
+                            os.rmdir(d)
+                            d = os.path.dirname(d)
+                os.remove(mp)
+                stats["deleted_manifests"] += 1
+            os.remove(lst)
+            stats["deleted_manifest_lists"] += 1
+        meta["snapshots"] = keep
+        meta["snapshot-log"] = [x for x in meta["snapshot-log"]
+                                if x["snapshot-id"] in keep_ids]
+        self._write_metadata(meta, self._current_version() + 1)
+        return stats
+
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
                         content: int = 0, replace: bool = False) -> int:
@@ -781,11 +863,18 @@ class IcebergLiteTable:
         as_of_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
         added_after_snapshot_id: int | None = None,
+        value_filter: dict[str, tuple] | None = None,
     ) -> list[DataFileInfo]:
         """Metadata-only scan planning: resolve snapshot -> manifest list ->
         manifests -> data files, pruning whole files by their partition
         tuple.  `added_after_snapshot_id` gives incremental reads (only
-        files whose sequence number is beyond that snapshot's)."""
+        files whose sequence number is beyond that snapshot's).
+
+        `value_filter={col: (lo, hi)}` (either end None for open) prunes
+        files whose manifest column bounds (parquet-footer min/max recorded
+        at commit — the spec's lower/upper bounds) cannot overlap the
+        range: Iceberg data skipping, before Spark sees a file name.
+        Files without recorded bounds for the column are kept."""
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -810,6 +899,14 @@ class IcebergLiteTable:
                     k in part and part[k] != v for k, v in partition_filter.items()
                 ):
                     continue
+                bounds = (json.loads(dfile["gx_bounds"])
+                          if dfile.get("gx_bounds") else None)
+                if value_filter and bounds and any(
+                    (lo is not None and c in bounds and bounds[c][1] < lo)
+                    or (hi is not None and c in bounds and bounds[c][0] > hi)
+                    for c, (lo, hi) in value_filter.items()
+                ):
+                    continue
                 out.append(DataFileInfo(
                     file_path=dfile["file_path"],
                     record_count=dfile["record_count"],
@@ -818,6 +915,7 @@ class IcebergLiteTable:
                     snapshot_id=e.get("snapshot_id") or 0,
                     sequence_number=e.get("sequence_number")
                     or m["sequence_number"],
+                    bounds=bounds,
                 ))
         return out
 
@@ -865,6 +963,7 @@ class IcebergLiteTable:
         as_of_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
         added_after_snapshot_id: int | None = None,
+        value_filter: dict[str, tuple] | None = None,
     ):
         """Spark DataFrame over the planned files.  Partition columns are
         restored from the hive dirs via basePath (grouped per snapshot dir —
@@ -872,12 +971,33 @@ class IcebergLiteTable:
         the resolved snapshot are applied as a broadcast left_anti join on
         (file path, row position) — delete sets are tiny relative to data,
         so at scale this is a map-side filter, never a shuffle of the data
-        side."""
+        side.  `value_filter={col: (lo, hi)}` both PRUNES files via the
+        manifest column bounds (data skipping — excluded files are never
+        opened) and applies the equivalent row filter, so semantics are
+        exactly BETWEEN."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
-                                added_after_snapshot_id)
+                                added_after_snapshot_id, value_filter)
         ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
         if not files:
             return spark.createDataFrame([], ddl)
+        if value_filter:
+            return self._apply_value_filter(
+                self._read_planned(spark, files, snapshot_id, as_of_ms),
+                value_filter)
+        return self._read_planned(spark, files, snapshot_id, as_of_ms)
+
+    @staticmethod
+    def _apply_value_filter(df, value_filter: dict[str, tuple]):
+        from pyspark.sql import functions as F
+
+        for c, (lo, hi) in value_filter.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(c) <= hi)
+        return df
+
+    def _read_planned(self, spark, files, snapshot_id=None, as_of_ms=None):
         dels = self.plan_delete_files(snapshot_id, as_of_ms)
         if not dels:
             return self._files_df(spark, files).select(
@@ -992,6 +1112,43 @@ class IcebergLiteTable:
                             else F.lit(None).cast(sp).alias(f["name"]))
         cols += [F.col(c) for c in df.columns if c.startswith("_gx_")]
         return df.select(*cols)
+
+
+def _footer_bounds(path: str) -> str | None:
+    """Per-column [min, max] from the parquet footer row-group statistics
+    (no data read) — JSON string for the manifest's gx_bounds field.
+    Binary and unstatted columns are skipped; a file with no stats at all
+    gets null (and is then never pruned)."""
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # pragma: no cover
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or "." in name:
+                mins[name] = maxs[name] = None
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or mins[name] is None:
+                if name in mins:
+                    continue  # a previous row group lacked stats: unusable
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    out = {c: [mins[c], maxs[c]] for c in mins
+           if mins[c] is not None and maxs[c] is not None
+           and isinstance(mins[c], (int, float, str, bool))}
+    return json.dumps(out, default=str) if out else None
 
 
 def _decode_hive_value(v: str, ice_type: str) -> Any:

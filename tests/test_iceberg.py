@@ -471,3 +471,86 @@ def test_equality_and_position_deletes_compose(spark, tmp_path):
     t2.rewrite_data_files(spark, target_files=1)
     assert t2.plan_delete_files() == []
     assert t2.read(spark).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# manifest column bounds (data skipping on value predicates)
+# ---------------------------------------------------------------------------
+
+def test_value_filter_prunes_files_by_manifest_bounds(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 400)
+    t = IcebergLiteTable.create(loc, df.schema)
+    # range-partitioned write -> files with disjoint score ranges
+    t.append(df.repartitionByRange(8, "score"))
+    all_files = t.plan_files()
+    assert len(all_files) == 8
+    assert all(f.bounds and "score" in f.bounds for f in all_files)
+    pruned = t.plan_files(value_filter={"score": (100, 149)})
+    assert 0 < len(pruned) < len(all_files)
+    # every kept file's range genuinely overlaps [100, 149]
+    for f in pruned:
+        lo, hi = f.bounds["score"]
+        assert hi >= 100 and lo <= 149
+    # read() with the same filter: exact BETWEEN rows, from pruned files only
+    got = t.read(spark, value_filter={"score": (100, 149)})
+    assert got.count() == 50
+    assert len(set(got.inputFiles())) == len(pruned)
+    # open-ended + string bounds
+    assert t.plan_files(value_filter={"score": (350, None)})
+    hi_ids = t.read(spark, value_filter={"clip_id": ("clip_00390", None)})
+    assert hi_ids.count() == 10
+
+
+def test_value_filter_keeps_files_without_bounds(spark, tmp_path):
+    # add_files-imported files keep bounds too; a column absent from the
+    # bounds map never prunes
+    src = str(tmp_path / "src.parquet")
+    _clips_df(spark, 0, 20).coalesce(2).write.parquet(src)
+    t = IcebergLiteTable.create_from_parquet(str(tmp_path / "tbl"), src)
+    files = t.plan_files(value_filter={"nonexistent_col": (0, 1)})
+    assert len(files) == len(t.plan_files())
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry (expire_snapshots maintenance)
+# ---------------------------------------------------------------------------
+
+def test_expire_snapshots_reclaims_precompaction_garbage(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 30).schema)
+    for i in range(0, 30, 10):
+        t.append(_clips_df(spark, i, 10).coalesce(2))
+    t.delete(spark, "score >= 25")
+    t.rewrite_data_files(spark, target_files=1)
+    pre_files = {f.file_path for f in t.plan_files()}
+    n_disk_before = sum(len([f for f in fs if f.endswith(".parquet")])
+                        for _, _, fs in os.walk(os.path.join(loc, "data")))
+    assert n_disk_before > len(pre_files)  # old-era files still on disk
+
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshots"] == 4
+    assert stats["deleted_data_files"] > 0
+    # current snapshot unaffected, identical data
+    assert t.refresh().read(spark).count() == 25
+    assert {f.file_path for f in t.plan_files()} == pre_files
+    # disk now holds exactly the planned files
+    n_disk_after = sum(len([f for f in fs if f.endswith(".parquet")])
+                       for _, _, fs in os.walk(os.path.join(loc, "data")))
+    assert n_disk_after == len(pre_files)
+    # expired snapshots are gone from metadata; time travel now errors
+    assert len(t.snapshots()) == 1
+    with pytest.raises(Exception):
+        t.read(spark, snapshot_id=123456789)
+
+
+def test_expire_never_touches_imported_files(spark, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    _clips_df(spark, 0, 10).coalesce(1).write.parquet(src)
+    t = IcebergLiteTable.create_from_parquet(str(tmp_path / "tbl"), src)
+    t.append(_clips_df(spark, 10, 5).coalesce(1))
+    t.rewrite_data_files(spark, target_files=1)  # imports now unreferenced
+    t.expire_snapshots(keep_last=1)
+    # external source files untouched even though no snapshot references them
+    assert any(fn.endswith(".parquet") for fn in os.listdir(src))
+    assert t.refresh().read(spark).count() == 15
