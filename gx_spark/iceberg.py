@@ -445,10 +445,17 @@ class IcebergLiteTable:
 
     # -- append -------------------------------------------------------------
 
-    def append(self, df, now_ms: int | None = None) -> int:
+    def append(self, df, now_ms: int | None = None,
+               sort_by: list[str] | None = None) -> int:
         """Write df as parquet data files and commit one new snapshot.
         Returns the new snapshot id (deterministic: derived from the table
         uuid + sequence number, so tests and resumed jobs are reproducible).
+
+        sort_by: range-cluster the write on these columns (Iceberg's
+        write.sort-order): each output file then covers a narrow value
+        range, which is what makes the manifest min/max bounds actually
+        prune on value_filter reads — unsorted writes give every file
+        near-global bounds and data skipping never fires.
         """
         if pq is None:  # pragma: no cover
             raise RuntimeError("pyarrow required for iceberg-lite appends")
@@ -459,6 +466,10 @@ class IcebergLiteTable:
         # 1. data files: hive layout under data/snap-<id>/ — Spark's native
         # partitioned write (scales with the cluster; no driver data path).
         out_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        if sort_by:
+            n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            df = (df.repartitionByRange(int(n), *sort_by)
+                  .sortWithinPartitions(*sort_by))
         writer = df.write.mode("error")
         if pnames:
             writer = writer.partitionBy(*pnames)

@@ -68,3 +68,82 @@ def validate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_to_iceberg(
+    stream_df: DataFrame,
+    table_location: str,
+    suite: ExpectationSuite | None = None,
+    options: EngineOptions | None = None,
+    results_dir: str | None = None,
+    quarantine: bool = False,
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Validated streaming ingestion into an Iceberg-lite table: each
+    micro-batch is (optionally) validated, then appended as ONE Iceberg
+    snapshot — so downstream readers get snapshot-isolation per batch,
+    incremental reads (`added_after_snapshot_id`) consume exactly the new
+    micro-batches, and a checkpointed validation run can trail the stream.
+
+    quarantine=True (requires a suite and unexpected_index_column_names):
+    rows named by any map-expectation violation are split out of the
+    append and written to `<results_dir>/_quarantine` instead — the
+    landed table then satisfies the per-row expectations by construction.
+    Aggregate violations never quarantine rows.  The table is created
+    from the first batch's schema if absent."""
+    from functools import reduce
+
+    from .iceberg import IcebergLiteTable
+
+    if quarantine and suite is None:
+        raise ValueError("quarantine requires a suite")
+    spark = stream_df.sparkSession
+    opts = options or EngineOptions()
+    if quarantine and not opts.unexpected_index_column_names:
+        raise ValueError("quarantine requires unexpected_index_column_names")
+    run_id = uuid.uuid4().hex[:12]
+    if results_dir:
+        os.makedirs(results_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if IcebergLiteTable.exists(table_location):
+            t = IcebergLiteTable(table_location).refresh()
+        else:
+            t = IcebergLiteTable.create(table_location, batch_df.schema)
+        good = batch_df
+        if suite is not None:
+            bundle = ValidationRun(spark, suite, opts).validate(
+                batch_df, run_id=f"{run_id}-b{batch_id}",
+                partition_id=int(batch_id))
+            if results_dir:
+                bundle.results_df(spark).write.mode("append").parquet(
+                    os.path.join(results_dir, "_validation_results"))
+            vt = bundle.violations_table()
+            if results_dir and vt is not None:
+                vt.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                    "append").parquet(os.path.join(results_dir, "_violations"))
+            if quarantine and vt is not None:
+                keys = list(opts.unexpected_index_column_names)
+                bad = vt.select(
+                    *[F.col(c).alias(f"_bad_{c}") for c in keys]).distinct()
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [batch_df[c].cast("string") == F.col(f"_bad_{c}")
+                     for c in keys])
+                quar = batch_df.join(F.broadcast(bad), cond, "left_semi")
+                quar.write.mode("append").parquet(
+                    os.path.join(results_dir or table_location, "_quarantine"))
+                good = batch_df.join(F.broadcast(bad), cond, "left_anti")
+            bundle.unpersist()
+        if not good.isEmpty():
+            t.append(good)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -554,3 +554,18 @@ def test_expire_never_touches_imported_files(spark, tmp_path):
     # external source files untouched even though no snapshot references them
     assert any(fn.endswith(".parquet") for fn in os.listdir(src))
     assert t.refresh().read(spark).count() == 15
+
+
+def test_append_sort_by_tightens_bounds(spark, tmp_path):
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    df = _clips_df(spark, 0, 400)
+    t1 = IcebergLiteTable.create(str(tmp_path / "sorted"), df.schema)
+    t1.append(df.repartition(4), sort_by=["score"])
+    t2 = IcebergLiteTable.create(str(tmp_path / "unsorted"), df.schema)
+    t2.append(df.repartition(4))
+    # sorted write -> value_filter prunes; unsorted -> every file overlaps
+    assert len(t1.plan_files(value_filter={"score": (100, 149)})) < len(
+        t1.plan_files())
+    assert len(t2.plan_files(value_filter={"score": (100, 149)})) == len(
+        t2.plan_files())
+    assert t1.read(spark, value_filter={"score": (100, 149)}).count() == 50

@@ -72,3 +72,57 @@ def test_stream_audio_suite_matches_batch(spark, audio_dir, audio_df, tmp_path):
     )
     assert len(per_batch) >= 3
     assert all(r["n"] == n_exp for r in per_batch)
+
+
+def test_stream_to_iceberg_quarantine(spark, audio_dir, audio_df, tmp_path):
+    """Validated streaming ingestion: micro-batches land as one Iceberg
+    snapshot each, violating clips quarantined out of the table."""
+    from gx_spark.iceberg import IcebergLiteTable
+    from gx_spark.streaming import stream_to_iceberg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    loc = str(tmp_path / "landed")
+    audio_df.repartition(3, F.col("clip_id")).write.parquet(src)
+
+    opts = EngineOptions(unexpected_index_column_names=("clip_id",))
+    stream = (
+        spark.readStream.schema(audio_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_iceberg(
+        stream, loc, audio_suite(), opts, results_dir=out,
+        quarantine=True, checkpoint_location=chk,
+    )
+    q.awaitTermination(300)
+
+    t = IcebergLiteTable(loc)
+    # one snapshot per micro-batch
+    assert len(t.snapshots()) == 3
+    landed = t.read(spark)
+    quar = spark.read.parquet(f"{out}/_quarantine")
+    n_src = audio_df.count()
+    assert landed.count() + quar.count() == n_src
+    assert quar.count() > 0  # generator plants violations
+    # the landed table is clean of quarantined clips
+    bad_ids = {r.clip_id for r in quar.select("clip_id").distinct().collect()}
+    landed_ids = {r.clip_id for r in landed.select("clip_id").collect()}
+    assert not (bad_ids & landed_ids)
+    # violating clips recorded in _violations all went to quarantine
+    viol_ids = {r.clip_id for r in spark.read.parquet(f"{out}/_violations")
+                .select("clip_id").distinct().collect()}
+    assert viol_ids <= bad_ids
+    # incremental read after the first snapshot = batches 2+3
+    s1 = t.snapshots()[0]["snapshot-id"]
+    inc = t.read(spark, added_after_snapshot_id=s1).count()
+    assert 0 < inc < landed.count()
+    # re-validating the landed table: per-row map expectations now pass
+    bundle = validate(spark, landed, audio_suite(), opts)
+    vt = bundle.violations_table()
+    per_row_viols = vt.where(
+        F.col("expectation_type").startswith("expect_column_values")
+        | F.col("expectation_type").startswith("expect_audio")).count()
+    bundle.unpersist()
+    assert per_row_viols == 0
