@@ -727,6 +727,40 @@ def q_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+def q_iceberg_data_skipping(spark, sf_dir):
+    """Manifest-bounds data skipping (iceberg.py value_filter + sort_by
+    clustered write): orders written range-clustered on o_totalprice, then
+    read with a BETWEEN value filter that prunes files via the recorded
+    footer min/max before Spark opens anything.  Emits the BETWEEN
+    aggregate plus the fraction of files pruned; the oracle recomputes the
+    aggregate directly (pruning is plan-asserted in tests, the ratio here
+    just proves it engaged: > 0)."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_skip_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        t.append(orders, sort_by=["o_totalprice"])
+        vf = {"o_totalprice": (50000.0, 100000.0)}
+        n_all = len(t.plan_files())
+        n_kept = len(t.plan_files(value_filter=vf))
+        agg = t.read(spark, value_filter=vf).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        return _row(
+            spark,
+            "in_range_count long, in_range_sum double, pruning_engaged boolean",
+            [int(agg["c"]), float(agg["s"]), bool(n_kept < n_all)],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -815,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
+        "iceberg_data_skipping": q_iceberg_data_skipping,
     }
 
 
@@ -1124,6 +1159,12 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(*) FROM pairs)::BIGINT AS n_overlap_pairs,"
             " (SELECT COALESCE(SUM(shared), 0) FROM pairs)::BIGINT"
             "  AS total_shared"
+        ),
+        "iceberg_data_skipping": (
+            "SELECT count(*)::BIGINT AS in_range_count,"
+            " ROUND(SUM(o_totalprice), 2) AS in_range_sum,"
+            " TRUE AS pruning_engaged"
+            " FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0"
         ),
         "word_jaccard_documents": (
             "WITH toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
