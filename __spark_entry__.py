@@ -177,6 +177,20 @@ def q_referential_custkey(spark, sf_dir):
     return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
 
 
+def q_referential_salted_custkey(spark, sf_dir):
+    """Same referential check routed through the key-salted large-dim plan
+    (gx_spark/skew.py): distinct-first + salted left_anti, no broadcast of
+    the dimension.  Oracle-identical to the broadcast path by construction;
+    this entry pins that equivalence end-to-end on real data."""
+    r = _evr(spark, _load(spark, sf_dir, "orders"),
+             ExpectationSuite("q").add("expect_column_values_to_exist_in_table",
+                                       column="o_custkey", other_table_name="customer",
+                                       other_column="c_custkey",
+                                       dim_strategy="salted", salt_buckets=8),
+             tables={"customer": _load(spark, sf_dir, "customer")})
+    return _row(spark, "unexpected_count long", [r[0].result["unexpected_count"]])
+
+
 def q_compound_unique_lineitem(spark, sf_dir):
     r = _evr(spark, _load(spark, sf_dir, "lineitem"),
              ExpectationSuite("q").add("expect_compound_columns_to_be_unique",
@@ -817,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_common_linestatus": q_most_common_linestatus,
         "pair_ship_after_order": q_pair_ship_after_order,
         "referential_custkey": q_referential_custkey,
+        "referential_salted_custkey": q_referential_salted_custkey,
         "compound_unique_lineitem": q_compound_unique_lineitem,
         "multicol_sum_10": q_multicol_sum_10,
         "histogram_quantity": q_histogram_quantity,
@@ -928,6 +943,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "referential_custkey": (
+            "SELECT count(*)::BIGINT AS unexpected_count FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
+        ),
+        "referential_salted_custkey": (
             "SELECT count(*)::BIGINT AS unexpected_count FROM orders o "
             "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
         ),

@@ -95,6 +95,7 @@ def main() -> None:
         .appName("gx-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -7,7 +7,12 @@ other_column)` — every FK value must exist in the dimension table.
 
 Physics: `fact LEFT ANTI JOIN broadcast(dim.distinct)` — the dim side is
 explicitly broadcast (dimension tables are small); Catalyst/AQE handles the
-skewed-fact case.  In sketch mode a theta-sketch difference estimate
+skewed-fact case.  When the dimension is itself too large to broadcast,
+pass `dim_strategy="salted"`: the orphan-key set is computed by
+`skew.salted_anti_keys` (distinct-first to collapse fact-side skew, then a
+key-salted left_anti join per the north rule's "key-salted groupBy" —
+gx_spark/skew.py), and the violation count comes from joining the missing
+set back against the fact scan.  In sketch mode a theta-sketch difference estimate
 (`theta_sketch_agg` on both sides) short-circuits the anti-join — but ONLY
 when both sketches are in their exact (sub-nominal-entries) regime: above
 saturation theta estimates are sampling-approximate, and a difference
@@ -26,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..model import ExpectationConfiguration, ExpectationValidationResult
 from ..planner import MetricBag, MetricContext, ViolationSpec
+from ..skew import salted_anti_keys, salted_join
 from ..registry import register_expectation
 from ..result_format import build_map_result, mostly_success
 from .base import Finalizer, require_columns, result_format_of, viol_lists
@@ -46,6 +52,8 @@ class ExistInTable:
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         ec_ref = ctx.element_count(dk, dom)
         nn_ref = ctx.nonnull_count(column, dk, dom)
+        strategy = cfg.kwargs.get("dim_strategy", "broadcast")
+        salt_buckets = int(cfg.kwargs.get("salt_buckets", 16))
         use_theta = ctx.options.mode == "sketch" and hasattr(F, "theta_sketch_agg")
         theta_lgk = 12  # nominal entries 2^12: sketch exact below this count
         rf = result_format_of(cfg, ctx.options)
@@ -56,6 +64,27 @@ class ExistInTable:
             if dom is not None:
                 d = d.filter(dom)
             d = d.filter(F.col(column).isNotNull())
+            if strategy == "salted":
+                # large-dim path: no broadcast anywhere in the hot plan
+                missing_all = salted_anti_keys(
+                    d, column, other_df, other_column, buckets=salt_buckets
+                )
+                missing = ctx.aux_persist(missing_all.limit(_MISSING_VALUE_CAP))
+                n_missing = missing.count()
+                if n_missing == 0:
+                    return {"unexpected_count": 0, "missing_df": None, "n_missing": 0}
+                if n_missing < _MISSING_VALUE_CAP:
+                    uc = d.join(F.broadcast(missing), on=column, how="left_semi").count()
+                else:
+                    uc = salted_join(
+                        d.select(column), missing_all, on=column,
+                        how="left_semi", buckets=salt_buckets,
+                    ).count()
+                return {
+                    "unexpected_count": uc,
+                    "missing_df": missing if want_rows else None,
+                    "n_missing": n_missing,
+                }
             dim = other_df.select(F.col(other_column).alias(column)).distinct()
             if use_theta:
                 # cheap prefilter: estimated |fact_keys \ dim_keys|, plus both

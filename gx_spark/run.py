@@ -48,7 +48,9 @@ def main(argv: list[str] | None = None) -> int:
         builder = builder.master(args.master)
     if args.shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", args.shuffle_partitions)
-    builder = builder.config("spark.sql.adaptive.enabled", "true")
+    from gx_spark.skew import session_defaults
+
+    builder = session_defaults(builder)
     spark = builder.getOrCreate()
 
     from gx_spark.checkpoint import CheckpointRunner
