@@ -10,6 +10,7 @@ so the driver's order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -775,6 +776,63 @@ def q_iceberg_data_skipping(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_cross_batch_dups(spark, sf_dir):
+    """Cross-batch uniqueness over a real stream: lineitem's duplicated
+    (l_orderkey, l_linenumber) pairs are deliberately SPLIT across three
+    micro-batch files (row_number within key mod 3), so per-batch
+    validation cannot see them; `detect_cross_batch_duplicates`
+    (applyInPandasWithState keyed state, gx_spark/streaming.py) must.  The
+    final state is SQL-expressible — max(seen_count) per key equals the
+    key's total row count — so the oracle is a plain GROUP BY HAVING."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gx_spark.streaming import detect_cross_batch_duplicates
+
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        # 1/8 key slice: keeps plenty of duplicated pairs while bounding the
+        # per-round driver cost (streaming state commits dominate, not rows)
+        .filter(F.col("l_orderkey") % 8 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="gx_stream_dups_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ck = os.path.join(tmp, "ck")
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(F.lit(1))
+        li_b = li.withColumn("b", F.row_number().over(w) % 3)
+        for i in range(3):
+            li_b.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("l_orderkey long, l_linenumber int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = detect_cross_batch_duplicates(
+            stream, ["l_orderkey", "l_linenumber"], out,
+            checkpoint_location=ck,
+        )
+        q.awaitTermination(300)
+        dup = spark.read.parquet(os.path.join(out, "_dup_violations"))
+        per_key = dup.groupBy("l_orderkey", "l_linenumber").agg(
+            F.max("seen_count").alias("c")
+        )
+        row = per_key.agg(
+            F.count(F.lit(1)).alias("dup_groups"),
+            F.sum("c").alias("dup_rows"),
+        ).collect()[0]
+        return _row(spark, "dup_groups long, dup_rows long",
+                    [int(row["dup_groups"]), int(row["dup_rows"])])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -865,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "iceberg_data_skipping": q_iceberg_data_skipping,
+        "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
     }
 
 
@@ -1178,6 +1237,12 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(*) FROM pairs)::BIGINT AS n_overlap_pairs,"
             " (SELECT COALESCE(SUM(shared), 0) FROM pairs)::BIGINT"
             "  AS total_shared"
+        ),
+        "streaming_cross_batch_dups": (
+            "SELECT count(*)::BIGINT AS dup_groups,"
+            " COALESCE(SUM(c), 0)::BIGINT AS dup_rows FROM"
+            " (SELECT count(*) AS c FROM lineitem WHERE l_orderkey % 8 = 0"
+            "  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)"
         ),
         "iceberg_data_skipping": (
             "SELECT count(*)::BIGINT AS in_range_count,"

@@ -11,10 +11,19 @@ the materialized micro-batch DataFrame.
 Semantics caveat (inherent to per-batch validation, not this adapter):
 GLOBAL expectations — uniqueness, compound uniqueness, row_count vs other
 table — are evaluated within each micro-batch.  A duplicate key pair split
-across two micro-batches is invisible; route the stream through a
-key-partitioned source (or repartition upstream by the key) when cross-batch
-uniqueness matters, or run a periodic batch validation over the landed
-table.  Per-row (map) and per-batch aggregate expectations are unaffected.
+across two micro-batches is invisible to `validate_stream`; use
+`detect_cross_batch_duplicates` (keyed `applyInPandasWithState` — state
+survives across micro-batches and restarts via the stream checkpoint) when
+cross-batch uniqueness matters, or run a periodic batch validation over the
+landed table.  Per-row (map) and per-batch aggregate expectations are
+unaffected.
+
+`validate_stream_windowed` adds event-time semantics: per-window aggregate
+expectations over `F.window(ts, dur)` with a watermark, so late rows inside
+the allowed delay still land in their window and rows later than the
+watermark are dropped by Spark's state eviction — the idiomatic
+late-data contract (append mode emits each window's verdict exactly once,
+after the watermark passes its end).
 """
 
 from __future__ import annotations
@@ -24,6 +33,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .executor import ValidationRun
 from .model import EngineOptions, ExpectationSuite
@@ -65,6 +75,188 @@ def validate_stream(
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def detect_cross_batch_duplicates(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    results_dir: str,
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Cross-batch uniqueness via keyed streaming state
+    (`applyInPandasWithState`): for each key, a long counter of rows seen
+    over the WHOLE stream lives in the state store (checkpointed, so it
+    survives restarts).  Any arrival that lifts a key's total above 1 emits
+    a violation row `(key..., seen_count, new_in_batch)` — this closes the
+    duplicate-split-across-micro-batches blind spot documented on
+    `validate_stream`.
+
+    Scale: state is one long per DISTINCT key, hash-partitioned by key —
+    the same layout a batch two-stage groupBy uniqueness check shuffles,
+    but maintained incrementally.  Output mode is `update` (violations
+    re-emit with their growing count).  Violations append to
+    `<results_dir>/_dup_violations` as parquet."""
+    import pandas as pd
+
+    os.makedirs(results_dir, exist_ok=True)
+    out_dir = os.path.join(results_dir, "_dup_violations")
+    key_fields = [stream_df.schema[c] for c in key_cols]
+    out_schema = StructType(
+        list(key_fields)
+        + [StructField("seen_count", LongType()), StructField("new_in_batch", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def track(key, pdf_iter, state):
+        new = 0
+        for pdf in pdf_iter:
+            new += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + new
+        state.update((total,))
+        if total > 1:
+            yield pd.DataFrame(
+                [tuple(key) + (total, new)],
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    dups = stream_df.groupBy(*key_cols).applyInPandasWithState(
+        track, out_schema, state_schema, "update", "NoTimeout"
+    )
+    writer = (
+        dups.writeStream.outputMode("update").foreachBatch(
+            lambda bdf, bid: None if bdf.isEmpty() else
+            bdf.withColumn("batch_id", F.lit(int(bid)))
+            .write.mode("append").parquet(out_dir)
+        )
+    )
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+#: windowed-aggregate expectation types supported by validate_stream_windowed
+_WINDOWED_TYPES = (
+    "expect_table_row_count_to_be_between",
+    "expect_column_mean_to_be_between",
+    "expect_column_min_to_be_between",
+    "expect_column_max_to_be_between",
+    "expect_column_values_to_not_be_null",
+    "expect_column_distinct_count_to_be_between",  # approx_count_distinct
+)
+
+
+def validate_stream_windowed(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    suite: ExpectationSuite,
+    results_dir: str,
+    watermark_delay: str = "10 minutes",
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Per-event-time-window aggregate validation with a watermark.
+
+    The suite is restricted to aggregate expectation types with an
+    incremental (partial+final) Spark aggregate (`_WINDOWED_TYPES`) —
+    exactly the metrics Structured Streaming can fold into windowed state
+    without holding rows.  Each finalized window emits one verdict row per
+    expectation: `(window_start, window_end, expectation_index,
+    expectation_type, column, observed, success)`, appended to
+    `<results_dir>/_window_results`.
+
+    Late-data contract (measured, tests/test_streaming_state.py): a window
+    is evicted+emitted at the end of the first micro-batch whose watermark
+    (max event time seen in PRIOR batches − `watermark_delay`) passes
+    `window.end`; late rows arriving in a LATER batch are dropped
+    (`numRowsDroppedByWatermark`), while late rows arriving while the
+    window state is still live are merged — Spark's watermark guarantees
+    state cleanup, it is not a strict input filter.  Append output mode ⇒
+    each window's verdict is emitted exactly once.  Windows still open
+    when an availableNow run drains stay in the (checkpointed) state store
+    and emit on a later run once the watermark passes them — feed a final
+    high-timestamp batch (or keep the stream running) to flush."""
+    os.makedirs(results_dir, exist_ok=True)
+    out_dir = os.path.join(results_dir, "_window_results")
+
+    aggs: list = [F.count(F.lit(1)).alias("__wrc")]
+    finalizers: list = []  # (index, type, column, observed_col_expr, success_expr)
+
+    def between_ok(col, lo, hi):
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (col >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (col <= F.lit(hi))
+        return ok & col.isNotNull()
+
+    for i, cfg in enumerate(suite.expectations):
+        t, kw = cfg.expectation_type, cfg.kwargs
+        if t not in _WINDOWED_TYPES:
+            raise ValueError(
+                f"{t} has no incremental windowed aggregate form; supported: "
+                f"{_WINDOWED_TYPES}"
+            )
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        col = kw.get("column")
+        a = f"__w{i}"
+        if t == "expect_table_row_count_to_be_between":
+            finalizers.append((i, t, None, F.col("__wrc").cast("double"),
+                               between_ok(F.col("__wrc"), lo, hi)))
+            continue
+        if t == "expect_column_mean_to_be_between":
+            aggs.append(F.mean(col).alias(a))
+        elif t == "expect_column_min_to_be_between":
+            aggs.append(F.min(col).cast("double").alias(a))
+        elif t == "expect_column_max_to_be_between":
+            aggs.append(F.max(col).cast("double").alias(a))
+        elif t == "expect_column_distinct_count_to_be_between":
+            aggs.append(F.approx_count_distinct(col).cast("double").alias(a))
+        elif t == "expect_column_values_to_not_be_null":
+            aggs.append(
+                (F.count(col) / F.count(F.lit(1))).alias(a)
+            )
+            mostly = float(kw.get("mostly", 1.0))
+            finalizers.append((i, t, col, F.col(a),
+                               F.col(a) >= F.lit(mostly)))
+            continue
+        finalizers.append((i, t, col, F.col(a), between_ok(F.col(a), lo, hi)))
+
+    windowed = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(*aggs)
+    )
+    verdicts = windowed.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("expectation_index"),
+                    F.lit(t).alias("expectation_type"),
+                    F.lit(c).cast("string").alias("column"),
+                    obs.cast("double").alias("observed"),
+                    ok.alias("success"),
+                )
+                for (i, t, c, obs, ok) in finalizers
+            ])
+        ).alias("v"),
+    ).select("window_start", "window_end", "v.*")
+
+    writer = verdicts.writeStream.outputMode("append").format("parquet").option(
+        "path", out_dir
+    )
+    if checkpoint_location is None:
+        checkpoint_location = os.path.join(results_dir, "_window_ckpt")
+    writer = writer.option("checkpointLocation", checkpoint_location)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
