@@ -833,6 +833,95 @@ def q_streaming_cross_batch_dups(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_windowed_events(spark, sf_dir):
+    """Watermarked per-window aggregate validation over the real events
+    table (gx_spark.streaming.validate_stream_windowed): events stream in
+    two half-month micro-batches + a far-future sentinel batch that
+    advances the watermark past every real 1-day window, so append mode
+    flushes them all.  Per-window row_count and mean(value) verdicts must
+    equal a plain batch GROUP BY date_trunc('day', ts) — which is exactly
+    the DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from gx_spark.streaming import validate_stream_windowed
+
+    ev = _load(spark, sf_dir, "events").select("ts", "value")
+    tmp = tempfile.mkdtemp(prefix="gx_stream_win_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        split = "2024-01-16"
+        sentinel = "2024-03-01"
+        slices = [
+            ev.filter(F.col("ts") < split),
+            ev.filter(F.col("ts") >= split),
+            spark.createDataFrame(
+                [(__import__("datetime").datetime(2024, 3, 1), 0.0)],
+                "ts timestamp, value double",
+            ),
+        ]
+        mt0 = 1_700_000_000
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.mode("append").parquet(src)
+            parts = sorted(
+                (os.path.getmtime(os.path.join(src, f)), f)
+                for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            t = mt0 + i * 10
+            os.utime(os.path.join(src, parts[-1][1]), (t, t))
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        suite = (
+            ExpectationSuite("w")
+            .add("expect_table_row_count_to_be_between", min_value=1)
+            .add("expect_column_mean_to_be_between", column="value",
+                 min_value=-1e9, max_value=1e9)
+        )
+        q = validate_stream_windowed(
+            stream, "ts", "1 day", suite, out, watermark_delay="1 minute"
+        )
+        q.awaitTermination(300)
+        wr = spark.read.parquet(os.path.join(out, "_window_results"))
+        res = (
+            wr.filter(F.col("window_start") < F.lit(sentinel))
+            .groupBy("window_start")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("expectation_type")
+                        == "expect_table_row_count_to_be_between",
+                        F.col("observed"),
+                    )
+                ).cast("long").alias("n_rows"),
+                F.round(
+                    F.max(
+                        F.when(
+                            F.col("expectation_type")
+                            == "expect_column_mean_to_be_between",
+                            F.col("observed"),
+                        )
+                    ), 6,
+                ).alias("mean_value"),
+            )
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "n_rows", "mean_value",
+            )
+            .orderBy("day")
+        )
+        # materialize before the tmp dir is removed — the returned DF must
+        # not reference the deleted parquet files
+        return spark.createDataFrame(
+            res.collect(), "day string, n_rows long, mean_value double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -924,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
+        "streaming_windowed_events": q_streaming_windowed_events,
     }
 
 
@@ -1237,6 +1327,12 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(*) FROM pairs)::BIGINT AS n_overlap_pairs,"
             " (SELECT COALESCE(SUM(shared), 0) FROM pairs)::BIGINT"
             "  AS total_shared"
+        ),
+        "streaming_windowed_events": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+            " count(*)::BIGINT AS n_rows,"
+            " ROUND(AVG(value), 6) AS mean_value"
+            " FROM events GROUP BY 1 ORDER BY 1"
         ),
         "streaming_cross_batch_dups": (
             "SELECT count(*)::BIGINT AS dup_groups,"
