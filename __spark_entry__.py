@@ -553,6 +553,120 @@ def q_audio_flac_violations(spark, sf_dir):
     )
 
 
+def q_audio_features_banded(spark, sf_dir):
+    """Per-clip acoustic feature extraction (gx_spark.audio_ops.
+    extract_audio_features): one Arrow UDF decodes each payload and emits
+    rms_dbfs / silence_ratio / clipping_ratio; the binary column is pruned
+    in the same projection, so the banding groupBy shuffles scalars only.
+
+    Clips are built from documents.doc_id with orthogonal deterministic
+    classes — gain (doc_id%5, spaced >=1.9 dB), leading silence pad
+    (doc_id%4 * 50 ms, exact 25 ms-frame ratios), hot/clipped (doc_id%11==0,
+    3x gain into the rail), codec rotation (doc_id%3 over pcm/flac/mulaw) —
+    so the oracle recomputes every band count from modular arithmetic.
+    The gain class is recovered from rms_dbfs CORRECTED for the silence
+    dilution (rms_db - 10*log10(1 - silence_ratio)), which lands within
+    ~0.05 dB of the closed-form two-tone power 10*log10(0.225*g^2)."""
+    import math
+
+    import numpy as np
+
+    from gx_spark.audio import encode_payload, synth_pcm
+    from gx_spark.audio_ops import extract_audio_features
+
+    sr, dur = 16000, 250
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        g = (i % 5 + 1) / 5
+        hot = i % 11 == 0
+        s_ms = (i % 4) * 50
+        pcm = synth_pcm(f"af_{i}", sr, dur).astype(np.float64)
+        pcm = np.clip(pcm * (3.0 if hot else g), -32768, 32767).astype(np.int16)
+        pad = np.zeros(sr * s_ms // 1000, dtype=np.int16)
+        codec = codecs[i % 3]
+        b = encode_payload(np.concatenate([pad, pcm]), sr, codec)
+        rows.append((i, bytearray(b), codec))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = extract_audio_features(df, keep_cols=["doc_id"]).persist()
+
+    expected = [10 * math.log10(0.225 * ((c + 1) / 5) ** 2) for c in range(5)]
+    mids = [(expected[c] + expected[c + 1]) / 2 for c in range(4)]
+    corr = F.col("rms_dbfs") - 10.0 * F.log10(1.0 - F.col("silence_ratio"))
+    gain_cls = sum((corr > F.lit(m)).cast("int") for m in mids) + F.lit(1)
+    exp_sil = [0.0, 2 / 12, 4 / 14, 6 / 16]
+    sil_err = [F.abs(F.col("silence_ratio") - F.lit(v)) for v in exp_sil]
+    sil_cls = F.array_position(
+        F.array(*sil_err), F.array_min(F.array(*sil_err))
+    ).cast("int") - F.lit(1)
+
+    rms = (
+        feats.filter(F.col("doc_id") % 11 != 0)
+        .groupBy(gain_cls.cast("int").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("rms_gain").alias("metric"), "class", "n")
+    )
+    sil = (
+        feats.groupBy(sil_cls.alias("class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("silence").alias("metric"), "class", "n")
+    )
+    clipped = (
+        feats.filter(F.col("clipping_ratio") > 0.01)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("clipped").alias("metric"),
+                F.lit(1).cast("int").alias("class"), "n")
+    )
+    out = rms.unionAll(sil).unionAll(clipped).orderBy("metric", "class")
+    res = out.collect()
+    feats.unpersist()
+    return spark.createDataFrame(res, "metric string, class int, n long")
+
+
+def q_audio_fingerprint_dedup(spark, sf_dir):
+    """Cross-codec audio content dedup (gx_spark.audio_ops.
+    audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
+    JVM-side, grouped; only (id, fp64) pairs shuffle.  300 clips carry 120
+    distinct two-tone contents (on-bin frequencies so frame argmax is
+    leakage-free); instances of the same content differ by codec
+    (pcm/flac/mulaw) AND gain (1.0/0.5/0.8), which byte-level dedup cannot
+    match.  The oracle recomputes group arithmetic from doc_id % 120."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import audio_dedup_groups
+
+    sr, n = 16000, 6400
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    gains = [1.0, 0.5, 0.8]
+    t = np.arange(n) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        k, j = i % 120, i // 120
+        b1 = 12 + 2 * k
+        b2 = ((b1 + 97) % 230) + 14
+        if abs(b2 - b1) < 5:
+            b2 = b1 + 7
+        x = 0.6 * np.sin(2 * np.pi * (b1 * 31.25) * t) + 0.3 * np.sin(
+            2 * np.pi * (b2 * 31.25) * t)
+        pcm = np.clip(x * gains[j] * 32767, -32768, 32767).astype(np.int16)
+        rows.append((f"clip_{i:010d}", bytearray(encode_payload(pcm, sr, codecs[j])),
+                     codecs[j]))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    g = audio_dedup_groups(df)
+    return g.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.sum("n_clips").alias("dup_rows"),
+        F.sum((F.col("n_clips") >= 3).cast("long")).alias("groups_of_3"),
+    )
+
+
 def q_iceberg_snapshot_reads(spark, sf_dir):
     """Iceberg-lite round trip (gx_spark/iceberg.py — real v2 layout, no
     jar): orders written as two appends (even, then odd o_orderkey) into a
@@ -1011,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
+        "audio_features_banded": q_audio_features_banded,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
@@ -1217,6 +1333,27 @@ def oracle_sql() -> dict[str, str]:
             "AS snr_unexpected, "
             "SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT "
             "AS transcript_unexpected FROM d"
+        ),
+        "audio_features_banded": (
+            "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400), "
+            "b AS ("
+            "SELECT 'rms_gain' AS metric, (doc_id % 5 + 1)::INT AS class, "
+            "count(*)::BIGINT AS n FROM ids WHERE doc_id % 11 <> 0 GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'silence', (doc_id % 4)::INT, count(*)::BIGINT "
+            "FROM ids GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'clipped', 1::INT, count(*)::BIGINT "
+            "FROM ids WHERE doc_id % 11 = 0) "
+            "SELECT * FROM b ORDER BY metric, class"
+        ),
+        "audio_fingerprint_dedup": (
+            "WITH g AS (SELECT doc_id % 120 AS k, count(*)::BIGINT AS c "
+            "FROM documents WHERE doc_id < 300 GROUP BY 1) "
+            "SELECT count(*)::BIGINT AS dup_groups, "
+            "COALESCE(SUM(c), 0)::BIGINT AS dup_rows, "
+            "SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END)::BIGINT AS groups_of_3 "
+            "FROM g WHERE c >= 2"
         ),
         "iceberg_snapshot_reads": (
             "SELECT "

@@ -310,6 +310,30 @@ def main() -> None:
     audio_dt = min(audio_runs)
     timings["audio_suite"] = round(audio_dt, 3)
 
+    # training-pipeline pass over the same Iceberg table: acoustic features
+    # + content-dedup fingerprints from ONE decode (audio_ops.py), stats
+    # and duplicate grouping over the slim feature columns only
+    from gx_spark.audio_ops import extract_audio_features
+
+    t0 = time.time()
+    feats = extract_audio_features(
+        audio_df, keep_cols=["clip_id"], fingerprint=True).persist()
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("rms_dbfs").alias("avg_rms_dbfs"),
+        F.sum((F.col("clipping_ratio") > 0.01).cast("long")).alias("clipped"),
+        F.sum((F.col("silence_ratio") > 0.5).cast("long")).alias("mostly_silent"),
+        F.sum(F.col("rms_dbfs").isNull().cast("long")).alias("undecodable"),
+    ).collect()[0]
+    dup_groups = (
+        feats.where(F.col("fp64").isNotNull())
+        .groupBy("fp64").count().where("count >= 2").count()
+    )
+    feats.unpersist()
+    pipeline_dt = time.time() - t0
+    timings["audio_pipeline"] = round(pipeline_dt, 3)
+    assert stats["n"] == AUDIO_N
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -323,6 +347,8 @@ def main() -> None:
         "audio_clips_per_sec": round(AUDIO_N / audio_dt, 1),
         "audio_runs_sec": [round(x, 3) for x in audio_runs],
         "audio_violation_rows": n_viol,
+        "pipeline_clips_per_sec": round(AUDIO_N / pipeline_dt, 1),
+        "pipeline_dup_groups": dup_groups,
     }))
 
 

@@ -1,0 +1,413 @@
+"""Audio training-data pipeline operators: per-clip acoustic features,
+content fingerprinting for cross-codec dedup, and sample-rate conversion.
+
+The reference (williamjr/great_expectations) has no audio surface; these
+extend the validation engine into the curation ops a 100 TB audio training
+pipeline needs, the same way ops.py does for text (SURVEY.md §2
+"beyond-reference pipeline ops").  Design rules shared with audio.py:
+
+- **One Arrow-batched pandas UDF per decode-requiring op.**  Decode runs
+  once, map-side; the binary column is projected away in the same select,
+  so bytes never reach a shuffle (the north rule's "large binary columns
+  kept off the shuffle path").
+- **Everything after the UDF is Catalyst.**  Dedup grouping is a plain
+  groupBy over a 64-bit fingerprint (xxhash64, JVM-side); at cluster scale
+  that is one shuffle of (id, fp) pairs — ~16 bytes/row regardless of
+  clip size.
+- **numpy does the per-clip math** (rFFT, frame energies, sinc
+  resampling); no per-sample Python loops.
+
+Fingerprint design: clips are short (sub-minute), so a whole-clip peak
+signature is the right granularity — per-frame dominant spectral bins
+(rectangular-window STFT) plus the global top-2 peaks, hashed JVM-side.
+It is invariant to codec (lossless transcode, G.711 companding noise at
+~38 dB SNR) and to gain scaling (argmax is scale-free), which byte-level
+hashing cannot be.  A production system indexing hour-long audio would
+extend the same plumbing to landmark *pairs* (anchor→target deltas,
+Shazam-style); the Spark-side shape — decode UDF → fp → groupBy — is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+AUDIO_FEATURES_SCHEMA = (
+    "n_samples long, header_sr int, rms_dbfs double, peak double, "
+    "clipping_ratio double, zcr_per_sec double, silence_ratio double, "
+    "spectral_centroid_hz double, dominant_hz double"
+)
+
+_FEATURE_KEYS = (
+    "n_samples", "header_sr", "rms_dbfs", "peak", "clipping_ratio",
+    "zcr_per_sec", "silence_ratio", "spectral_centroid_hz", "dominant_hz",
+)
+
+
+def compute_features_row(
+    b: bytes | None,
+    codec: str,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    clip_rail: int = 32000,
+    fingerprint: bool = False,
+) -> dict[str, Any]:
+    """Acoustic features of one clip payload; None fields on decode failure.
+
+    All features are defined on the int16 full-scale grid (x / 32768):
+    - rms_dbfs:   20*log10(rms), None for an all-zero clip
+    - peak:       max |x| in [0, 1]
+    - clipping_ratio: fraction of samples at |pcm| >= clip_rail.  The
+      default rail is 32000, not 32767, because companded codecs cannot
+      represent the int16 rail: a sample clipped at 32767 decodes to
+      32124 after a G.711 mu-law round trip (32256 for A-law), so an
+      exact-rail test would miss clipping in transcoded audio.
+    - zcr_per_sec: sign changes between consecutive samples, per second
+    - silence_ratio: fraction of frame_ms frames with frame-RMS below
+      silence_dbfs (a simple energy VAD; leading/trailing digital silence
+      shows up here exactly)
+    - spectral_centroid_hz: power-weighted mean of the rFFT bins
+    - dominant_hz: frequency of the largest non-DC rFFT bin
+
+    With fingerprint=True the dict also carries "fp_sig" (the dedup
+    signature of compute_fingerprint_row) from the SAME decode — a
+    pipeline computing both features and dedup keys decodes each payload
+    exactly once.
+    """
+    from .audio import decode_payload
+
+    keys = _FEATURE_KEYS + ("fp_sig",) if fingerprint else _FEATURE_KEYS
+    out: dict[str, Any] = {k: None for k in keys}
+    if b is None:
+        return out
+    try:
+        sr, pcm = decode_payload(bytes(b), codec)
+    except (ValueError, NotImplementedError):
+        return out
+    if fingerprint:
+        out["fp_sig"] = _fingerprint_from_pcm(sr, pcm)
+    n = len(pcm)
+    out["n_samples"] = n
+    out["header_sr"] = sr
+    if n == 0 or sr <= 0:
+        return out
+    x = pcm.astype(np.float64) / 32768.0
+    ms = float(np.mean(x * x))
+    out["rms_dbfs"] = 10.0 * np.log10(ms) if ms > 0 else None
+    out["peak"] = float(np.max(np.abs(x)))
+    out["clipping_ratio"] = float(
+        np.count_nonzero(np.abs(pcm.astype(np.int32)) >= clip_rail) / n
+    )
+    if n > 1:
+        out["zcr_per_sec"] = float(
+            np.count_nonzero(x[1:] * x[:-1] < 0) * sr / (n - 1)
+        )
+    flen = max(1, sr * frame_ms // 1000)
+    nf = n // flen
+    if nf > 0:
+        frames = x[: nf * flen].reshape(nf, flen)
+        frame_ms_pow = np.mean(frames * frames, axis=1)
+        thresh = 10.0 ** (silence_dbfs / 10.0)  # power threshold
+        out["silence_ratio"] = float(np.count_nonzero(frame_ms_pow < thresh) / nf)
+    # zero-pad the FFT to the next power of two: pocketfft is ~5x faster
+    # there than at the worst arbitrary lengths (measured 2.7 -> 0.5 ms at
+    # n~33k).  The centroid is POWER-weighted: zero-padding a rectangular
+    # window puts its 1/f amplitude sidelobes onto the fine grid, biasing
+    # an amplitude-weighted mean by ~56 Hz on a pure tone; squaring decays
+    # them 1/f^2, leaving <0.1 Hz bias with no window multiply needed.
+    nfft = 1 << max(1, int(n - 1).bit_length())
+    pwr = np.abs(np.fft.rfft(x, nfft)) ** 2
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sr)
+    tot = float(np.sum(pwr))
+    if tot > 0:
+        out["spectral_centroid_hz"] = float(np.dot(freqs, pwr) / tot)
+    if len(pwr) > 1:
+        out["dominant_hz"] = float(freqs[int(np.argmax(pwr[1:])) + 1])
+    return out
+
+
+def _features_udf(frame_ms: int, silence_dbfs: float, clip_rail: int,
+                  fingerprint: bool):
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keys = _FEATURE_KEYS + ("fp_sig",) if fingerprint else _FEATURE_KEYS
+    schema = AUDIO_FEATURES_SCHEMA + (", fp_sig string" if fingerprint else "")
+
+    @pandas_udf(schema)
+    def audio_features(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_features_row as _cfr
+
+        cols: dict[str, list] = {k: [] for k in keys}
+        appends = [cols[k].append for k in keys]
+        for bb, cc in zip(b, codec):
+            r = _cfr(bb, cc, frame_ms=frame_ms, silence_dbfs=silence_dbfs,
+                     clip_rail=clip_rail, fingerprint=fingerprint)
+            for ap, k in zip(appends, keys):
+                ap(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    return audio_features
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    clip_rail: int = 32000,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Per-clip acoustic features as flat columns; map-only, binary pruned.
+
+    One projection: the UDF consumes (bytes, codec) and the same select
+    drops the binary column, so every downstream op (aggregation, banding,
+    joins) shuffles only scalar features.  At 10^12 rows this is the scan
+    pass of the pipeline; nothing here repartitions.
+
+    fingerprint=True adds an fp64 dedup-key column from the same decode
+    (one scan serves both feature stats and duplicate grouping).
+    """
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    udf = _features_udf(frame_ms, silence_dbfs, clip_rail, fingerprint)
+    feat = udf(F.col(bytes_col), F.col(codec_col)).alias("_f")
+    out_keys = list(_FEATURE_KEYS)
+    projected = df.select(*keep, feat)
+    cols = [F.col(f"_f.{k}").alias(k) for k in out_keys]
+    if fingerprint:
+        # xxhash64(NULL) returns the seed, a real value — guard so
+        # undecodable rows get a null key instead of all colliding on it
+        cols.append(
+            F.when(F.col("_f.fp_sig").isNotNull(),
+                   F.xxhash64(F.col("_f.fp_sig"))).alias("fp64"))
+    return projected.select(*keep, *cols)
+
+
+# ---------------------------------------------------------------------------
+# content fingerprinting / cross-codec dedup
+# ---------------------------------------------------------------------------
+
+
+def compute_fingerprint_row(
+    b: bytes | None,
+    codec: str,
+    frame: int = 512,
+    hop: int = 256,
+) -> str | None:
+    """Spectral peak signature of one clip; None on decode failure.
+
+    Per rectangular-window frame: the dominant non-DC |rFFT| bin.  Global:
+    top-2 peaks of the *mean frame spectrum* (second peak after masking
+    ±3 bins around the first) — same coarse bin grid as the frame peaks,
+    so a frequency that is on-grid for the frames can never straddle a
+    finer full-length-FFT bin and flip under codec noise.  The signature
+    string embeds the sample rate and frame grid so clips at different
+    rates never collide by accident; hashing to 64 bits happens JVM-side
+    (xxhash64)."""
+    from .audio import decode_payload
+
+    if b is None:
+        return None
+    try:
+        sr, pcm = decode_payload(bytes(b), codec)
+    except (ValueError, NotImplementedError):
+        return None
+    return _fingerprint_from_pcm(sr, pcm, frame, hop)
+
+
+def _fingerprint_from_pcm(
+    sr: int, pcm: np.ndarray, frame: int = 512, hop: int = 256
+) -> str | None:
+    n = len(pcm)
+    if n < frame or sr <= 0:
+        return None
+    x = pcm.astype(np.float64)
+    nf = 1 + (n - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+    frames = x[idx]
+    mags = np.abs(np.fft.rfft(frames, axis=1))
+    peaks = np.argmax(mags[:, 1:], axis=1) + 1  # per-frame dominant bin
+    mean_mag = np.mean(mags, axis=0)
+    p1 = int(np.argmax(mean_mag[1:])) + 1
+    lo, hi = max(1, p1 - 3), min(len(mean_mag), p1 + 4)
+    masked = mean_mag.copy()
+    masked[lo:hi] = 0.0
+    p2 = int(np.argmax(masked[1:])) + 1
+    return f"{sr}/{frame}:{p1},{p2}|" + ",".join(map(str, peaks.tolist()))
+
+
+def _fingerprint_udf(frame: int, hop: int):
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+
+    @pandas_udf("string")
+    def audio_fp(b: pd.Series, codec: pd.Series) -> pd.Series:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_fingerprint_row as _cfp
+
+        return pd.Series(
+            [_cfp(bb, cc, frame=frame, hop=hop) for bb, cc in zip(b, codec)]
+        )
+
+    return audio_fp
+
+
+def fingerprint_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    frame: int = 512,
+    hop: int = 256,
+) -> DataFrame:
+    """(id, fp64) per decodable clip — the dedup key table.
+
+    Output is ~16 bytes/row: only this ever shuffles.  fp64 is xxhash64
+    over the signature string (computed JVM-side, not in the UDF)."""
+    udf = _fingerprint_udf(frame, hop)
+    return (
+        df.select(F.col(id_col), udf(F.col(bytes_col), F.col(codec_col)).alias("_sig"))
+        .where(F.col("_sig").isNotNull())
+        .select(id_col, F.xxhash64("_sig").alias("fp64"))
+    )
+
+
+def audio_dedup_groups(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Content-duplicate groups: (fp64, n_clips, clip_ids) for groups >= 2.
+
+    Catches re-encoded (codec-changed) and gain-scaled re-uploads that
+    exact byte/md5 dedup misses.  clip_ids is capped at 20 per group so a
+    pathological all-identical corpus cannot OOM the aggregation state."""
+    fp = fingerprint_audio(
+        df, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col
+    )
+    capped = fp.groupBy("fp64").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, 20).alias("clip_ids"),
+    )
+    return capped.where(F.col("n_clips") >= 2)
+
+
+# ---------------------------------------------------------------------------
+# sample-rate conversion
+# ---------------------------------------------------------------------------
+
+
+def resample_sinc(
+    pcm: np.ndarray, sr_from: int, sr_to: int, taps: int = 32
+) -> np.ndarray:
+    """Windowed-sinc (Hann) sample-rate conversion of int16 mono PCM.
+
+    Vectorized gather: each output sample is a `taps`-wide dot product
+    against sinc weights centered on its fractional input position; the
+    cutoff tracks min(sr_from, sr_to)/2 so downsampling anti-aliases.
+    O(taps * n_out) numpy work, no Python loop."""
+    if sr_from <= 0 or sr_to <= 0:
+        raise ValueError("sample rates must be positive")
+    if sr_from == sr_to:
+        return pcm.copy()
+    x = pcm.astype(np.float64)
+    n = len(x)
+    n_out = int(round(n * sr_to / sr_from))
+    if n == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.int16)
+    t = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    k0 = np.floor(t).astype(np.int64)
+    offs = np.arange(-(taps // 2) + 1, taps // 2 + 1, dtype=np.int64)
+    idx = k0[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n)
+    xi = np.where(valid, x[np.clip(idx, 0, n - 1)], 0.0)
+    d = t[:, None] - idx
+    fc = min(1.0, sr_to / sr_from)
+    w = 0.5 + 0.5 * np.cos(np.pi * d / (taps // 2))  # Hann, |d| <= taps/2
+    h = fc * np.sinc(fc * d) * np.clip(w, 0.0, None)
+    y = np.einsum("ij,ij->i", xi, h)
+    return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_sr: int,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    taps: int = 32,
+) -> DataFrame:
+    """Re-encode every decodable clip at target_sr as pcm_s16le WAV.
+
+    mapInPandas so input and output binary stay inside one Arrow batch
+    stream; rows that fail decode pass through with null bytes (callers
+    filter or route them to a violations sink).  Columns other than
+    (bytes, sr_hz, dur_ms, codec) are preserved unchanged."""
+    out_schema = df.schema
+    names = [f.name for f in out_schema]
+    for required in (bytes_col, codec_col):
+        if required not in names:
+            raise ValueError(f"missing column {required!r}")
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import resample_sinc as _rs
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_sr: list[int | None] = []
+            new_dur: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                    y = _rs(pcm, sr, target_sr, taps=taps)
+                    new_bytes.append(wav_encode(y, target_sr))
+                    new_sr.append(target_sr)
+                    new_dur.append(int(round(len(y) * 1000.0 / target_sr)))
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_sr.append(None)
+                    new_dur.append(None)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if "sr_hz" in pdf.columns:
+                pdf["sr_hz"] = pd.array(new_sr, dtype="Int32")
+            if "dur_ms" in pdf.columns:
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            if codec_col in pdf.columns:
+                pdf[codec_col] = [
+                    "pcm_s16le" if nb is not None else cc
+                    for nb, cc in zip(new_bytes, pdf[codec_col])
+                ]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

@@ -1,0 +1,270 @@
+"""Audio pipeline ops (gx_spark/audio_ops.py): acoustic features,
+cross-codec fingerprint dedup, windowed-sinc resampling.  Closed-form
+numpy checks run Spark-free; the Spark tests pin the DataFrame plumbing
+(binary pruned before any shuffle, mapInPandas schema round-trip)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark.audio import decode_payload, encode_payload, wav_encode  # noqa: E402
+from gx_spark.audio_ops import (  # noqa: E402
+    audio_dedup_groups,
+    compute_features_row,
+    compute_fingerprint_row,
+    extract_audio_features,
+    fingerprint_audio,
+    resample_audio,
+    resample_sinc,
+)
+
+SR = 16000
+
+
+def _tone(freq: float, amp: float, dur_s: float = 0.4, sr: int = SR) -> np.ndarray:
+    t = np.arange(int(sr * dur_s)) / sr
+    return np.clip(amp * np.sin(2 * np.pi * freq * t) * 32767,
+                   -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# features: closed forms
+# ---------------------------------------------------------------------------
+
+
+def test_features_pure_tone_closed_forms():
+    f = 100 * 31.25  # on the 512-frame bin grid, but any tone works here
+    x = _tone(f, 0.5)
+    r = compute_features_row(wav_encode(x, SR), "pcm_s16le")
+    assert r["n_samples"] == len(x)
+    assert r["header_sr"] == SR
+    # sine rms = a / sqrt(2)
+    assert abs(r["rms_dbfs"] - 20 * math.log10(0.5 / math.sqrt(2))) < 0.01
+    assert abs(r["peak"] - 0.5) < 0.001
+    assert r["clipping_ratio"] == 0.0
+    # zcr of a tone ~ 2f (quantized zeros eat a few crossings)
+    assert abs(r["zcr_per_sec"] - 2 * f) < 0.06 * 2 * f
+    assert abs(r["dominant_hz"] - f) < SR / len(x) + 0.01
+    assert abs(r["spectral_centroid_hz"] - f) < 20.0
+    assert r["silence_ratio"] == 0.0
+
+
+def test_features_silence_pad_and_clipping():
+    x = _tone(1000.0, 0.5)
+    pad = np.zeros(SR // 10, dtype=np.int16)  # 100 ms on the 25 ms frame grid
+    r = compute_features_row(wav_encode(np.concatenate([pad, x]), SR), "pcm_s16le")
+    n_frames = (len(pad) + len(x)) // (SR * 25 // 1000)
+    assert r["silence_ratio"] == pytest.approx(4 / n_frames)
+    hot = np.clip(_tone(1000.0, 0.5).astype(np.int32) * 3, -32768, 32767).astype(
+        np.int16)
+    rh = compute_features_row(wav_encode(hot, SR), "pcm_s16le")
+    assert rh["clipping_ratio"] > 0.05
+    assert rh["peak"] > 0.97
+    # the rail survives a mu-law round trip thanks to the 32000 default rail
+    rm = compute_features_row(encode_payload(hot, SR, "pcm_mulaw"), "pcm_mulaw")
+    assert rm["clipping_ratio"] > 0.05
+
+
+def test_features_decode_failure_is_all_null():
+    r = compute_features_row(b"not audio at all", "pcm_s16le")
+    assert all(v is None for v in r.values())
+    r2 = compute_features_row(None, "pcm_s16le")
+    assert all(v is None for v in r2.values())
+
+
+def test_features_all_zero_clip():
+    z = np.zeros(SR // 2, dtype=np.int16)
+    r = compute_features_row(wav_encode(z, SR), "pcm_s16le")
+    assert r["rms_dbfs"] is None
+    assert r["silence_ratio"] == 1.0
+    assert r["peak"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# fingerprint: invariance and distinctness
+# ---------------------------------------------------------------------------
+
+
+def _two_tone(b1: int, b2: int, gain: float = 1.0) -> np.ndarray:
+    t = np.arange(6400) / SR
+    x = 0.6 * np.sin(2 * np.pi * b1 * 31.25 * t) + 0.3 * np.sin(
+        2 * np.pi * b2 * 31.25 * t)
+    return np.clip(x * gain * 32767, -32768, 32767).astype(np.int16)
+
+
+def test_fingerprint_codec_and_gain_invariant():
+    pcm = _two_tone(100, 137)
+    ref = compute_fingerprint_row(wav_encode(pcm, SR), "pcm_s16le")
+    assert ref is not None
+    for codec in ("flac", "pcm_mulaw", "pcm_alaw"):
+        assert compute_fingerprint_row(
+            encode_payload(pcm, SR, codec), codec) == ref, codec
+    for gain in (0.5, 0.8, 0.25):
+        scaled = (pcm.astype(np.float64) * gain).astype(np.int16)
+        assert compute_fingerprint_row(wav_encode(scaled, SR), "pcm_s16le") == ref
+
+
+def test_fingerprint_distinct_content():
+    a = compute_fingerprint_row(wav_encode(_two_tone(100, 137), SR), "pcm_s16le")
+    b = compute_fingerprint_row(wav_encode(_two_tone(102, 137), SR), "pcm_s16le")
+    c = compute_fingerprint_row(wav_encode(_two_tone(100, 144), SR), "pcm_s16le")
+    assert len({a, b, c}) == 3
+    # different sample rate of identical bytes-per-sample content: no collision
+    d = compute_fingerprint_row(wav_encode(_two_tone(100, 137), 8000), "pcm_s16le")
+    assert d != a
+
+
+def test_fingerprint_too_short_or_bad_is_none():
+    assert compute_fingerprint_row(
+        wav_encode(np.zeros(100, dtype=np.int16), SR), "pcm_s16le") is None
+    assert compute_fingerprint_row(b"garbage", "flac") is None
+
+
+# ---------------------------------------------------------------------------
+# resampling
+# ---------------------------------------------------------------------------
+
+
+def _snr_vs(ref: np.ndarray, got: np.ndarray, guard: int) -> float:
+    m = slice(guard, min(len(ref), len(got)) - guard)
+    err = got[m].astype(np.float64) - ref[m].astype(np.float64)
+    return 10 * math.log10(
+        float(np.mean(ref[m].astype(np.float64) ** 2) / np.mean(err ** 2)))
+
+
+def test_resample_upsample_snr():
+    f = 1600.0
+    x = _tone(f, 0.6)
+    y = resample_sinc(x, SR, 32000)
+    assert len(y) == 2 * len(x)
+    t = np.arange(len(y)) / 32000
+    ref = np.clip(0.6 * np.sin(2 * np.pi * f * t) * 32767, -32768, 32767)
+    assert _snr_vs(ref, y, 64) > 60.0
+
+
+def test_resample_downsample_antialiased():
+    f = 1600.0
+    x = _tone(f, 0.6)
+    y = resample_sinc(x, SR, 8000)
+    t = np.arange(len(y)) / 8000
+    ref = np.clip(0.6 * np.sin(2 * np.pi * f * t) * 32767, -32768, 32767)
+    assert _snr_vs(ref, y, 32) > 50.0
+
+
+def test_resample_identity_and_edges():
+    x = _tone(440.0, 0.4)
+    assert np.array_equal(resample_sinc(x, SR, SR), x)
+    assert len(resample_sinc(np.zeros(0, dtype=np.int16), SR, 8000)) == 0
+    with pytest.raises(ValueError):
+        resample_sinc(x, 0, 8000)
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def _clips_df(spark):
+    rows = []
+    for i in range(24):
+        pcm = _two_tone(20 + 4 * (i % 8), 137, gain=[1.0, 0.5, 0.8][i % 3])
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        rows.append((f"c{i:04d}", bytearray(encode_payload(pcm, SR, codec)), codec))
+    return spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+
+
+def test_extract_features_spark_matches_row_fn(spark):
+    df = _clips_df(spark)
+    out = extract_audio_features(df, keep_cols=["clip_id", "codec"])
+    assert "bytes" not in out.columns
+    got = {r.clip_id: r.asDict() for r in out.collect()}
+    local = {}
+    for r in df.select("clip_id", "bytes", "codec").collect():
+        local[r.clip_id] = compute_features_row(bytes(r.bytes), r.codec)
+    assert set(got) == set(local)
+    for cid, lf in local.items():
+        for k, v in lf.items():
+            gv = got[cid][k]
+            if isinstance(v, float):
+                assert gv == pytest.approx(v, rel=1e-9), (cid, k)
+            else:
+                assert gv == v, (cid, k)
+
+
+def test_extract_features_with_fingerprint_single_decode(spark):
+    df = _clips_df(spark)
+    out = extract_audio_features(df, keep_cols=["clip_id"], fingerprint=True)
+    rows = out.collect()
+    assert "fp64" in out.columns and "bytes" not in out.columns
+    # 8 contents x 3 codecs/gains -> 8 distinct fp64 values, each x3
+    from collections import Counter
+
+    counts = Counter(r.fp64 for r in rows)
+    assert None not in counts
+    assert sorted(counts.values()) == [3] * 8
+    # a garbage row gets null fp64, NOT the xxhash64(NULL) seed constant
+    bad = spark.createDataFrame(
+        [("bad", bytearray(b"junk"), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string")
+    r = extract_audio_features(bad, keep_cols=["clip_id"],
+                               fingerprint=True).collect()[0]
+    assert r.fp64 is None and r.rms_dbfs is None
+
+
+def test_audio_dedup_groups_spark(spark):
+    # 24 clips over 8 contents x 3 encodings -> 8 groups of 3
+    df = _clips_df(spark)
+    g = audio_dedup_groups(df).collect()
+    assert len(g) == 8
+    assert all(r.n_clips == 3 for r in g)
+    assert all(len(r.clip_ids) == 3 for r in g)
+
+
+def test_fingerprint_binary_never_shuffles(spark):
+    df = _clips_df(spark)
+    plan = (
+        audio_dedup_groups(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for section in re.findall(r"Exchange[^\n]*", plan):
+        assert "bytes" not in section, section
+
+
+def test_resample_audio_spark_roundtrip(spark):
+    rows = []
+    for i in range(9):
+        pcm = _two_tone(40 + 8 * i, 200)
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        rows.append((f"r{i}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, 400, codec))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = resample_audio(df, 8000).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r.sr_hz == 8000 and r.codec == "pcm_s16le"
+        assert r.dur_ms == 400
+        sr2, pcm2 = decode_payload(bytes(r.bytes), "pcm_s16le")
+        assert sr2 == 8000 and len(pcm2) == 3200
+        # dominant tone survives the rate change (tones are < 4 kHz Nyquist)
+        feats = compute_features_row(bytes(r.bytes), "pcm_s16le")
+        i = int(r.clip_id[1:])
+        assert abs(feats["dominant_hz"] - (40 + 8 * i) * 31.25) < 3.0
+
+
+def test_resample_audio_bad_rows_pass_through_null(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"junk"), SR, 100, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    r = resample_audio(df, 8000).collect()[0]
+    assert r.bytes is None and r.sr_hz is None and r.dur_ms is None
