@@ -626,6 +626,57 @@ def q_audio_features_banded(spark, sf_dir):
     return spark.createDataFrame(res, "metric string, class int, n long")
 
 
+def q_audio_quality_violations(spark, sf_dir):
+    """Audio quality expectations (expectations/audio_exp.py clipping /
+    silence classes riding the ONE shared decode): clips from documents
+    doc_id<400, deterministic violation classes — hot (doc_id%5==0, 3x gain
+    into the rail) fails clipping<1%, dead-air (doc_id%5==1, 300 ms silence
+    + 100 ms tone) fails silence<50%; everything else passes both.  The
+    oracle recomputes each violation count from the class arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload, synth_pcm
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        pcm = synth_pcm(f"aq_{i}", sr, 400)
+        if i % 5 == 0:
+            pcm = np.clip(pcm.astype(np.int32) * 3, -32768, 32767).astype(
+                np.int16)
+        elif i % 5 == 1:
+            pcm = np.concatenate(
+                [np.zeros(sr * 300 // 1000, dtype=np.int16),
+                 pcm[: sr // 10]])
+        dur = int(round(len(pcm) * 1000.0 / sr))
+        codec = codecs[i % 3]
+        rows.append((i, f"aq_{i}", bytearray(encode_payload(pcm, sr, codec)),
+                     sr, dur, codec, "t"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("aq")
+        .add("expect_audio_clipping_ratio_to_be_below", max_ratio=0.01)
+        .add("expect_audio_silence_ratio_to_be_below", max_ratio=0.5)
+        .add("expect_audio_metadata_to_be_consistent"),
+    )
+    return _row(
+        spark,
+        "element_count long, clipping_unexpected long, silence_unexpected "
+        "long, meta_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"],
+         r[1].result["unexpected_count"], r[2].result["unexpected_count"]],
+    )
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Cross-codec audio content dedup (gx_spark.audio_ops.
     audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
@@ -1127,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "audio_quality_violations": q_audio_quality_violations,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
@@ -1346,6 +1398,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'clipped', 1::INT, count(*)::BIGINT "
             "FROM ids WHERE doc_id % 11 = 0) "
             "SELECT * FROM b ORDER BY metric, class"
+        ),
+        "audio_quality_violations": (
+            "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS clipping_unexpected, "
+            "SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS silence_unexpected, "
+            "0::BIGINT AS meta_unexpected FROM ids"
         ),
         "audio_fingerprint_dedup": (
             "WITH g AS (SELECT doc_id % 120 AS k, count(*)::BIGINT AS c "

@@ -25,7 +25,20 @@ from .base import ColumnMapExpectation, require_columns
 _AUDIO_COL = "__audio"
 
 
-def ensure_audio_flags(ctx: MetricContext, cfg: ExpectationConfiguration) -> None:
+def ensure_audio_flags(
+    ctx: MetricContext,
+    cfg: ExpectationConfiguration,
+    quality: dict | None = None,
+) -> None:
+    """Register the shared `__audio` flags column (one decode per run).
+
+    Quality expectations pass their decode-level params (clip_rail /
+    frame_ms / silence_dbfs); the registered column is then REBUILT with
+    the wider quality schema, still as one UDF instance — plan() for every
+    expectation runs before execution, so the richest request wins and the
+    decode still happens exactly once.  Two quality expectations in one
+    suite must agree on the decode-level params (thresholds like max_ratio
+    are per-expectation and free to differ)."""
     k = cfg.kwargs
     cols = dict(
         clip_id=k.get("clip_id_column", "clip_id"),
@@ -36,11 +49,21 @@ def ensure_audio_flags(ctx: MetricContext, cfg: ExpectationConfiguration) -> Non
         transcript=k.get("transcript_column", "transcript"),
     )
     require_columns(ctx, *cols.values())
-    udf = make_audio_flags_udf()
-    ctx.derived_column(
-        _AUDIO_COL,
-        udf(*[F.col(c) for c in cols.values()]),
-    )
+    have_q = getattr(ctx, "_audio_quality_params", None)
+    if _AUDIO_COL in ctx.derived:
+        if quality is None:
+            return  # existing (possibly richer) column already serves us
+        if have_q is not None:
+            if have_q != quality:
+                raise ValueError(
+                    "conflicting audio quality params in one suite: "
+                    f"{have_q} vs {quality}")
+            return
+        # upgrade: rebuild the shared column with the quality schema
+    udf = make_audio_flags_udf(quality=quality)
+    ctx.derived[_AUDIO_COL] = udf(*[F.col(c) for c in cols.values()])
+    if quality is not None:
+        ctx._audio_quality_params = quality
 
 
 @register_expectation("expect_audio_metadata_to_be_consistent")
@@ -120,3 +143,62 @@ class TranscriptMatchesReference(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.col(cfg.kwargs.get("column", "transcript"))
+
+
+def _quality_params(cfg: ExpectationConfiguration) -> dict:
+    k = cfg.kwargs
+    return dict(
+        clip_rail=int(k.get("clip_rail", 32000)),
+        frame_ms=int(k.get("frame_ms", 25)),
+        silence_dbfs=float(k.get("silence_dbfs", -40.0)),
+    )
+
+
+@register_expectation("expect_audio_clipping_ratio_to_be_below")
+class AudioClippingBelow(ColumnMapExpectation):
+    """Unexpected when the fraction of decoded samples at |pcm| >=
+    clip_rail reaches max_ratio (default 0.01) — hard-limited / hot takes.
+    Rides the shared audio decode (gx_spark/audio.py quality_ratios); the
+    default rail is 32000 because companded codecs cannot represent 32767.
+    Non-decodable payloads have a null ratio and are excluded (they are
+    expect_audio_metadata_to_be_consistent's concern)."""
+
+    metric_name = "audio.clipping_ratio"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_audio_flags(ctx, cfg, quality=_quality_params(cfg))
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = float(cfg.kwargs.get("max_ratio", 0.01))
+        r = F.col(_AUDIO_COL)["clipping_ratio"]
+        return r.isNotNull() & (r >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_AUDIO_COL)["clipping_ratio"], 4)
+
+
+@register_expectation("expect_audio_silence_ratio_to_be_below")
+class AudioSilenceBelow(ColumnMapExpectation):
+    """Unexpected when the fraction of frame_ms frames with frame power
+    below silence_dbfs reaches max_ratio (default 0.5) — mostly-silent or
+    dead-air clips.  Same shared decode; null ratio (undecodable / shorter
+    than one frame) is excluded from the denominator."""
+
+    metric_name = "audio.silence_ratio"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_audio_flags(ctx, cfg, quality=_quality_params(cfg))
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = float(cfg.kwargs.get("max_ratio", 0.5))
+        r = F.col(_AUDIO_COL)["silence_ratio"]
+        return r.isNotNull() & (r >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_AUDIO_COL)["silence_ratio"], 4)

@@ -397,6 +397,10 @@ def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
             ("expect_audio_metadata_to_be_consistent", {}),
             ("expect_audio_snr_to_be_at_least", {"min_snr_db": 30.0}),
             ("expect_transcript_to_match_reference", {}),
+            # quality classes share the probe's single decode (the flags
+            # column upgrades to the quality schema when these are present)
+            ("expect_audio_clipping_ratio_to_be_below", {"max_ratio": 0.01}),
+            ("expect_audio_silence_ratio_to_be_below", {"max_ratio": 0.5}),
         ]
     elif _IMAGE_META <= cols:
         candidates = [

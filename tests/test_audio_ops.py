@@ -268,3 +268,121 @@ def test_resample_audio_bad_rows_pass_through_null(spark):
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
     r = resample_audio(df, 8000).collect()[0]
     assert r.bytes is None and r.sr_hz is None and r.dur_ms is None
+
+
+# ---------------------------------------------------------------------------
+# quality expectations (clipping / silence) on the shared audio decode
+# ---------------------------------------------------------------------------
+
+
+def _quality_table(spark):
+    rows = []
+    for i in range(60):
+        tone = _tone(440.0 + 10 * i, 0.5, dur_s=0.4)
+        if i % 5 == 0:  # hot: into the rail
+            pcm = np.clip(tone.astype(np.int32) * 3, -32768, 32767).astype(np.int16)
+        elif i % 5 == 1:  # mostly silent: 300 ms dead air + 100 ms tone
+            pcm = np.concatenate(
+                [np.zeros(SR * 300 // 1000, dtype=np.int16), tone[: SR // 10]])
+        else:
+            pcm = tone
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        dur = int(round(len(pcm) * 1000 / SR))
+        rows.append((f"q{i:04d}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, dur, codec, "text"))
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+
+def test_quality_expectations_counts(spark):
+    from gx_spark import EngineOptions, ExpectationSuite, validate
+
+    df = _quality_table(spark)
+    suite = (
+        ExpectationSuite("q")
+        .add("expect_audio_clipping_ratio_to_be_below", max_ratio=0.01)
+        .add("expect_audio_silence_ratio_to_be_below", max_ratio=0.5)
+        .add("expect_audio_metadata_to_be_consistent")
+    )
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("clip_id",)))
+    by_type = {r.expectation_config.expectation_type: r
+               for r in b.suite_result.results}
+    clip_r = by_type["expect_audio_clipping_ratio_to_be_below"]
+    sil_r = by_type["expect_audio_silence_ratio_to_be_below"]
+    meta_r = by_type["expect_audio_metadata_to_be_consistent"]
+    b.unpersist()
+    assert clip_r.result["unexpected_count"] == 12  # i % 5 == 0
+    assert sil_r.result["unexpected_count"] == 12   # i % 5 == 1
+    assert not clip_r.success and not sil_r.success
+    assert meta_r.success, meta_r.result
+
+
+def test_quality_decode_runs_once_for_five_expectation_suite(spark, audio_dir):
+    """Adding the two quality expectations to the full audio suite must not
+    add a second decode pass: the shared __audio column is upgraded to the
+    quality schema, still one UDF instance, one evaluation per row."""
+    import pandas as pd  # noqa: F401
+
+    import gx_spark.audio as audio_mod
+    import gx_spark.expectations.audio_exp as audio_exp_mod
+    from gx_spark import EngineOptions, validate
+    from gx_spark.suites import audio_suite
+
+    acc = spark.sparkContext.accumulator(0)
+    real_factory = audio_mod.make_audio_flags_udf
+
+    def counting_factory(quality=None):
+        from pyspark.sql.functions import pandas_udf
+
+        from gx_spark.audio import AUDIO_FLAGS_SCHEMA, AUDIO_QUALITY_FLAGS_SCHEMA
+
+        real_udf_fn = real_factory(quality=quality).func
+        schema = (AUDIO_QUALITY_FLAGS_SCHEMA if quality is not None
+                  else AUDIO_FLAGS_SCHEMA)
+
+        @pandas_udf(schema)
+        def counted(*series):
+            acc.add(len(series[0]))
+            return real_udf_fn(*series)
+
+        return counted
+
+    old = audio_exp_mod.make_audio_flags_udf
+    audio_exp_mod.make_audio_flags_udf = counting_factory
+    try:
+        df = spark.read.parquet(f"{audio_dir}/audio_clips.parquet")
+        n = df.count()
+        suite = (
+            audio_suite()
+            .add("expect_audio_clipping_ratio_to_be_below")
+            .add("expect_audio_silence_ratio_to_be_below", max_ratio=0.9)
+        )
+        b = validate(spark, df, suite,
+                     EngineOptions(unexpected_index_column_names=("clip_id",)))
+        b.violations_table().count()
+        b.results_df(spark).count()
+        by_type = {r.expectation_config.expectation_type: r
+                   for r in b.suite_result.results}
+        b.unpersist()
+    finally:
+        audio_exp_mod.make_audio_flags_udf = old
+    assert acc.value == n, f"decode ran {acc.value} times for {n} rows"
+    # the quality fields actually made it through the upgraded struct
+    assert "unexpected_count" in by_type[
+        "expect_audio_clipping_ratio_to_be_below"].result
+
+
+def test_conflicting_quality_params_raise(spark):
+    from gx_spark import EngineOptions, ExpectationSuite, validate
+
+    df = _quality_table(spark)
+    suite = (
+        ExpectationSuite("q")
+        .add("expect_audio_clipping_ratio_to_be_below", clip_rail=32000)
+        .add("expect_audio_silence_ratio_to_be_below", clip_rail=30000,
+             catch_exceptions=False)
+    )
+    with pytest.raises(ValueError, match="conflicting audio quality params"):
+        validate(spark, df, suite, EngineOptions())

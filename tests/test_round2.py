@@ -310,11 +310,12 @@ def test_audio_decode_runs_once_per_run(spark, audio_dir):
     acc = spark.sparkContext.accumulator(0)
     real_factory = audio_mod.make_audio_flags_udf
 
-    def counting_factory():
+    def counting_factory(quality=None):
         from pyspark.sql.functions import pandas_udf
 
         from gx_spark.audio import AUDIO_FLAGS_SCHEMA
 
+        assert quality is None  # plain suite: no quality upgrade requested
         real_udf_fn = real_factory().func  # underlying batch fn
 
         # NB: no type hints here — this module has `from __future__ import
