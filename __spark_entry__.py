@@ -677,6 +677,42 @@ def q_audio_quality_violations(spark, sf_dir):
     )
 
 
+def q_audio_trim_bounds(spark, sf_dir):
+    """Dead-air analysis (gx_spark.audio_ops.silence_bounds — the trim op's
+    measurement pass): clips built from documents doc_id<400 with lead pad
+    (doc_id%4)*50 ms and trail pad (doc_id%3)*50 ms around a 400 ms two-tone
+    span, all on the 25 ms frame grid so the measured bounds are EXACT.
+    The oracle recomputes every total from the pad arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload, synth_pcm
+    from gx_spark.audio_ops import silence_bounds
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        lead, trail = (i % 4) * 50, (i % 3) * 50
+        pcm = np.concatenate([
+            np.zeros(sr * lead // 1000, dtype=np.int16),
+            synth_pcm(f"at_{i}", sr, 400),
+            np.zeros(sr * trail // 1000, dtype=np.int16),
+        ])
+        codec = codecs[i % 3]
+        rows.append((i, bytearray(encode_payload(pcm, sr, codec)), codec))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    b = silence_bounds(df, keep_cols=["doc_id"])
+    return b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lead_ms").alias("total_lead_ms"),
+        F.sum("trail_ms").alias("total_trail_ms"),
+        F.sum("active_ms").alias("total_active_ms"),
+    )
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Cross-codec audio content dedup (gx_spark.audio_ops.
     audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
@@ -1179,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_banded": q_audio_features_banded,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "audio_quality_violations": q_audio_quality_violations,
+        "audio_trim_bounds": q_audio_trim_bounds,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
@@ -1407,6 +1444,13 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)::BIGINT "
             "AS silence_unexpected, "
             "0::BIGINT AS meta_unexpected FROM ids"
+        ),
+        "audio_trim_bounds": (
+            "SELECT count(*)::BIGINT AS n, "
+            "SUM((doc_id % 4) * 50)::BIGINT AS total_lead_ms, "
+            "SUM((doc_id % 3) * 50)::BIGINT AS total_trail_ms, "
+            "(count(*) * 400)::BIGINT AS total_active_ms "
+            "FROM documents WHERE doc_id < 400"
         ),
         "audio_fingerprint_dedup": (
             "WITH g AS (SELECT doc_id % 120 AS k, count(*)::BIGINT AS c "

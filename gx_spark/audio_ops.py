@@ -317,6 +317,180 @@ def audio_dedup_groups(
 
 
 # ---------------------------------------------------------------------------
+# silence bounds / trim
+# ---------------------------------------------------------------------------
+
+SILENCE_BOUNDS_SCHEMA = "lead_ms int, trail_ms int, active_ms int"
+
+
+def silence_bounds_row(
+    b: bytes | None,
+    codec: str,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+) -> tuple[int | None, int | None, int | None]:
+    """(lead_ms, trail_ms, active_ms) of one clip on the frame_ms grid.
+
+    Frames with power below silence_dbfs at both ends count as lead/trail
+    dead air; a trailing partial frame (clip length not a multiple of
+    frame_ms) joins the trail if silent, else the active span.  An
+    all-silent clip reports (dur, 0, 0).  (None, None, None) on decode
+    failure."""
+    from .audio import decode_payload
+
+    if b is None:
+        return None, None, None
+    try:
+        sr, pcm = decode_payload(bytes(b), codec)
+    except (ValueError, NotImplementedError):
+        return None, None, None
+    return _bounds_from_pcm(sr, pcm, frame_ms, silence_dbfs)
+
+
+def _bounds_from_pcm(
+    sr: int, pcm: np.ndarray, frame_ms: int, silence_dbfs: float
+) -> tuple[int | None, int | None, int | None]:
+    n = len(pcm)
+    if n == 0 or sr <= 0:
+        return None, None, None
+    flen = max(1, sr * frame_ms // 1000)
+    nf = n // flen
+    thresh = 10.0 ** (silence_dbfs / 10.0)
+    x = pcm.astype(np.float64) / 32768.0
+
+    def _ms(samples: int) -> int:
+        return int(round(samples * 1000.0 / sr))
+
+    if nf == 0:  # shorter than one frame: one partial frame decides all
+        silent = float(np.mean(x * x)) < thresh
+        return (_ms(n), 0, 0) if silent else (0, 0, _ms(n))
+    frame_pow = np.mean(x[: nf * flen].reshape(nf, flen) ** 2, axis=1)
+    voiced = np.nonzero(frame_pow >= thresh)[0]
+    leftover = n - nf * flen
+    leftover_voiced = (
+        leftover > 0 and float(np.mean(x[nf * flen:] ** 2)) >= thresh
+    )
+    if len(voiced) == 0:
+        if leftover_voiced:
+            return _ms(nf * flen), 0, _ms(leftover)
+        return _ms(n), 0, 0
+    first = int(voiced[0])
+    last_sample = n if leftover_voiced else (int(voiced[-1]) + 1) * flen
+    lead = first * flen
+    return _ms(lead), _ms(n - last_sample), _ms(last_sample - lead)
+
+
+def silence_bounds(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+) -> DataFrame:
+    """Per-clip dead-air analysis as flat columns; map-only, binary pruned
+    in the same projection (same plan shape as extract_audio_features)."""
+    from pyspark.sql.functions import pandas_udf
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    repo_root = _REPO_ROOT
+
+    @pandas_udf(SILENCE_BOUNDS_SCHEMA)
+    def bounds(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import silence_bounds_row as _sbr
+
+        lead, trail, active = [], [], []
+        for bb, cc in zip(b, codec):
+            lo, tr, ac = _sbr(bb, cc, frame_ms=frame_ms,
+                              silence_dbfs=silence_dbfs)
+            lead.append(lo)
+            trail.append(tr)
+            active.append(ac)
+        return pd.DataFrame(
+            {"lead_ms": lead, "trail_ms": trail, "active_ms": active},
+            copy=False)
+
+    feat = bounds(F.col(bytes_col), F.col(codec_col)).alias("_s")
+    return df.select(*keep, feat).select(
+        *keep,
+        F.col("_s.lead_ms").alias("lead_ms"),
+        F.col("_s.trail_ms").alias("trail_ms"),
+        F.col("_s.active_ms").alias("active_ms"),
+    )
+
+
+def trim_silence(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+) -> DataFrame:
+    """Cut lead/trail dead air; re-encode the active span as pcm_s16le WAV.
+
+    mapInPandas with the input schema preserved (sr_hz/dur_ms/codec updated
+    when present, like resample_audio); undecodable rows pass through with
+    null bytes.  An all-silent clip trims to empty bytes (dur_ms 0) so a
+    downstream `dur_ms > 0` filter drops it."""
+    out_schema = df.schema
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import _bounds_from_pcm as _bfp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_sr: list[int | None] = []
+            new_dur: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_sr.append(None)
+                    new_dur.append(None)
+                    continue
+                lo, _tr, ac = _bfp(sr, pcm, frame_ms, silence_dbfs)
+                if lo is None:
+                    new_bytes.append(None)
+                    new_sr.append(None)
+                    new_dur.append(None)
+                    continue
+                a = int(round(lo * sr / 1000.0))
+                z = a + int(round(ac * sr / 1000.0))
+                new_bytes.append(wav_encode(pcm[a:z], sr))
+                new_sr.append(sr)
+                new_dur.append(ac)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if "sr_hz" in pdf.columns:
+                pdf["sr_hz"] = pd.array(new_sr, dtype="Int32")
+            if "dur_ms" in pdf.columns:
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            if codec_col in pdf.columns:
+                pdf[codec_col] = [
+                    "pcm_s16le" if nb is not None else cc
+                    for nb, cc in zip(new_bytes, pdf[codec_col])
+                ]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # sample-rate conversion
 # ---------------------------------------------------------------------------
 

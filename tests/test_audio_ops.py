@@ -386,3 +386,69 @@ def test_conflicting_quality_params_raise(spark):
     )
     with pytest.raises(ValueError, match="conflicting audio quality params"):
         validate(spark, df, suite, EngineOptions())
+
+
+# ---------------------------------------------------------------------------
+# silence bounds / trim
+# ---------------------------------------------------------------------------
+
+
+def _padded(lead_ms: int, trail_ms: int, tone_ms: int = 400) -> np.ndarray:
+    tone = _tone(1000.0, 0.5, dur_s=tone_ms / 1000.0)
+    return np.concatenate([
+        np.zeros(SR * lead_ms // 1000, dtype=np.int16),
+        tone,
+        np.zeros(SR * trail_ms // 1000, dtype=np.int16),
+    ])
+
+
+def test_silence_bounds_closed_form():
+    from gx_spark.audio_ops import silence_bounds_row
+
+    b = wav_encode(_padded(100, 150), SR)
+    assert silence_bounds_row(b, "pcm_s16le") == (100, 150, 400)
+    # no padding
+    assert silence_bounds_row(wav_encode(_padded(0, 0), SR),
+                              "pcm_s16le") == (0, 0, 400)
+    # all silent
+    z = wav_encode(np.zeros(SR // 2, dtype=np.int16), SR)
+    assert silence_bounds_row(z, "pcm_s16le") == (500, 0, 0)
+    # decode failure
+    assert silence_bounds_row(b"junk", "flac") == (None, None, None)
+    # voiced partial trailing frame joins the active span
+    odd = np.concatenate([
+        np.zeros(SR // 10, dtype=np.int16),
+        _tone(1000.0, 0.5, dur_s=0.41),  # 410 ms: 10 ms partial frame
+    ])
+    lead, trail, active = silence_bounds_row(wav_encode(odd, SR), "pcm_s16le")
+    assert (lead, trail, active) == (100, 0, 410)
+
+
+def test_silence_bounds_spark_and_trim_roundtrip(spark):
+    from gx_spark.audio_ops import silence_bounds, trim_silence
+
+    rows = []
+    for i in range(12):
+        lead, trail = (i % 4) * 50, (i % 3) * 50
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        pcm = _padded(lead, trail)
+        rows.append((f"t{i:02d}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, 400 + lead + trail, codec))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+
+    got = {r.clip_id: r for r in silence_bounds(
+        df, keep_cols=["clip_id"]).collect()}
+    for i in range(12):
+        r = got[f"t{i:02d}"]
+        assert (r.lead_ms, r.trail_ms, r.active_ms) == \
+            ((i % 4) * 50, (i % 3) * 50, 400), i
+
+    out = {r.clip_id: r for r in trim_silence(df).collect()}
+    for i in range(12):
+        r = out[f"t{i:02d}"]
+        assert r.dur_ms == 400 and r.codec == "pcm_s16le"
+        sr2, pcm2 = decode_payload(bytes(r.bytes), "pcm_s16le")
+        assert sr2 == SR and len(pcm2) == SR * 400 // 1000
+        feats = compute_features_row(bytes(r.bytes), "pcm_s16le")
+        assert feats["silence_ratio"] == 0.0
