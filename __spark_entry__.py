@@ -429,6 +429,15 @@ def q_word_jaccard_documents(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    # full near-dup CLUSTERING: exact word-Jaccard pairs -> large-star/
+    # small-star connected components -> canonical-doc election (longest
+    # text, ties -> smallest id).  Transitive closure without materializing
+    # it; at scale each CC round is a plain keyed agg + join (AQE-friendly).
+    docs = _load(spark, sf_dir, "documents")
+    return ops.dedup_clusters(docs, "doc_id", "text", threshold=0.9)
+
+
 def q_cosine_near_dups_embeddings(spark, sf_dir):
     # exact-mode all-pairs cosine near-dups (bounded verification slice);
     # the LSH mode is covered by the recall pytest (tests/test_ops2.py)
@@ -1201,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata_violations": q_image_metadata_violations,
         "image_png_violations": q_image_png_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
@@ -1600,6 +1610,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE n_int * 1.0 / (sa.n + sb.n - n_int) >= 0.9"
+        ),
+        "dedup_clusters_documents": (
+            # connected components over the 0.9-Jaccard pair graph via a
+            # recursive reachability walk (min reachable id = component),
+            # then canonical election by (length desc, id asc)
+            "WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int "
+            "FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE n_int * 1.0 / (sa.n + sb.n - n_int) >= 0.9), "
+            "sym AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "walk(node, comp) AS ("
+            "SELECT u, u FROM (SELECT u FROM sym UNION SELECT v FROM sym) "
+            "UNION "
+            "SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.node), "
+            "comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node) "
+            "SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component, "
+            "(row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id) "
+            "ORDER BY coalesce(length(d.text), -1) DESC, d.doc_id ASC) = 1) "
+            "AS is_canonical "
+            "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
         ),
         "cosine_near_dups_embeddings": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "

@@ -253,6 +253,116 @@ def word_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds, each
+    round two keyed shuffles (groupBy min + join), no driver-side graph.
+
+    This is the step that turns pairwise near-dup PAIRS into dedup
+    CLUSTERS: transitive closure without ever materializing it.  At
+    10^12-row scale the pair graph is itself huge; every round here is a
+    plain aggregate+join on the node id, so AQE/salting apply, and the
+    edge set only shrinks (each round points nodes at smaller labels).
+    Lineage is truncated per round with localCheckpoint so the plan does
+    not grow O(rounds) deep.
+
+    Input: one row per undirected pair (a, b), any orientation, dups ok.
+    Output: (node, component) for every node appearing in `pairs`, where
+    component = min node id reachable — callers left-join this onto the
+    full table and coalesce(component, id) for singletons.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        bi = edges.union(edges.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+        m = bi.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m"))
+        return (
+            bi.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        o = edges.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = o.join(m, "u").select(F.col("v").alias("u"),
+                                    F.col("m").alias("v"))
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            nbr.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # decimal(38,0) sum: |xxhash64| < 2^63 ≈ 9.2e18, so the sum stays
+        # in-range up to ~1e19 edges — never overflows (ANSI mode throws on
+        # a plain long sum)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is (node -> component root); roots map to themselves
+    nodes = e.select("u").union(e.select("v")).distinct()
+    return (
+        nodes.join(cur, "u", "left")
+        .select(F.col("u").alias("node"),
+                F.coalesce("v", "u").alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.9,
+) -> DataFrame:
+    """Full near-dup CLUSTERING: exact word-Jaccard pairs (prefix-filtered
+    AllPairs join) → connected components → canonical-doc election.
+
+    Returns one row per document: (id, component, is_canonical) where
+    component is the min doc id in the cluster and the canonical doc is
+    the longest text (ties → smallest id) — the standard "keep one
+    representative per near-dup cluster" curation step.  Election is a
+    row_number window partitioned BY COMPONENT, so window state is one
+    cluster, never the table."""
+    pairs = word_jaccard_pairs(df, id_col, text_col, threshold=threshold)
+    cc = connected_components(pairs)
+    full = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.length(text_col), F.lit(-1)).alias("tlen"),
+    )
+    labeled = (
+        full.join(cc, full["id"] == cc["node"], "left")
+        .select("id", F.coalesce("component", "id").alias("component"), "tlen")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("tlen"), F.asc("id"))
+    return labeled.select(
+        "id", "component",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.5, n_hashes: int = 32, bands: int = 8,

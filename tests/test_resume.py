@@ -99,17 +99,18 @@ def test_resume_decodes_each_row_once(spark, audio_dir, results_dir):
     acc = spark.sparkContext.accumulator(0)
     real_factory = audio_mod.make_audio_flags_udf
 
-    def counting_factory():
+    def counting_factory(*args, **kwargs):
+        # forward any factory kwargs (e.g. quality=...) and reuse the real
+        # UDF's return schema so this shim stays valid as the factory grows
         from pyspark.sql.functions import pandas_udf
 
-        from gx_spark.audio import AUDIO_FLAGS_SCHEMA
-
-        real_udf_fn = real_factory().func
+        real = real_factory(*args, **kwargs)
+        real_udf_fn = real.func
 
         # NB: no type hints — `from __future__ import annotations` would
         # route pandas_udf through an inference path that drops
         # executor-side accumulator updates (see test_round2)
-        @pandas_udf(AUDIO_FLAGS_SCHEMA)
+        @pandas_udf(real.returnType)
         def counted(*series):
             acc.add(len(series[0]))
             return real_udf_fn(*series)

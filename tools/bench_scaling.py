@@ -167,6 +167,28 @@ def main() -> None:
 def write_baseline_md(r: dict) -> None:
     p, s = r["primary"], r["secondary"]
     t = r.get("tertiary")
+    pipe_section = ""
+    pipe_path = os.path.join(REPO, "BENCH", "scaling_pipeline.json")
+    if os.path.exists(pipe_path):
+        with open(pipe_path) as f:
+            q = json.load(f)
+        pipe_section = f"""
+## Curation-pipeline scaling (features + dedup fingerprint, one decode)
+
+Same two-parallelism protocol over the round-3 curation pass
+(`tools/pipeline_job.py`: acoustic features + cross-codec dedup
+fingerprint from a single decode, then a fingerprint groupBy), on a
+deterministic {q['n_clips']:,}-clip slice of the bench table:
+
+| cores (N -> 4N) | clips/sec | speedup | hardware ceiling | efficiency | eff vs hardware |
+|---|---|---|---|---|---|
+| local[{q['low_cores']}] -> local[{q['high_cores']}] \
+| {q['thr_low_clips_per_sec']:,} -> {q['thr_high_clips_per_sec']:,} \
+| {q['speedup']}x | {q['hardware_ceiling_speedup']}x \
+| {q['scaling_efficiency']} | {q['efficiency_vs_hardware']} |
+
+Reproduce: `python tools/pipeline_scaling.py`.
+"""
 
     def row(m):
         return (
@@ -243,7 +265,7 @@ bench.py / tools/bench_scaling.py.  At 10^12-row cluster scale the
 equivalent levers are executor GC choice and object-store range-read
 tuning; the engine's plan shape (binary never shuffled, decoded once,
 map-side) is what makes throughput scale with executors at all.
-
+{pipe_section}
 ## Reference baseline
 
 The reference publishes no benchmark numbers (upstream ships only a
