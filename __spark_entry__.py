@@ -421,6 +421,20 @@ def q_ann_ivf_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_pq_embeddings(spark, sf_dir):
+    # rows-only: product-quantization ANN (Jégou TPAMI'11) with ADC
+    # shortlist + exact rerank (k-means codebooks not reproducible in ANSI
+    # SQL); ADC-score exactness vs code reconstruction and recall@10 >= 0.9
+    # are pinned by tests/test_pq.py
+    emb = _load(spark, sf_dir, "embeddings")
+    B = ops.train_pq_codebooks(emb, "embedding", m=8, k=64, seed=42)
+    codes = ops.pq_encode(emb, "vec_id", "embedding", B)
+    out = ops.pq_topk_rerank(emb, "vec_id", "embedding", codes, B,
+                             _query_vec(spark, sf_dir), k=10, shortlist=50)
+    return out.select(F.col("id").alias("vec_id"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def q_word_jaccard_documents(spark, sf_dir):
     # EXACT word-set Jaccard pairs via inverted-index join (ops.py) — the
     # verification baseline for the minhash/LSH near-dup path
@@ -1207,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_pq_embeddings": q_ann_pq_embeddings,
         "image_metadata_violations": q_image_metadata_violations,
         "image_png_violations": q_image_png_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
@@ -1661,7 +1676,8 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0) - (rn - 1.0) / n)), 6) AS ks_stat FROM s"
         ),
         # minhash_near_dups, simhash_documents, ann_lsh_embeddings,
-        # ann_ivf_embeddings: intentionally omitted → driver records
-        # rows-only checks (LSH/xxhash64/k-means seeds not reproducible in
-        # ANSI SQL; IVF exactness pinned by tests/test_ivf.py instead)
+        # ann_ivf_embeddings, ann_pq_embeddings: intentionally omitted →
+        # driver records rows-only checks (LSH/xxhash64/k-means seeds not
+        # reproducible in ANSI SQL; IVF exactness pinned by tests/test_ivf.py,
+        # PQ ADC exactness + recall by tests/test_pq.py)
     }

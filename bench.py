@@ -199,6 +199,19 @@ def main() -> None:
         ops.cosine_near_dup_pairs(load("embeddings"), "vec_id", "embedding",
                                   threshold=0.4, mode="lsh").count()
 
+    @bench("dedup_clusters")
+    def _():
+        # the full 100 TB dedup chain: LSH-verified near-dup pairs ->
+        # large-star/small-star connected components -> one canonical doc
+        # per cluster (quadratic never materializes; CC rounds are plain
+        # keyed agg+join)
+        docs = load("documents")
+        pairs = ops.minhash_verified_pairs(docs, "doc_id", "text",
+                                           threshold=0.8)
+        out = ops.dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+        kept = out.where("is_canonical").count()
+        assert 0 < kept <= docs.count()
+
     @bench("documents_text_analysis")
     def _():
         docs = load("documents")
@@ -224,6 +237,22 @@ def main() -> None:
               .select("embedding").first()[0]]
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
+
+    @bench("pq_ann")
+    def _():
+        # PQ at-scale shape: train codebooks once, encode the corpus to
+        # m-byte codes (32x smaller than the vectors), serve queries as
+        # ADC shortlist over codes + exact rerank on shortlist rows only
+        emb = load("embeddings")
+        B = ops.train_pq_codebooks(emb, "embedding", m=8, k=256)
+        codes = ops.pq_encode(emb, "vec_id", "embedding", B).persist()
+        codes.count()
+        for vid in (0, 1):
+            q = [float(x) for x in emb.where(F.col("vec_id") == vid)
+                 .select("embedding").first()[0]]
+            ops.pq_topk_rerank(emb, "vec_id", "embedding", codes, B, q,
+                               k=10, shortlist=50).collect()
+        codes.unpersist()
 
     @bench("ivf_written_index")
     def _():

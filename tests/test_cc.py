@@ -97,6 +97,19 @@ def test_dedup_clusters_end_to_end(spark):
     assert out["d5"] == ("d5", True)
 
 
+def test_dedup_clusters_from_precomputed_pairs(spark):
+    """pairs= path (the 100 TB shape: LSH-verified candidates instead of
+    exact all-pairs) must produce identical clusters when the pair sets
+    agree."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = ops.dedup_clusters(docs, "doc_id", "text", threshold=0.9)
+    pairs = ops.word_jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    via_pairs = ops.dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, via_pairs.collect()))
+    assert a == b
+
+
 def test_dedup_clusters_documents_sf0001(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = ops.dedup_clusters(docs, "doc_id", "text", threshold=0.9)
