@@ -435,6 +435,31 @@ def q_ann_pq_embeddings(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivfpq_embeddings(spark, sf_dir):
+    # rows-only: full IVFADC composition (Jégou TPAMI'11 §V) — written
+    # index partitioned by coarse cell (probe = partition pruning) with
+    # residual PQ codes (probe streams 8-byte codes), ADC shortlist +
+    # exact rerank; ADC exactness / pruning plan / recall pinned by
+    # tests/test_ivfpq.py (k-means seeds not reproducible in ANSI SQL)
+    import shutil
+    import tempfile
+
+    emb = _load(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="gx_ivfpq_entry_")
+    try:
+        ops.write_ivfpq_index(emb, "vec_id", "embedding", d,
+                              n_centroids=16, m=8, n_codes=64, seed=42)
+        codes, C, B = ops.read_ivfpq_index(spark, d)
+        out = ops.ivfpq_topk_rerank(emb, "vec_id", "embedding", codes, C, B,
+                                    _query_vec(spark, sf_dir), k=10,
+                                    nprobe=8, shortlist=50)
+        rows = out.select(F.col("id").alias("vec_id"),
+                          F.round("cosine", 6).alias("cosine")).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id bigint, cosine double")
+
+
 def q_word_jaccard_documents(spark, sf_dir):
     # EXACT word-set Jaccard pairs via inverted-index join (ops.py) — the
     # verification baseline for the minhash/LSH near-dup path
@@ -459,6 +484,15 @@ def q_cosine_near_dups_embeddings(spark, sf_dir):
     out = ops.cosine_near_dup_pairs(emb, "vec_id", "embedding",
                                     threshold=0.4, mode="exact")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_dedup_clusters(spark, sf_dir):
+    # semantic dedup: exact cosine pairs (oracle-checkable baseline; the
+    # LSH mode is the at-scale path, recall-pinned in pytest) -> connected
+    # components -> canonical = min id per cluster
+    emb = _load(spark, sf_dir, "embeddings")
+    return ops.embedding_dedup_clusters(emb, "vec_id", "embedding",
+                                        threshold=0.4, mode="exact")
 
 
 def q_chisquare_mktsegment(spark, sf_dir):
@@ -1222,11 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "ann_pq_embeddings": q_ann_pq_embeddings,
+        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
         "image_metadata_violations": q_image_metadata_violations,
         "image_png_violations": q_image_png_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
@@ -1661,6 +1697,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
             "SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4"
         ),
+        "embedding_dedup_clusters": (
+            # same recursive reachability walk as dedup_clusters_documents,
+            # over the 0.4-cosine pair graph; canonical = min id per cluster
+            "WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a "
+            "JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+            "* sqrt(list_dot_product(b.v, b.v))) >= 0.4), "
+            "sym AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "walk(node, comp) AS ("
+            "SELECT u, u FROM (SELECT u FROM sym UNION SELECT v FROM sym) "
+            "UNION "
+            "SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.node), "
+            "comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node) "
+            "SELECT emb.vec_id AS id, "
+            "coalesce(c.component, emb.vec_id) AS component, "
+            "(emb.vec_id = coalesce(c.component, emb.vec_id)) AS is_canonical "
+            "FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id"
+        ),
         "chisquare_mktsegment": (
             "WITH oc AS (SELECT c_mktsegment AS v, count(*) AS c "
             "FROM customer GROUP BY 1), "
@@ -1676,8 +1733,10 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0) - (rn - 1.0) / n)), 6) AS ks_stat FROM s"
         ),
         # minhash_near_dups, simhash_documents, ann_lsh_embeddings,
-        # ann_ivf_embeddings, ann_pq_embeddings: intentionally omitted →
-        # driver records rows-only checks (LSH/xxhash64/k-means seeds not
-        # reproducible in ANSI SQL; IVF exactness pinned by tests/test_ivf.py,
-        # PQ ADC exactness + recall by tests/test_pq.py)
+        # ann_ivf_embeddings, ann_pq_embeddings, ann_ivfpq_embeddings:
+        # intentionally omitted → driver records rows-only checks
+        # (LSH/xxhash64/k-means seeds not reproducible in ANSI SQL; IVF
+        # exactness pinned by tests/test_ivf.py, PQ ADC exactness + recall
+        # by tests/test_pq.py, IVFADC layout/exactness/pruning/recall by
+        # tests/test_ivfpq.py)
     }

@@ -279,6 +279,29 @@ def main() -> None:
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    @bench("ivfpq_written_index")
+    def _():
+        # the full IVFADC serving shape: coarse cells (partition pruning)
+        # + residual PQ codes (32x compression) written once, probes =
+        # pruned ADC shortlist + exact rerank on shortlist rows only
+        import shutil
+        import tempfile
+
+        emb = load("embeddings")
+        qs = [[float(x) for x in emb.where(F.col("vec_id") == vid)
+               .select("embedding").first()[0]] for vid in (0, 1)]
+        d = tempfile.mkdtemp(prefix="gx_ivfpq_")
+        try:
+            ops.write_ivfpq_index(emb, "vec_id", "embedding", d,
+                                  n_centroids=32, m=8, n_codes=256)
+            codes, C, B = ops.read_ivfpq_index(spark, d)
+            for q in qs:
+                ops.ivfpq_topk_rerank(emb, "vec_id", "embedding", codes, C,
+                                      B, q, k=10, nprobe=8,
+                                      shortlist=50).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     @bench("image_suite")
     def _():
         from gx_spark import ops as _ops  # noqa: F401

@@ -371,6 +371,34 @@ def dedup_clusters(
     )
 
 
+def embedding_dedup_clusters(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4,
+    mode: str = "exact",
+) -> DataFrame:
+    """Embedding-space near-dup CLUSTERING: cosine near-dup pairs →
+    connected components → canonical election (the semantic-dedup step of
+    a training pipeline: keep one doc per embedding cluster).
+
+    mode="exact" is the oracle-checkable all-pairs baseline; mode="lsh"
+    is the 100 TB shape (hyperplane-bucketed candidates + exact verify —
+    the quadratic never materializes).  Returns (id, component,
+    is_canonical); component is the min id in the cluster (the CC
+    iteration's fixed point), so the canonical member is simply the row
+    whose id equals its component — no extra window pass.  Rows with null
+    vectors become singleton clusters rather than failing the job."""
+    pairs = cosine_near_dup_pairs(
+        df, id_col, vec_col, threshold=threshold, mode=mode
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    base = df.select(F.col(id_col).alias("id"))
+    labeled = base.join(cc, base["id"] == cc["node"], "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+    return labeled.withColumn(
+        "is_canonical", F.col("id") == F.col("component")
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.5, n_hashes: int = 32, bands: int = 8,
@@ -900,6 +928,18 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return _pq_lloyd(M, m, k, iters, seed)
+
+
+def _pq_lloyd(
+    M: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a (n, dim) training matrix; the
+    shared trainer behind train_pq_codebooks (raw normalized vectors) and
+    train_pq_codebooks_residual (IVF residuals)."""
+    dim = M.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     kk = min(k, len(M))
     rng = np.random.default_rng(seed)
@@ -1041,6 +1081,171 @@ def pq_topk_rerank(
     cand = df.join(
         F.broadcast(short), df[id_col] == short["id"], "left_semi"
     )
+    return cosine_topk(cand, id_col, vec_col, query, k)
+
+
+def train_pq_codebooks_residual(
+    index: DataFrame, centroids: np.ndarray, m: int = 8, k: int = 256,
+    sample_cap: int = 20_000, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Residual PQ codebooks for IVF-PQ (the IVFADC composition of Jégou
+    TPAMI'11 §V): train on r = x_normalized − centroid[cell] over a seeded
+    bounded sample of a build_ivf_index() table.  Residuals concentrate
+    around 0 once the coarse quantizer has absorbed the cell structure, so
+    the same code budget quantizes much finer than vector-space PQ."""
+    rows = _bounded_sample(index.select("vec", "cell"), sample_cap, seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    R = np.stack([
+        np.asarray(r["vec"], dtype=np.float64) - C[int(r["cell"])]
+        for r in rows if len(r["vec"]) == dim
+    ])
+    return _pq_lloyd(R, m, k, iters, seed)
+
+
+def _bounded_sample(df: DataFrame, cap: int, seed: int) -> list:
+    """Seeded Bernoulli sample across ALL partitions capped at `cap` rows
+    (one sizing count() job) — the shared bounded-driver-memory sampler
+    behind every quantizer trainer here."""
+    n = df.count()
+    if n > cap:
+        df = df.sample(fraction=min(1.0, cap * 1.2 / n), seed=seed)
+    rows = df.limit(cap).collect()
+    if not rows:
+        raise ValueError("no rows to sample")
+    return rows
+
+
+def write_ivfpq_index(
+    df: DataFrame, id_col: str, vec_col: str, path: str,
+    n_centroids: int = 64, m: int = 8, n_codes: int = 256,
+    sample_cap: int = 20_000, iters: int = 10, seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the full IVF-PQ (IVFADC) index — THE 10^12-vector serving
+    shape: coarse cells give partition pruning (a probe reads
+    nprobe/n_centroids of the FILES), residual PQ codes give 32x compression
+    (the probe streams m-byte codes, never vectors).  Layout at `path`:
+    `index/` = (id, code) parquet PARTITIONED BY cell; `centroids/` and
+    `codebooks/` = tiny parquet side tables (FS-agnostic, no driver-local
+    files).  Returns (centroids, codebooks)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    C = train_ivf_centroids(df, vec_col, n_centroids, sample_cap, iters, seed)
+    index = build_ivf_index(df, id_col, vec_col, C)
+    B = train_pq_codebooks_residual(index, C, m, n_codes, sample_cap, iters,
+                                    seed)
+    mm, _kk, d_sub = B.shape
+    dim = mm * d_sub
+    bias = -0.5 * (B * B).sum(axis=2)  # (m, k): -||c||^2/2 per codeword
+    Cd = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf("array<smallint>")
+    def encode(vecs, cells):
+        import numpy as _np
+
+        V = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        R = V - Cd[cells.to_numpy(dtype=_np.int64)]
+        codes = _np.empty((len(R), mm), dtype=_np.int16)
+        for j in range(mm):
+            X = R[:, j * d_sub:(j + 1) * d_sub]
+            codes[:, j] = (X @ B[j].T + bias[j]).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    # build_ivf_index already dropped null/ragged vectors (cell >= 0 and
+    # vec normalized), so encode() can stack unconditionally
+    coded = index.select("id", "cell", encode("vec", "cell").alias("code"))
+    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in B[j, c]])
+         for j in range(mm) for c in range(B.shape[1])],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return C, B
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load a write_ivfpq_index() layout: (codes DataFrame with `cell` as a
+    Hive partition column, centroids, codebooks).  Feed to ivfpq_query()."""
+    codes = spark.read.parquet(f"{path}/index")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    dim = len(crows[0]["centroid"])
+    C = np.zeros((len(crows), dim), dtype=np.float64)
+    for r in crows:
+        C[int(r["cell"])] = r["centroid"]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(int(r["subspace"]) for r in brows)
+    k = 1 + max(int(r["code"]) for r in brows)
+    d_sub = len(brows[0]["centroid"])
+    B = np.zeros((m, k, d_sub), dtype=np.float64)
+    for r in brows:
+        B[int(r["subspace"]), int(r["code"])] = r["centroid"]
+    return codes, C, B
+
+
+def ivfpq_query(
+    codes: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    query: list[float], k: int = 10, nprobe: int = 8,
+) -> DataFrame:
+    """IVF-PQ probe (asymmetric distance over residual codes): rank cells
+    driver-side, filter to the nprobe best (partition pruning on a written
+    index), then score approx_cosine = q·centroid[cell] + Σ_j T[j][code_j]
+    — exactly q · (centroid + reconstructed residual), pinned by test.
+    The cell term is a CASE literal over nprobe values (codegen, no join);
+    the code term is the same m-gather ADC as pq_query.  Only k rows per
+    partition survive the TakeOrdered."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _kk, d_sub = B.shape
+    q = np.asarray(query, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    cell_dot = C @ q
+    order = np.argsort(-cell_dot)[:nprobe]
+    T = np.stack([B[j] @ q[j * d_sub:(j + 1) * d_sub] for j in range(m)])
+
+    @pandas_udf("double")
+    def adc(code_col):
+        import numpy as _np
+
+        CM = _np.stack([_np.asarray(c, dtype=_np.int64) for c in code_col]) \
+            if len(code_col) else _np.zeros((0, m), dtype=_np.int64)
+        s = _np.zeros(len(code_col))
+        for j in range(m):
+            s += T[j][CM[:, j]]
+        return pd.Series(s)
+
+    cell_bias = F.lit(0.0)
+    for c in order:
+        cell_bias = F.when(F.col("cell") == int(c),
+                           F.lit(float(cell_dot[c]))).otherwise(cell_bias)
+    scored = (
+        codes.filter(F.col("cell").isin([int(c) for c in order]))
+        .select("id", (adc(F.col("code")) + cell_bias).alias("approx_cosine"))
+    )
+    return scored.orderBy(F.desc("approx_cosine"), F.asc("id")).limit(k)
+
+
+def ivfpq_topk_rerank(
+    df: DataFrame, id_col: str, vec_col: str, codes: DataFrame,
+    centroids: np.ndarray, codebooks: np.ndarray, query: list[float],
+    k: int = 10, nprobe: int = 8, shortlist: int = 50,
+) -> DataFrame:
+    """Production IVF-PQ serving: pruned-ADC shortlist over the written
+    codes, exact cosine rerank touching full-precision vectors for
+    `shortlist` rows only (broadcast semi-join into the corpus scan)."""
+    short = ivfpq_query(codes, centroids, codebooks, query, shortlist,
+                        nprobe).select("id")
+    cand = df.join(F.broadcast(short), df[id_col] == short["id"], "left_semi")
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 

@@ -132,3 +132,36 @@ def test_dedup_clusters_documents_sf0001(spark):
     want = _union_find(nodes, pairs)
     got = {r["id"]: r["component"] for r in rows}
     assert got == want
+
+
+def test_embedding_dedup_clusters_vs_union_find(spark):
+    """Semantic dedup over the embeddings table: exact-mode clusters must
+    match a driver-side union-find over the same exact cosine pair set,
+    with canonical = min id per cluster."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in ops.cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, mode="exact"
+        ).collect()
+    ]
+    nodes = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = _union_find(nodes, pairs)
+    out = {r["id"]: (r["component"], r["is_canonical"]) for r in
+           ops.embedding_dedup_clusters(emb, "vec_id", "embedding",
+                                        threshold=0.4).collect()}
+    assert len(out) == len(nodes)
+    for n in nodes:
+        comp, canon = out[n]
+        assert comp == want[n]
+        assert canon == (n == want[n])
+
+
+def test_embedding_dedup_clusters_null_vector_is_singleton(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, None), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: (r["component"], r["is_canonical"]) for r in
+           ops.embedding_dedup_clusters(df, "vec_id", "embedding",
+                                        threshold=0.9).collect()}
+    assert out[2] == (2, True)          # null vector: own singleton cluster
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[3] == (3, True)
