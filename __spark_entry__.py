@@ -486,6 +486,26 @@ def q_cosine_near_dups_embeddings(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_hash_split_documents(spark, sf_dir):
+    # deterministic content-stable train/val split: md5-bucket assignment,
+    # pure map-side expression — same split on any cluster at any
+    # parallelism (vs sample/randomSplit whose outcome depends on
+    # partitioning)
+    docs = _load(spark, sf_dir, "documents")
+    out = ops.hash_split(docs, "doc_id", val_permille=100)
+    return out.select("doc_id", "split")
+
+
+def q_group_cap_documents(spark, sf_dir):
+    # per-source document cap (anti-over-representation curation): keep the
+    # 10 longest docs per source, ties by doc_id — one shuffle on source,
+    # window state bounded by the group (sources hold ~25 docs at sf0.01,
+    # so the cap genuinely filters)
+    docs = _load(spark, sf_dir, "documents")
+    out = ops.group_cap(docs, "source", "n_chars", cap=10, id_col="doc_id")
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_embedding_dedup_clusters(spark, sf_dir):
     # semantic dedup: exact cosine pairs (oracle-checkable baseline; the
     # LSH mode is the at-scale path, recall-pinned in pytest) -> connected
@@ -1263,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "hash_split_documents": q_hash_split_documents,
+        "group_cap_documents": q_group_cap_documents,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
@@ -1696,6 +1718,16 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(b.v, b.v))) AS cos "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
             "SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4"
+        ),
+        "hash_split_documents": (
+            "SELECT doc_id, CASE WHEN ('0x' || substr(md5('gx_split' || "
+            "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100 "
+            "THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        "group_cap_documents": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC) <= 10"
         ),
         "embedding_dedup_clusters": (
             # same recursive reachability walk as dedup_clusters_documents,

@@ -1467,3 +1467,57 @@ def curation_pipeline(
         F.coalesce(F.sum(F.when(final, F.col("n_tokens"))), F.lit(0))
         .cast("long").alias("final_tokens"),
     )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, val_permille: int = 100,
+    salt: str = "gx_split",
+) -> DataFrame:
+    """Deterministic, content-stable train/val split — the reproducibility
+    primitive of a training-data pipeline: a document lands in the same
+    split on any cluster, at any parallelism, across reruns and re-shards,
+    because the assignment is a pure function of its key (vs `df.sample`/
+    `randomSplit`, whose outcome depends on partitioning and seed plumbing).
+
+    bucket = int(first 15 hex digits of md5(salt || key)) mod 1000 (60 bits
+    — fits a long exactly, and `('0x'||hex)::BIGINT` reproduces it in
+    DuckDB/ANSI engines for the oracle); split = 'val' iff bucket <
+    val_permille.  Pure map-side column expression: no shuffle, no RNG
+    state, codegen end to end.  Salt gives independent splits for k-fold /
+    re-splitting without correlation."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    return df.withColumn(
+        "split",
+        F.when(h % 1000 < val_permille, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
+def group_cap(
+    df: DataFrame, group_col: str, order_col: str, cap: int,
+    id_col: str | None = None, descending: bool = True,
+) -> DataFrame:
+    """Per-group cap — "keep at most `cap` best documents per domain", the
+    anti-over-representation step of corpus curation (a handful of mega
+    sources otherwise dominate a crawl-scale mix).
+
+    One shuffle on group_col; rank = row_number over (order_col desc, id
+    asc) so ties break deterministically; window state is one group, never
+    the table.  A skewed mega-group still ranks in one partition — for
+    known-degenerate keys, pre-aggregate or salt upstream (see skew.py);
+    at cap<<group size a cheaper 2-phase top-k (per-partition cap then
+    global) applies, which Catalyst's rank-limit pushdown already performs
+    for row_number filters."""
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if id_col:
+        order.append(F.asc(id_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+    )

@@ -1,0 +1,87 @@
+"""Curation primitives: deterministic hash_split and per-group cap.
+
+hash_split's DuckDB oracle is wired through
+__spark_entry__.oracle_sql()['hash_split_documents'] (the '0x'||hex cast
+reproduces Spark's conv(hex,16,10) exactly); these tests pin the
+engine-side invariants the oracle can't see: partitioning-independence
+and salt decorrelation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import ops  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_partitioning_independent(docs):
+    """The split must be a pure function of the key: identical assignment
+    at 1 partition and 16 partitions (randomSplit/sample would differ)."""
+    a = {r["doc_id"]: r["split"]
+         for r in ops.hash_split(docs.coalesce(1), "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in ops.hash_split(docs.repartition(16), "doc_id").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val"}
+
+
+def test_hash_split_fraction_and_salt(docs):
+    n = docs.count()
+    out = ops.hash_split(docs, "doc_id", val_permille=200)
+    nv = out.where("split = 'val'").count()
+    # md5 buckets are uniform: 20% +- generous tolerance on 500 docs
+    assert 0.10 <= nv / n <= 0.30
+    # a different salt decorrelates the split: some doc changes side
+    other = ops.hash_split(docs, "doc_id", val_permille=200, salt="fold2")
+    joined = (
+        out.select("doc_id", F.col("split").alias("s1"))
+        .join(other.select("doc_id", F.col("split").alias("s2")), "doc_id")
+    )
+    assert joined.where("s1 != s2").count() > 0
+
+
+def test_hash_split_matches_reference_hash(docs):
+    """Spot-check the bucket arithmetic against python's int(hex, 16) on a
+    few rows — the same arithmetic the DuckDB oracle uses."""
+    import hashlib
+
+    rows = ops.hash_split(docs, "doc_id", val_permille=100).limit(20).collect()
+    for r in rows:
+        h = hashlib.md5(f"gx_split{r['doc_id']}".encode()).hexdigest()
+        want = "val" if int(h[:15], 16) % 1000 < 100 else "train"
+        assert r["split"] == want, r
+
+
+def test_group_cap_caps_and_keeps_best(docs):
+    capped = ops.group_cap(docs, "source", "n_chars", cap=5,
+                           id_col="doc_id")
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    got = capped.select("doc_id", "source", "n_chars").toPandas()
+    sizes = got.groupby("source").size()
+    assert (sizes <= 5).all()
+    # kept set per group == pandas nlargest with the same tie-break
+    for src, grp in pdf.groupby("source"):
+        want = set(
+            grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(5)["doc_id"]
+        )
+        assert set(got[got["source"] == src]["doc_id"]) == want
+
+
+def test_group_cap_preserves_columns(docs):
+    capped = ops.group_cap(docs, "source", "n_chars", cap=3, id_col="doc_id")
+    assert capped.columns == docs.columns
