@@ -506,6 +506,27 @@ def q_group_cap_documents(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_mixture_sample_documents(spark, sf_dir):
+    # data-mixing recipe step: downsample sources toward a 50/30/20 target
+    # token mix under a 5000-char budget; membership is the deterministic
+    # md5-bucket rule (reproducible at any parallelism), keep fractions
+    # from one tiny broadcast groupBy
+    docs = _load(spark, sf_dir, "documents")
+    out = ops.mixture_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_col="n_chars", budget_tokens=5000, key_col="doc_id")
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_token_shards_documents(spark, sf_dir):
+    # fixed-token-budget training shards via the two-phase distributed
+    # prefix sum (range shuffle + broadcast offsets) — never a one-
+    # partition global window; oracle recomputes serially with ANSI cumsum
+    docs = _load(spark, sf_dir, "documents")
+    out = ops.token_shards(docs, "doc_id", "n_chars", shard_tokens=2000)
+    return out.select(F.col("id").alias("doc_id"), "shard")
+
+
 def q_embedding_dedup_clusters(spark, sf_dir):
     # semantic dedup: exact cosine pairs (oracle-checkable baseline; the
     # LSH mode is the at-scale path, recall-pinned in pytest) -> connected
@@ -1285,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "hash_split_documents": q_hash_split_documents,
         "group_cap_documents": q_group_cap_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
+        "token_shards_documents": q_token_shards_documents,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
@@ -1728,6 +1751,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "ORDER BY n_chars DESC, doc_id ASC) <= 10"
+        ),
+        "token_shards_documents": (
+            "SELECT doc_id, CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
+            "/ 2000.0) AS BIGINT) AS shard FROM documents"
+        ),
+        "mixture_sample_documents": (
+            "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS g "
+            "FROM documents GROUP BY source), "
+            "w(src, wt) AS (SELECT * FROM (VALUES ('src0', 0.5), "
+            "('src1', 0.3), ('src2', 0.2))) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN tot t ON t.source = d.source "
+            "LEFT JOIN w ON w.src = d.source "
+            "WHERE ('0x' || substr(md5('gx_mix' || CAST(d.doc_id AS VARCHAR)), "
+            "1, 15))::BIGINT % 1000 < "
+            "LEAST(1.0, 5000.0 * COALESCE(w.wt, 0.0) / t.g) * 1000"
         ),
         "embedding_dedup_clusters": (
             # same recursive reachability walk as dedup_clusters_documents,

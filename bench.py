@@ -377,30 +377,51 @@ def main() -> None:
     # evidence lives in tools/pipeline_scaling.py.  The cut is a RANGE on
     # clip_id (ids are written in order), so parquet min/max stats prune
     # the untouched row groups — a hash-based cut would still scan every
-    # byte of the binary column and understate throughput
-    pipe_df = audio_df.where(F.col("clip_id") < f"clip_{AUDIO_N // 4:010d}")
+    # byte of the binary column and understate throughput.  The slice MUST
+    # cut at the FILE level: the table's round-robin write gives every file
+    # full-range clip_id bounds, so neither parquet row-group stats nor
+    # Iceberg manifest bounds can prune a value range (measured: a range
+    # row-filter after coalesce concentrated the surviving rows into ~3 of
+    # 10 merged tasks — 84 s vs 15 s).  Sharding the snapshot's planned
+    # file list is how a real cluster slices a backfill, the per-file clip
+    # mix is uniform by construction, and the quarter reads a quarter of
+    # the bytes.
+    # No coalesce here: the quarter shard scans as ~32 splits and decodes
+    # fastest using them all (measured 9.8 s vs 18.1 s with coalesce(10) in
+    # the same window — the coalesce guidance applies to the FULL-table
+    # suite where 64 concurrent decode workers oversubscribe the box).
+    shard = sorted(f.file_path for f in ice.plan_files())
+    shard = shard[: max(1, len(shard) // 4)]
+    pipe_df = spark.read.parquet(*shard)
     # untimed warm-up: the first full-batch pass through a new pandas UDF
     # pays worker JIT/allocator growth (measured ~2x on the first pass even
     # with warm workers); a real long-running job amortizes this to zero
     extract_audio_features(
         audio_df.limit(2000), keep_cols=["clip_id"], fingerprint=True
     ).agg(F.count("fp64")).collect()
-    t0 = time.time()
-    feats = extract_audio_features(
-        pipe_df, keep_cols=["clip_id"], fingerprint=True).persist()
-    stats = feats.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("rms_dbfs").alias("avg_rms_dbfs"),
-        F.sum((F.col("clipping_ratio") > 0.01).cast("long")).alias("clipped"),
-        F.sum((F.col("silence_ratio") > 0.5).cast("long")).alias("mostly_silent"),
-        F.sum(F.col("rms_dbfs").isNull().cast("long")).alias("undecodable"),
-    ).collect()[0]
-    dup_groups = (
-        feats.where(F.col("fp64").isNotNull())
-        .groupBy("fp64").count().where("count >= 2").count()
-    )
-    feats.unpersist()
-    pipeline_dt = time.time() - t0
+    # best-of-2, same rationale as the suite runs: this section lands after
+    # ~2 min of sustained full load, where the shared hypervisor throttles
+    # single shots up to 4x vs the identical job on a quiet box (measured
+    # 9.8 s isolated vs 45 s in-bench for this exact plan)
+    pipeline_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        feats = extract_audio_features(
+            pipe_df, keep_cols=["clip_id"], fingerprint=True).persist()
+        stats = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("rms_dbfs").alias("avg_rms_dbfs"),
+            F.sum((F.col("clipping_ratio") > 0.01).cast("long")).alias("clipped"),
+            F.sum((F.col("silence_ratio") > 0.5).cast("long")).alias("mostly_silent"),
+            F.sum(F.col("rms_dbfs").isNull().cast("long")).alias("undecodable"),
+        ).collect()[0]
+        dup_groups = (
+            feats.where(F.col("fp64").isNotNull())
+            .groupBy("fp64").count().where("count >= 2").count()
+        )
+        feats.unpersist()
+        pipeline_runs.append(time.time() - t0)
+    pipeline_dt = min(pipeline_runs)
     timings["audio_pipeline"] = round(pipeline_dt, 3)
     pipeline_n = int(stats["n"])
     assert 0 < pipeline_n < AUDIO_N
@@ -419,6 +440,7 @@ def main() -> None:
         "audio_runs_sec": [round(x, 3) for x in audio_runs],
         "audio_violation_rows": n_viol,
         "pipeline_clips_per_sec": round(pipeline_n / pipeline_dt, 1),
+        "pipeline_runs_sec": [round(x, 3) for x in pipeline_runs],
         "pipeline_n": pipeline_n,
         "pipeline_dup_groups": dup_groups,
     }))

@@ -1521,3 +1521,96 @@ def group_cap(
         .filter(F.col("rk") <= cap)
         .drop("rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame, group_col: str, weights: dict, token_col: str,
+    budget_tokens: int, key_col: str, salt: str = "gx_mix",
+) -> DataFrame:
+    """Data-mixing: downsample each group (source/domain/language) so the
+    kept token mass approaches `budget_tokens * weights[group]` — the
+    "N% web, M% code, K% books" recipe step of assembling a training mix.
+
+    keep_frac(g) = min(1, budget*w_g / tokens_g) from one tiny groupBy
+    aggregate (broadcast back — group count is small by construction);
+    membership is the same deterministic md5-bucket rule as hash_split, so
+    the sampled mix is reproducible at any parallelism and is expressible
+    in ANSI SQL for the oracle; `key_col` must be a ROW key (doc id), not
+    the group — hashing the group would keep or drop whole groups.  Groups
+    absent from `weights` get weight 0 (dropped).  Expected kept tokens
+    per group ≈ target (md5 buckets are uniform; exactness is statistical,
+    not row-exact — the oracle checks the IDENTICAL deterministic row set,
+    not the expectation)."""
+    kc = key_col
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("_g_tokens")
+    )
+    wmap = F.create_map(
+        *[x for gw in weights.items()
+          for x in (F.lit(gw[0]), F.lit(float(gw[1])))]
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_tokens))
+        * F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+        / F.col("_g_tokens"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(kc).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long") % 1000
+    return (
+        df.join(F.broadcast(totals), group_col)
+        .where(bucket < frac * 1000)
+        .drop("_g_tokens")
+    )
+
+
+def token_shards(
+    df: DataFrame, id_col: str, token_col: str, shard_tokens: int,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training shard:
+    shard = floor(prefix_tokens / shard_tokens) where prefix_tokens is the
+    running token total in global `id_col` order (exclusive of the row) —
+    the deterministic "pack the corpus into ~N-token files" step before
+    training, reproducible at any parallelism.
+
+    A single global window cumsum would serialize the table through one
+    partition; this is the classic two-phase distributed PREFIX SUM
+    instead: repartitionByRange on id (range r holds ids < range r+1's),
+    per-partition running sums via a window whose state is one partition
+    (streaming running total, not a buffered frame), plus one tiny
+    per-partition-subtotal aggregate (n_ranges rows) broadcast back as
+    offsets.  The expensive pass is one shuffle (the range partitioning);
+    everything after is map-side.  Oracle: the ANSI equivalent is
+    `floor((SUM(tok) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - tok)
+    / S)` — same values, computed serially."""
+    pid = F.spark_partition_id()
+    ranged = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(token_col).cast("double").alias("tok"))
+        .repartitionByRange(n_ranges, F.col("id"))
+        .withColumn("pid", pid)
+    )
+    subtotals = ranged.groupBy("pid").agg(F.sum("tok").alias("s")).collect()
+    totals = {int(r["pid"]): float(r["s"]) for r in subtotals}
+    offsets, acc = {}, 0.0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    omap = F.create_map(
+        *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+    )
+    w = (
+        Window.partitionBy("pid").orderBy(F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.select(
+        "id",
+        F.floor(
+            (omap[F.col("pid")] + F.sum("tok").over(w) - F.col("tok"))
+            / F.lit(float(shard_tokens))
+        ).cast("long").alias("shard"),
+    )

@@ -85,3 +85,60 @@ def test_group_cap_caps_and_keeps_best(docs):
 def test_group_cap_preserves_columns(docs):
     capped = ops.group_cap(docs, "source", "n_chars", cap=3, id_col="doc_id")
     assert capped.columns == docs.columns
+
+
+def test_mixture_sample_targets_and_determinism(docs):
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    budget = 3000
+    out = ops.mixture_sample(docs, "source", weights, "n_chars",
+                             budget, key_col="doc_id")
+    pdf = out.select("source", "n_chars").toPandas()
+    # unweighted sources are dropped entirely
+    assert set(pdf["source"]) <= set(weights)
+    tot = docs.select("source", "n_chars").toPandas()
+    for src, w in weights.items():
+        got = pdf[pdf["source"] == src]["n_chars"].sum()
+        avail = tot[tot["source"] == src]["n_chars"].sum()
+        target = min(avail, budget * w)
+        # md5 buckets are uniform; with ~25 docs/source allow wide tolerance
+        assert got <= avail
+        assert abs(got - target) <= max(0.8 * target, 800), (src, got, target)
+    # deterministic: identical row set at different partitioning
+    again = ops.mixture_sample(docs.repartition(16), "source", weights,
+                               "n_chars", budget, key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_mixture_sample_caps_at_full_group(docs):
+    # a weight whose target exceeds the group's token mass keeps ALL rows
+    out = ops.mixture_sample(docs, "source", {"src0": 1.0}, "n_chars",
+                             10**9, key_col="doc_id")
+    n_src0 = docs.where("source = 'src0'").count()
+    assert out.count() == n_src0
+
+
+def test_token_shards_matches_serial_prefix_sum(docs):
+    out = {r["id"]: r["shard"] for r in
+           ops.token_shards(docs, "doc_id", "n_chars",
+                            shard_tokens=1500).collect()}
+    pdf = (docs.select("doc_id", "n_chars").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    run = 0
+    for _, row in pdf.iterrows():
+        assert out[row["doc_id"]] == int(run // 1500), row["doc_id"]
+        run += row["n_chars"]
+    assert len(out) == len(pdf)
+    # shards are contiguous 0..max with every index present
+    shards = sorted(set(out.values()))
+    assert shards == list(range(shards[-1] + 1))
+
+
+def test_token_shards_partitioning_independent(docs):
+    a = {r["id"]: r["shard"] for r in
+         ops.token_shards(docs.coalesce(1), "doc_id", "n_chars", 1000,
+                          n_ranges=4).collect()}
+    b = {r["id"]: r["shard"] for r in
+         ops.token_shards(docs.repartition(16), "doc_id", "n_chars", 1000,
+                          n_ranges=32).collect()}
+    assert a == b
