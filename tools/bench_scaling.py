@@ -265,6 +265,17 @@ bench.py / tools/bench_scaling.py.  At 10^12-row cluster scale the
 equivalent levers are executor GC choice and object-store range-read
 tuning; the engine's plan shape (binary never shuffled, decoded once,
 map-side) is what makes throughput scale with executors at all.
+
+A second shared-JVM artifact (measured while hardening bench.py): after a
+binary-heavy section, the 24 GB ParallelGC heap is full of byte[] debt
+and the NEXT section crawls under continuous full collection — the same
+curation pass ran 2,000 clips/s straight after three suite runs vs 6,729
+clips/s immediately after one `System.gc()`.  bench.py therefore
+collects at section boundaries (untimed), restoring the fresh-JVM
+condition each section would see on a real cluster (executor JVMs are
+per-application; no deployment shares one heap across unrelated jobs the
+way a single-process benchmark does).  Each section's own GC cost stays
+inside its timing.
 {pipe_section}
 ## Reference baseline
 
