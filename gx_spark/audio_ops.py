@@ -59,6 +59,7 @@ def compute_features_row(
     silence_dbfs: float = -40.0,
     clip_rail: int = 32000,
     fingerprint: bool = False,
+    decoded: Any = None,
 ) -> dict[str, Any]:
     """Acoustic features of one clip payload; None fields on decode failure.
 
@@ -88,10 +89,14 @@ def compute_features_row(
     out: dict[str, Any] = {k: None for k in keys}
     if b is None:
         return out
-    try:
-        sr, pcm = decode_payload(bytes(b), codec)
-    except (ValueError, NotImplementedError):
-        return out
+    if decoded is not None:
+        # caller already decoded (compute_curation_row's one-decode pass)
+        sr, pcm = decoded
+    else:
+        try:
+            sr, pcm = decode_payload(bytes(b), codec)
+        except (ValueError, NotImplementedError):
+            return out
     if fingerprint:
         out["fp_sig"] = _fingerprint_from_pcm(sr, pcm)
     n = len(pcm)
@@ -585,3 +590,131 @@ def resample_audio(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# validation + curation from ONE decode
+# ---------------------------------------------------------------------------
+
+_CURATION_FLAG_KEYS = (
+    "decodable", "header_sr", "header_sr_ok", "dur_ok", "n_samples",
+    "snr_db", "transcript_ok",
+)
+_CURATION_FEAT_KEYS = tuple(
+    k for k in _FEATURE_KEYS if k not in ("n_samples", "header_sr")
+)
+CURATION_SCHEMA = (
+    "decodable boolean, header_sr int, header_sr_ok boolean, "
+    "dur_ok boolean, n_samples int, snr_db double, transcript_ok boolean, "
+    "rms_dbfs double, peak double, clipping_ratio double, "
+    "zcr_per_sec double, silence_ratio double, "
+    "spectral_centroid_hz double, dominant_hz double, fp_sig string"
+)
+
+
+def compute_curation_row(
+    clip_id: str, b: bytes | None, sr: int, dur: int, codec: str,
+    transcript: str | None, frame_ms: int = 25, silence_dbfs: float = -40.0,
+    clip_rail: int = 32000,
+) -> dict[str, Any]:
+    """Validation flags AND curation features from ONE decode of one clip.
+
+    The big-table anti-pattern is running the validation suite and the
+    curation pass as two jobs, each decoding every payload; this row
+    function decodes once and feeds both compute_flags_row (via its
+    `decoded` hand-off) and compute_features_row.  Flag fields match the
+    audio suite's semantics exactly (same functions); feature fields match
+    extract_audio_features; fp_sig is the cross-codec dedup signature."""
+    from .audio import DECODABLE_CODECS, compute_flags_row, decode_payload
+
+    dec = None
+    if b is not None and codec in DECODABLE_CODECS:
+        try:
+            dec = decode_payload(bytes(b), codec)
+        except (ValueError, NotImplementedError):
+            dec = None
+    # opus/unknown-codec/null payloads return from compute_flags_row's
+    # early paths without consulting `decoded`, so dec=None is safe there
+    flags = compute_flags_row(clip_id, b, sr, dur, codec, transcript,
+                              decoded=dec)
+    feats = compute_features_row(
+        b if dec is not None else None, codec, frame_ms=frame_ms,
+        silence_dbfs=silence_dbfs, clip_rail=clip_rail, fingerprint=True,
+        decoded=dec)
+    out = {k: flags[k] for k in _CURATION_FLAG_KEYS}
+    for k in _CURATION_FEAT_KEYS:
+        out[k] = feats[k]
+    out["fp_sig"] = feats["fp_sig"]
+    return out
+
+
+def validate_and_extract_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    clip_rail: int = 32000,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One map-side pass emitting BOTH the north-rule validation flags
+    (decodable / header+duration consistency / SNR vs reference /
+    transcript equality) and the curation features + cross-codec dedup key
+    — every payload decoded exactly once, binary projected away in the
+    same select, so downstream verdicts and curation shuffles touch only
+    scalars.
+
+    Validate the flag columns with ORDINARY column expectations (they are
+    plain booleans/doubles now — no audio UDF in the suite), e.g.::
+
+        suite = (ExpectationSuite("audio_curated")
+                 .add("expect_column_values_to_be_in_set",
+                      column="decodable", value_set=[True])
+                 .add("expect_column_values_to_be_between",
+                      column="snr_db", min_value=30.0))
+
+    tests/test_curation_audio.py pins that these verdicts equal the
+    decode-in-suite audio_suite() verdicts row for row."""
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keys = _CURATION_FLAG_KEYS + _CURATION_FEAT_KEYS + ("fp_sig",)
+
+    @pandas_udf(CURATION_SCHEMA)
+    def curation(clip_id, b, sr, dur, codec, transcript):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_curation_row as _ccr
+
+        cols: dict[str, list] = {k: [] for k in keys}
+        appends = [cols[k].append for k in keys]
+        for ci, bb, s, d, cc, tx in zip(clip_id, b, sr, dur, codec,
+                                        transcript):
+            r = _ccr(ci, bb, int(s) if s is not None else 0,
+                     int(d) if d is not None else 0, cc, tx,
+                     frame_ms=frame_ms, silence_dbfs=silence_dbfs,
+                     clip_rail=clip_rail)
+            for ap, k in zip(appends, keys):
+                ap(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    feat = curation(
+        F.col(id_col), F.col(bytes_col), F.col(sr_col), F.col(dur_col),
+        F.col(codec_col), F.col(transcript_col),
+    ).alias("_c")
+    projected = df.select(*keep, feat)
+    cols = [F.col(f"_c.{k}").alias(k) for k in keys if k != "fp_sig"]
+    cols.append(
+        F.when(F.col("_c.fp_sig").isNotNull(),
+               F.xxhash64(F.col("_c.fp_sig"))).alias("fp64"))
+    return projected.select(*keep, *cols)
