@@ -440,6 +440,40 @@ def main() -> None:
     pipeline_n = int(stats["n"])
     assert 0 < pipeline_n < AUDIO_N
 
+    # validation + curation from ONE decode (validate_and_extract_audio):
+    # the same shard's validation verdicts (as plain column predicates over
+    # the flag columns) AND the curation stats/dedup grouping, decoding
+    # each payload once — the honest comparison is this wall vs the
+    # pipeline wall on the same shard (the combined pass does strictly
+    # more: flags + SNR-vs-reference synthesis on top of features)
+    from gx_spark.audio_ops import validate_and_extract_audio
+
+    combined_runs = []
+    for _ in range(2):
+        jvm_gc()
+        t0 = time.time()
+        cur = validate_and_extract_audio(
+            pipe_df, keep_cols=["clip_id"]).persist()
+        cstats = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~(F.col("decodable") & F.col("header_sr_ok")
+                     & F.col("dur_ok"))).cast("long")).alias("meta_bad"),
+            F.sum((F.col("snr_db") < 30.0).cast("long")).alias("snr_bad"),
+            F.sum((~F.col("transcript_ok")).cast("long")).alias("tx_bad"),
+            F.avg("rms_dbfs").alias("avg_rms_dbfs"),
+        ).collect()[0]
+        c_dups = (
+            cur.where(F.col("fp64").isNotNull())
+            .groupBy("fp64").count().where("count >= 2").count()
+        )
+        cur.unpersist()
+        combined_runs.append(time.time() - t0)
+    combined_dt = min(combined_runs)
+    timings["audio_validate_curate"] = round(combined_dt, 3)
+    assert int(cstats["n"]) == pipeline_n
+    assert c_dups == dup_groups  # same dedup grouping as the features pass
+    assert int(cstats["meta_bad"]) > 0  # verdicts genuinely computed
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -457,6 +491,12 @@ def main() -> None:
         "pipeline_runs_sec": [round(x, 3) for x in pipeline_runs],
         "pipeline_n": pipeline_n,
         "pipeline_dup_groups": dup_groups,
+        "combined_clips_per_sec": round(pipeline_n / combined_dt, 1),
+        "combined_runs_sec": [round(x, 3) for x in combined_runs],
+        "combined_violations": {
+            "meta": int(cstats["meta_bad"]), "snr": int(cstats["snr_bad"]),
+            "transcript": int(cstats["tx_bad"]),
+        },
     }))
 
 
