@@ -1057,9 +1057,9 @@ def ann_topk_pq(
 ) -> DataFrame:
     """One-shot PQ convenience: train codebooks → encode → ADC top-k.
     For repeated queries, materialize pq_encode() once (codes are 32x
-    smaller than the vectors) and reuse the codebooks.  Compose with IVF
-    for the classic IVF-PQ: partition codes by build_ivf_index cell and
-    run pq_query on the nprobe cells only."""
+    smaller than the vectors) and reuse the codebooks.  The IVF-PQ
+    composition is implemented below: write_ivfpq_index / ivfpq_query /
+    ivfpq_topk_rerank (residual codes partitioned by coarse cell)."""
     B = train_pq_codebooks(df, vec_col, m=m, k=n_codes, seed=seed)
     return pq_query(pq_encode(df, id_col, vec_col, B), B, query, k)
 
