@@ -116,3 +116,41 @@ def test_flags_real_codecs(codec):
     trunc = encode_payload(pcm[: int(len(pcm) * 0.75)], sr, codec)
     f = compute_flags_row(clip, trunc, sr, dur, codec, None)
     assert f["decodable"] and f["dur_ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# Ogg-Opus container (RFC 3533 / RFC 7845) — container-level validation
+# ---------------------------------------------------------------------------
+
+
+def test_oggopus_roundtrip_and_structure():
+    from gx_spark.oggopus import ogg_opus_encode, ogg_opus_parse
+
+    b = ogg_opus_encode("clip_0000000042", 16000, 1100)
+    m = ogg_opus_parse(b)
+    assert m["input_sr"] == 16000 and m["dur_ms"] == 1100
+    assert m["n_pages"] == 3 and m["pre_skip"] == 0
+    # deterministic: same clip -> identical bytes
+    assert b == ogg_opus_encode("clip_0000000042", 16000, 1100)
+    # long clip spans multiple audio pages, duration exact on the 48 kHz
+    # granule clock
+    m2 = ogg_opus_parse(ogg_opus_encode("clip_x", 48000, 60000))
+    assert m2["dur_ms"] == 60000 and m2["n_pages"] > 3
+
+
+def test_oggopus_rejects_corruption():
+    import pytest
+
+    from gx_spark.oggopus import ogg_opus_encode, ogg_opus_parse
+
+    b = ogg_opus_encode("clip_0000000001", 16000, 400)
+    for mutate in (
+        lambda x: x[: len(x) // 2],                      # truncation
+        lambda x: b"JUNK" + x[4:],                       # bad capture
+        lambda x: x[:-3] + bytes([x[-3] ^ 0xFF]) + x[-2:],  # body flip -> CRC
+    ):
+        with pytest.raises(ValueError):
+            ogg_opus_parse(mutate(b))
+    # pre-skip is subtracted from the duration per RFC 7845
+    m = ogg_opus_parse(ogg_opus_encode("c", 16000, 400, pre_skip=4800))
+    assert m["dur_ms"] == 400 and m["pre_skip"] == 4800

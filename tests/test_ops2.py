@@ -91,9 +91,28 @@ def test_audio_flags_codec_hardening():
     f = compute_flags_row("clip_0000000001", wav, 16000, 300, "mp3", None)
     assert f["decodable"] is False
 
-    # known stub codec (opus only now) with opaque payload: metadata-only pass
-    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "opus", None)
+    # opus is container-validated now: a valid Ogg-Opus stream passes with
+    # its OpusHead rate and granule duration checked (snr stays null —
+    # packet decode is out of scope in-sandbox)
+    from gx_spark.oggopus import ogg_opus_encode
+
+    ogg = ogg_opus_encode("clip_0000000001", 16000, 300)
+    f = compute_flags_row("clip_0000000001", ogg, 16000, 300, "opus", None)
     assert f["decodable"] is True and f["header_sr_ok"] is True
+    assert f["dur_ok"] is True and f["snr_db"] is None
+
+    # OpusHead rate lie / granule-duration lie / corrupt page CRC: flagged
+    f = compute_flags_row("clip_0000000001", ogg, 8000, 300, "opus", None)
+    assert f["header_sr_ok"] is False
+    f = compute_flags_row("clip_0000000001", ogg, 16000, 900, "opus", None)
+    assert f["dur_ok"] is False
+    bad = bytearray(ogg); bad[-5] ^= 0xFF
+    f = compute_flags_row("clip_0000000001", bytes(bad), 16000, 300, "opus", None)
+    assert f["decodable"] is False
+
+    # opaque non-Ogg bytes labeled opus: flagged (previously a waved-through stub)
+    f = compute_flags_row("clip_0000000001", stub, 16000, 300, "opus", None)
+    assert f["decodable"] is False
 
     # RIFF payload mislabeled as opus: flagged
     f = compute_flags_row("clip_0000000001", wav, 16000, 300, "opus", None)

@@ -137,8 +137,21 @@ def gen_row(i: int, p_partitions: int) -> tuple[dict, list[tuple[str, str, str]]
         b = (wav_encode(pcm, header_sr) if codec == "mp3"
              else encode_payload(pcm, header_sr, codec))
     else:
-        # opus: the one remaining stub codec — deterministic opaque payload
-        b = b"STUB" + clip_id.encode() + bytes([crc(clip_id + "pad") % 256] * 64)
+        # opus: REAL Ogg-Opus container (gx_spark.oggopus — page CRCs,
+        # OpusHead, granule duration), packet payloads opaque.  Container-
+        # level corruption classes mirror the decodable codecs' 5/6:
+        from gx_spark.oggopus import ogg_opus_encode
+
+        ogg_sr = header_sr
+        if cls == 5:  # OpusHead input-rate lie vs the sr_hz column
+            ogg_sr = sr * 2
+            sidecar.append(
+                (clip_id, "expect_audio_metadata_to_be_consistent", "bytes"))
+        b = ogg_opus_encode(clip_id, ogg_sr, dur)
+        if cls == 6:  # truncated container -> page CRC/parse failure
+            b = b[: int(len(b) * 0.6)]
+            sidecar.append(
+                (clip_id, "expect_audio_metadata_to_be_consistent", "bytes"))
 
     if speaker_for(clip_id).startswith("spk_9"):
         sidecar.append((clip_id, "expect_column_values_to_exist_in_table", "speaker_id"))
