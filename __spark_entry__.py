@@ -651,6 +651,53 @@ def q_audio_flac_violations(spark, sf_dir):
     )
 
 
+def q_audio_opus_container_violations(spark, sf_dir):
+    """Ogg-Opus CONTAINER validation path (gx_spark/oggopus.py — real
+    RFC 3533/7845 mux/demux, packet decode stubbed): clips synthesized
+    from documents.doc_id with four deterministic container corruption
+    classes — OpusHead input-rate lie (doc_id%10==7), truncated container
+    → page CRC/parse failure (==9), granule duration inconsistent with
+    dur_ms (==5), opaque non-Ogg bytes (==1).  The metadata expectation
+    must flag exactly those classes; SNR flags nothing (snr_db is null
+    for opus — packet decode is out of scope in-sandbox, and the engine
+    certifies only what it can verify)."""
+    from gx_spark.audio import ref_transcript
+    from gx_spark.oggopus import ogg_opus_encode
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    sr, dur = 16000, 400
+    rows = []
+    for i in ids:
+        clip_id = f"opus_{i}"
+        ogg_sr = sr * 2 if i % 10 == 7 else sr
+        ogg_dur = dur * 3 if i % 10 == 5 else dur
+        b = ogg_opus_encode(clip_id, ogg_sr, ogg_dur)
+        if i % 10 == 9:
+            b = b[: int(len(b) * 0.6)]
+        if i % 10 == 1:
+            b = b"JUNK" + clip_id.encode()
+        rows.append((i, clip_id, bytearray(b), sr, dur, "opus",
+                     ref_transcript(clip_id)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("opus")
+        .add("expect_audio_metadata_to_be_consistent")
+        .add("expect_audio_snr_to_be_at_least", min_snr_db=30.0),
+    )
+    return _row(
+        spark,
+        "element_count long, meta_unexpected long, snr_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"],
+         r[1].result["unexpected_count"]],
+    )
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1311,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
+        "audio_opus_container_violations": q_audio_opus_container_violations,
         "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_position_deletes": q_iceberg_position_deletes,
@@ -1528,6 +1576,15 @@ def oracle_sql() -> dict[str, str]:
             "AS snr_unexpected, "
             "SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT "
             "AS transcript_unexpected FROM d"
+        ),
+        "audio_opus_container_violations": (
+            # container corruption arithmetic: classes 1/5/7/9 fail the
+            # metadata check; SNR flags nothing (null for opus)
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
+            "::BIGINT AS meta_unexpected, "
+            "0::BIGINT AS snr_unexpected FROM d"
         ),
         "audio_features_banded": (
             "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400), "
