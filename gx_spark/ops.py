@@ -1579,21 +1579,42 @@ def token_shards(
 
     A single global window cumsum would serialize the table through one
     partition; this is the classic two-phase distributed PREFIX SUM
-    instead: repartitionByRange on id (range r holds ids < range r+1's),
-    per-partition running sums via a window whose state is one partition
-    (streaming running total, not a buffered frame), plus one tiny
-    per-partition-subtotal aggregate (n_ranges rows) broadcast back as
-    offsets.  The expensive pass is one shuffle (the range partitioning);
-    everything after is map-side.  Oracle: the ANSI equivalent is
-    `floor((SUM(tok) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - tok)
-    / S)` — same values, computed serially."""
-    pid = F.spark_partition_id()
-    ranged = (
-        df.select(F.col(id_col).alias("id"),
-                  F.col(token_col).cast("double").alias("tok"))
-        .repartitionByRange(n_ranges, F.col("id"))
-        .withColumn("pid", pid)
-    )
+    instead: bucket ids into contiguous ranges, per-bucket running sums
+    via a window whose state is one bucket (streaming running total, not
+    a buffered frame), plus one tiny per-bucket-subtotal aggregate
+    (n_ranges rows) broadcast back as offsets.
+
+    ONE shuffle total for numeric ids: range boundaries come from
+    approxQuantile (driver-side, tiny), the bucket is an explicit VALUE
+    column, and the single `repartition(n, bucket)` hash exchange then
+    satisfies the window's ClusteredDistribution(bucket) — Catalyst adds
+    no second exchange (plan-asserted in tests/test_curation_ops.py).
+    The naive repartitionByRange + spark_partition_id() form pays a
+    second hashpartitioning exchange because Catalyst cannot prove the
+    range layout clusters the synthetic pid; it remains as the fallback
+    for non-numeric ids.  Bucket boundaries do not affect the OUTPUT
+    (any monotone contiguous bucketing yields the same global prefix
+    sum), so approxQuantile's partitioning sensitivity is harmless.
+    Oracle: the ANSI equivalent is `floor((SUM(tok) OVER (ORDER BY id
+    ROWS UNBOUNDED PRECEDING) - tok) / S)` — same values, serially."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(token_col).cast("double").alias("tok"))
+    numeric = base.schema["id"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "float", "double", "decimal")
+    if numeric and n_ranges > 1:
+        qs = [i / n_ranges for i in range(1, n_ranges)]
+        bounds = sorted(set(base.stat.approxQuantile("id", qs, 0.001)))
+        bucket = F.lit(0)
+        for j, bnd in enumerate(bounds):
+            bucket = F.when(F.col("id") > F.lit(bnd),
+                            F.lit(j + 1)).otherwise(bucket)
+        ranged = base.withColumn("pid", bucket).repartition(
+            max(1, len(bounds) + 1), "pid")
+    else:
+        ranged = (
+            base.repartitionByRange(n_ranges, F.col("id"))
+            .withColumn("pid", F.spark_partition_id())
+        )
     subtotals = ranged.groupBy("pid").agg(F.sum("tok").alias("s")).collect()
     totals = {int(r["pid"]): float(r["s"]) for r in subtotals}
     offsets, acc = {}, 0.0

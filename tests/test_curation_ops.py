@@ -142,3 +142,12 @@ def test_token_shards_partitioning_independent(docs):
          ops.token_shards(docs.repartition(16), "doc_id", "n_chars", 1000,
                           n_ranges=32).collect()}
     assert a == b
+
+
+def test_token_shards_single_shuffle_plan(docs):
+    """The numeric-id path must plan exactly ONE Exchange: the bucket
+    repartition satisfies the window's required clustering, so Catalyst
+    adds no second hashpartitioning exchange."""
+    out = ops.token_shards(docs, "doc_id", "n_chars", 1500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
