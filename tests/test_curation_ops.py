@@ -151,3 +151,21 @@ def test_token_shards_single_shuffle_plan(docs):
     out = ops.token_shards(docs, "doc_id", "n_chars", 1500)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hash_split_is_pure_map(docs):
+    """hash_split must add ZERO exchanges: the assignment is a column
+    expression, so the plan is scan -> project, nothing else."""
+    out = ops.hash_split(docs, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_broadcasts_group_totals(docs):
+    """The per-group totals must come back as a BROADCAST join: the corpus
+    side is never sort-merge-shuffled on the group key."""
+    out = ops.mixture_sample(docs, "source", {"src0": 0.5}, "n_chars",
+                             1000, key_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
