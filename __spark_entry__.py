@@ -698,6 +698,47 @@ def q_audio_opus_container_violations(spark, sf_dir):
     )
 
 
+def q_video_mp4_container_violations(spark, sf_dir):
+    """MP4/ISO-BMFF container validation (gx_spark/isobmff.py — real box
+    mux/demux; AVC bitstream stubbed): videos synthesized from
+    documents.doc_id with four deterministic container corruption classes
+    — tkhd dims lie (doc_id%10==7), truncated container (==9), mvhd
+    duration vs n_frames/fps lie (==5), non-BMFF junk (==1).  The video
+    metadata expectation must flag exactly those classes; the oracle
+    recomputes the counts from the corruption arithmetic."""
+    from gx_spark.isobmff import mp4_encode
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    rows = []
+    for i in ids:
+        vid = f"vid_{i}"
+        nf, fps, w, h = 100, 25.0, 64, 48
+        enc_nf = nf * 3 if i % 10 == 5 else nf
+        enc_w = w // 2 if i % 10 == 7 else w
+        b = mp4_encode(vid, enc_nf, fps, enc_w, h)
+        if i % 10 == 9:
+            b = b[: len(b) // 3]
+        if i % 10 == 1:
+            b = b"JUNK" + vid.encode()
+        rows.append((i, vid, bytearray(b), nf, fps, w, h, "mp4"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, vid_id string, bytes binary, n_frames int, "
+        "fps double, width int, height int, format string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("video")
+        .add("expect_video_metadata_to_be_consistent"),
+    )
+    return _row(
+        spark,
+        "element_count long, meta_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"]],
+    )
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1359,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
         "audio_opus_container_violations": q_audio_opus_container_violations,
+        "video_mp4_container_violations": q_video_mp4_container_violations,
         "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_position_deletes": q_iceberg_position_deletes,
@@ -1585,6 +1627,12 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
             "::BIGINT AS meta_unexpected, "
             "0::BIGINT AS snr_unexpected FROM d"
+        ),
+        "video_mp4_container_violations": (
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
+            "::BIGINT AS meta_unexpected FROM d"
         ),
         "audio_features_banded": (
             "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400), "

@@ -97,3 +97,57 @@ class ImageMeanIntensity(ColumnMapExpectation):
     def observed_expr(self, cfg) -> Column:
         a = F.col(_IMAGE_COL)
         return ((a["mean_r"] + a["mean_g"] + a["mean_b"]) / 3.0).cast("string")
+
+
+_VIDEO_COL = "__video"
+
+
+def ensure_video_flags(ctx: MetricContext, cfg: ExpectationConfiguration) -> None:
+    from ..image import make_video_flags_udf
+
+    k = cfg.kwargs
+    cols = dict(
+        bytes=k.get("bytes_column", "bytes"),
+        n_frames=k.get("n_frames_column", "n_frames"),
+        fps=k.get("fps_column", "fps"),
+        width=k.get("width_column", "width"),
+        height=k.get("height_column", "height"),
+        format=k.get("format_column", "format"),
+    )
+    require_columns(ctx, *cols.values())
+    udf = make_video_flags_udf()
+    ctx.derived_column(_VIDEO_COL, udf(*[F.col(c) for c in cols.values()]))
+
+
+@register_expectation("expect_video_metadata_to_be_consistent")
+class VideoMetadataConsistent(ColumnMapExpectation):
+    """Unexpected when the video payload's CONTAINER contradicts its
+    metadata columns: MP4 rows get a real ISO-BMFF demux (box structure,
+    mvhd duration vs n_frames/fps, tkhd dims vs width/height —
+    gx_spark/isobmff.py; the AVC bitstream stays un-decoded, same stance
+    as the Opus packets); gxraw_frames rows get exact frame-count and
+    header-dimension checks.  Unverifiable formats (bare h264) are
+    excluded from the check, not blindly passed."""
+
+    metric_name = "video.metadata_consistent"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_video_flags(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        a = F.col(_VIDEO_COL)
+        ok = (a["decodable"] & F.coalesce(a["dur_ok"], F.lit(True))
+              & F.coalesce(a["dims_ok"], F.lit(True)))
+        return a["decodable"].isNotNull() & ~F.coalesce(ok, F.lit(False))
+
+    def observed_expr(self, cfg) -> Column:
+        a = F.col(_VIDEO_COL)
+        return F.concat_ws(
+            "/",
+            F.coalesce(a["container_w"].cast("string"), F.lit("?")),
+            F.coalesce(a["container_h"].cast("string"), F.lit("?")),
+            F.coalesce(a["container_dur_ms"].cast("string"), F.lit("?")),
+        )

@@ -256,3 +256,98 @@ def sample_video_frames(
             yield pd.DataFrame({"vid_id": vids, "frame_idx": idxs, "bytes": frames})
 
     return df.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# video container validation (gxraw frame-concat + MP4/ISO-BMFF)
+# ---------------------------------------------------------------------------
+
+VIDEO_FLAGS_SCHEMA = (
+    "decodable boolean, dur_ok boolean, dims_ok boolean, "
+    "container_dur_ms int, container_w int, container_h int"
+)
+
+
+def compute_video_flags_row(
+    b: bytes | None, n_frames: int, fps: float, width: int, height: int,
+    fmt: str,
+) -> dict:
+    """Container-level validation flags for one video payload.
+
+    - 'mp4': real ISO-BMFF demux (gx_spark/isobmff.py) — box structure,
+      mvhd duration vs n_frames/fps, tkhd dimensions vs width/height.
+      The AVC bitstream inside mdat stays un-decoded (no codec libs).
+    - 'gxraw_frames': payload must be exactly n_frames concatenated
+      gxraw frames whose header dims match the metadata columns.
+    - anything else (bare 'h264' Annex-B, unknown labels): decodable is
+      None — unverifiable without codec libs, excluded from the check
+      (same stance as jpeg in compute_image_flags_row)."""
+    out = {"decodable": False, "dur_ok": None, "dims_ok": None,
+           "container_dur_ms": None, "container_w": None, "container_h": None}
+    if b is None:
+        return out
+    if fmt == "mp4":
+        from .isobmff import mp4_parse
+
+        try:
+            m = mp4_parse(bytes(b))
+        except ValueError:
+            return out
+        out["decodable"] = True
+        out["container_dur_ms"] = m["dur_ms"]
+        out["container_w"], out["container_h"] = m["width"], m["height"]
+        out["dims_ok"] = m["width"] == width and m["height"] == height
+        if fps and fps > 0 and n_frames:
+            expected_ms = n_frames * 1000.0 / fps
+            tol = max(1000.0 / fps, 0.02 * expected_ms)
+            out["dur_ok"] = abs(m["dur_ms"] - expected_ms) <= tol
+        else:
+            out["dur_ok"] = False
+        return out
+    if fmt in ("gxraw_frames", "gxraw"):
+        if len(b) < _HDR_LEN:
+            return out
+        magic, w, h, c = struct.unpack(_HDR, bytes(b[:_HDR_LEN]))
+        if magic != _MAGIC:
+            return out
+        out["decodable"] = True
+        out["container_w"], out["container_h"] = int(w), int(h)
+        out["dims_ok"] = int(w) == width and int(h) == height
+        frame_len = _HDR_LEN + int(w) * int(h) * int(c)
+        out["dur_ok"] = bool(n_frames) and len(b) == int(n_frames) * frame_len
+        return out
+    out["decodable"] = None  # unverifiable format: excluded, not passed
+    return out
+
+
+def make_video_flags_udf():
+    """Arrow-batched pandas UDF: (bytes, n_frames, fps, width, height,
+    format) -> video flags struct."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    keys = ("decodable", "dur_ok", "dims_ok", "container_dur_ms",
+            "container_w", "container_h")
+
+    @pandas_udf(VIDEO_FLAGS_SCHEMA)
+    def video_flags(b, n_frames, fps, width, height, fmt):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.image import compute_video_flags_row as _cvr
+
+        cols = {k: [] for k in keys}
+        for bb, nf, fr, w, h, f in zip(b, n_frames, fps, width, height, fmt):
+            r = _cvr(bb, int(nf) if nf is not None else 0,
+                     float(fr) if fr is not None else 0.0,
+                     int(w) if w is not None else 0,
+                     int(h) if h is not None else 0, f)
+            for k in keys:
+                cols[k].append(r[k])
+        return pd.DataFrame(cols)
+
+    return video_flags

@@ -226,3 +226,67 @@ def test_png_flags_and_expectation_end_to_end(spark):
     fl = gim.compute_image_flags_row(png_encode(px), 16, 16, 3, "png")
     assert fl["decodable"] is True and fl["dims_ok"] is True
     assert fl["mean_r"] == pytest.approx(px[:, :, 0].mean())
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF container + expect_video_metadata_to_be_consistent
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_container_roundtrip_and_rejection():
+    import pytest
+
+    from gx_spark.isobmff import mp4_encode, mp4_parse
+
+    b = mp4_encode("vid_1", n_frames=120, fps=24.0, width=320, height=240)
+    m = mp4_parse(b)
+    assert m == {"dur_ms": 5000, "width": 320, "height": 240, "n_tracks": 1}
+    assert b == mp4_encode("vid_1", 120, 24.0, 320, 240)  # deterministic
+    for mutate in (lambda x: x[: len(x) // 2],
+                   lambda x: x + b"tail",
+                   lambda x: (3).to_bytes(4, "big") + x[4:]):
+        with pytest.raises(ValueError):
+            mp4_parse(mutate(b))
+
+
+def test_video_metadata_expectation(spark):
+    from gx_spark.executor import validate
+    from gx_spark.isobmff import mp4_encode
+    from gx_spark.model import EngineOptions, ExpectationSuite
+
+    frames = [gim.raw_encode(gim.synth_image(f"gf{i}", 8, 8)) for i in range(10)]
+    rows = [
+        # valid mp4
+        ("v_ok", bytearray(mp4_encode("v_ok", 100, 25.0, 64, 48)),
+         100, 25.0, 64, 48, "mp4"),
+        # mvhd duration contradicts n_frames/fps
+        ("v_dur", bytearray(mp4_encode("v_dur", 300, 25.0, 64, 48)),
+         100, 25.0, 64, 48, "mp4"),
+        # tkhd dims contradict metadata
+        ("v_dim", bytearray(mp4_encode("v_dim", 100, 25.0, 32, 32)),
+         100, 25.0, 64, 48, "mp4"),
+        # truncated container
+        ("v_trunc", bytearray(mp4_encode("v_trunc", 100, 25.0, 64, 48)[:200]),
+         100, 25.0, 64, 48, "mp4"),
+        # valid gxraw_frames
+        ("v_raw", bytearray(b"".join(frames)), 10, 10.0, 8, 8, "gxraw_frames"),
+        # frame-count lie
+        ("v_rawn", bytearray(b"".join(frames)), 12, 10.0, 8, 8, "gxraw_frames"),
+        # bare h264: unverifiable -> excluded (no violation)
+        ("v_h264", bytearray(b"\x00\x00\x00\x01\x67deadbeef"),
+         100, 25.0, 64, 48, "h264"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vid_id string, bytes binary, n_frames int, fps double, "
+        "width int, height int, format string",
+    )
+    bundle = validate(
+        spark, df,
+        ExpectationSuite("video")
+        .add("expect_video_metadata_to_be_consistent"),
+        EngineOptions(unexpected_index_column_names=("vid_id",)),
+    )
+    viol = {r["vid_id"] for r in bundle.violations_table().collect()}
+    bundle.unpersist()
+    assert viol == {"v_dur", "v_dim", "v_trunc", "v_rawn"}, viol
