@@ -380,6 +380,7 @@ def suggest_suite(
 
 _AUDIO_META = frozenset({"sr_hz", "dur_ms", "codec", "transcript"})
 _IMAGE_META = frozenset({"width", "height", "channels", "format"})
+_VIDEO_META = frozenset({"n_frames", "fps", "width", "height", "format"})
 
 
 def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
@@ -402,6 +403,10 @@ def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
             ("expect_audio_clipping_ratio_to_be_below", {"max_ratio": 0.01}),
             ("expect_audio_silence_ratio_to_be_below", {"max_ratio": 0.5}),
         ]
+    elif _VIDEO_META <= cols:
+        # video outranks image when both match: _VIDEO_META is the
+        # stricter superset signature (n_frames/fps present)
+        candidates = [("expect_video_metadata_to_be_consistent", {})]
     elif _IMAGE_META <= cols:
         candidates = [
             ("expect_image_metadata_to_be_consistent", {}),

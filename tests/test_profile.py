@@ -226,3 +226,28 @@ def test_suggest_suite_image_table(spark):
     assert all(r.success for r in b.suite_result.results), [
         (r.expectation_config.expectation_type, r.expectation_config.kwargs)
         for r in b.suite_result.results if not r.success]
+
+
+def test_suggest_suite_video_group(spark):
+    """A (bytes + n_frames/fps/width/height/format) column group gets the
+    video container expectation, and the suggested suite passes the batch
+    it was profiled from."""
+    from gx_spark.executor import validate
+    from gx_spark.image import raw_encode, synth_image
+    from gx_spark.model import EngineOptions
+    from gx_spark.profile import suggest_suite
+
+    frames = [raw_encode(synth_image(f"sf{i}", 8, 8)) for i in range(5)]
+    rows = [(f"v{i}", bytearray(b"".join(frames)), 5, 10.0, 8, 8,
+             "gxraw_frames") for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "vid_id string, bytes binary, n_frames int, fps double, "
+        "width int, height int, format string",
+    )
+    suite = suggest_suite(df)
+    types = {e.expectation_type for e in suite.expectations}
+    assert "expect_video_metadata_to_be_consistent" in types
+    bundle = validate(spark, df, suite, EngineOptions())
+    assert bundle.success
+    bundle.unpersist()
