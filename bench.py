@@ -30,6 +30,61 @@ IMAGE_N = int(os.environ.get("GX_BENCH_IMAGE_N", "100000"))
 IMAGE_DIR = os.path.join(REPO, "build", "images", f"n{IMAGE_N}")
 
 
+VIDEO_N = int(os.environ.get("GX_BENCH_VIDEO_N", "20000"))
+VIDEO_DIR = os.path.join(REPO, "build", "videos", f"n{VIDEO_N}")
+
+
+def ensure_video_table() -> str:
+    """20k videos, mixed containers — 1/3 gxraw_frames (5 concatenated
+    16x16 frames), 2/3 real MP4/ISO-BMFF (opaque AVC payload) — with the
+    deterministic corruption pattern: i%10==7 container dims contradict
+    metadata, i%10==9 truncated payload."""
+    path = os.path.join(VIDEO_DIR, "videos.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gx_spark.image import raw_encode, synth_image
+    from gx_spark.isobmff import mp4_encode
+
+    os.makedirs(VIDEO_DIR, exist_ok=True)
+    cols = {k: [] for k in ("vid_id", "bytes", "n_frames", "fps", "width",
+                            "height", "format")}
+    for i in range(VIDEO_N):
+        vid = f"vid_{i:07d}"
+        w = h = 16
+        nf, fps = 5, 10.0
+        enc_w = w // 2 if i % 10 == 7 else w
+        if i % 3 == 0:
+            fmt = "gxraw_frames"
+            b = b"".join(raw_encode(synth_image(f"{vid}f{j}", enc_w, h))
+                         for j in range(nf))
+        else:
+            fmt = "mp4"
+            b = mp4_encode(vid, nf, fps, enc_w, h)
+        if i % 10 == 9:
+            b = b[: len(b) // 3]
+        cols["vid_id"].append(vid)
+        cols["bytes"].append(b)
+        cols["n_frames"].append(nf)
+        cols["fps"].append(fps)
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["format"].append(fmt)
+    table = pa.table({
+        "vid_id": pa.array(cols["vid_id"]),
+        "bytes": pa.array(cols["bytes"], type=pa.binary()),
+        "n_frames": pa.array(cols["n_frames"], type=pa.int32()),
+        "fps": pa.array(cols["fps"], type=pa.float64()),
+        "width": pa.array(cols["width"], type=pa.int32()),
+        "height": pa.array(cols["height"], type=pa.int32()),
+        "format": pa.array(cols["format"]),
+    })
+    pq.write_table(table, path)
+    return path
+
+
 def ensure_image_table() -> str:
     """100k 16x16 gxraw images (~80 MB) with the deterministic corruption
     pattern (i%10==7 metadata lies, i%10==9 truncated payload)."""
@@ -336,6 +391,27 @@ def main() -> None:
         assert nv == IMAGE_N // 10 * 2, nv
         # perceptual-hash dedup fingerprints over the same table
         gim.image_phash64(img_df).where("phash is not null").count()
+
+    @bench("video_suite")
+    def _():
+        # container-level video validation (real ISO-BMFF demux for mp4
+        # rows, frame arithmetic for gxraw_frames) + the frame-sampling op
+        from gx_spark.image import sample_video_frames
+
+        vid_df = spark.read.parquet(ensure_video_table()).repartition(int(cpus))
+        b = validate(
+            spark, vid_df,
+            ExpectationSuite("video")
+            .add("expect_video_metadata_to_be_consistent"),
+            EngineOptions(unexpected_index_column_names=("vid_id",)),
+        )
+        nv = b.violations_table().count()
+        b.unpersist()
+        assert nv == VIDEO_N // 10 * 2, nv
+        # frame-explode over the intact gxraw subset
+        raw = vid_df.where("format = 'gxraw_frames' and vid_id not like '%9'")
+        n = sample_video_frames(raw, every_k=2).count()
+        assert n > 0
 
     # binary-column scan: small columnar batches (multi-MB byte[] rows)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
