@@ -84,7 +84,19 @@ class CheckpointRunner:
         results_dir: str,
         options: EngineOptions | None = None,
         tables: dict[str, DataFrame] | None = None,
+        transform=None,
+        extra_outputs: dict | None = None,
     ) -> None:
+        """`transform` (DataFrame -> DataFrame, optional) is applied to each
+        partition BEFORE validation — pass validate_and_extract_audio to
+        validate flag columns with plain expectations; `extra_outputs`
+        ({table_name: DataFrame -> DataFrame}) writes additional per-
+        partition tables (e.g. curation features) from the SAME transformed
+        DataFrame under the same exactly-once overwrite + manifest
+        discipline.  With both set, the partition is persisted across the
+        suite and every extra write, so an expensive transform (audio
+        decode) runs once per partition per run — the resumable form of
+        the one-decode validate+curate pass."""
         self.spark = spark
         self.suite = suite
         self.provider = provider
@@ -93,6 +105,8 @@ class CheckpointRunner:
             unexpected_index_column_names=("clip_id",)
         )
         self.tables = tables or {}
+        self.transform = transform
+        self.extra_outputs = extra_outputs or {}
         os.makedirs(results_dir, exist_ok=True)
         self.manifest = CheckpointManifest(
             os.path.join(results_dir, "_checkpoint_manifest.json")
@@ -120,6 +134,15 @@ class CheckpointRunner:
             self.manifest.mark(snapshot, p.partition_id, "pending", run_id)
             # partition predicate pushes down into the parquet/Iceberg scan
             pdf = df.filter(p.predicate)
+            persisted_tdf = None
+            if self.transform is not None:
+                pdf = self.transform(pdf)
+                if self.extra_outputs:
+                    # one materialization of the transformed partition
+                    # serves the suite AND every extra write — the
+                    # expensive transform (audio decode) runs once
+                    persisted_tdf = pdf.persist()
+                    pdf = persisted_tdf
             bundle = ValidationRun(
                 self.spark, self.suite, self.options, self.tables
             ).validate(pdf, run_id=run_id, partition_id=p.partition_id,
@@ -140,7 +163,13 @@ class CheckpointRunner:
                 vt.write.mode("overwrite").parquet(
                     os.path.join(self.results_dir, "_violations", sub)
                 )
+            for name, fn in self.extra_outputs.items():
+                fn(pdf).write.mode("overwrite").parquet(
+                    os.path.join(self.results_dir, name, sub)
+                )
             bundle.unpersist()
+            if persisted_tdf is not None:
+                persisted_tdf.unpersist()
             all_success = all_success and bundle.success
             self.manifest.mark(snapshot, p.partition_id, "done", run_id, n_rows)
             validated.append(p.partition_id)
@@ -172,6 +201,12 @@ class CheckpointRunner:
             t = IcebergLiteTable.create(iceberg_location, df.schema,
                                         partition_by=["snapshot_id"])
         return t.append(df, now_ms=now_ms)
+
+    def extra(self, name: str) -> DataFrame:
+        """Read back an extra_outputs table across all partitions (lineage
+        dirs recovered as snapshot_id/partition_id columns)."""
+        root = os.path.join(self.results_dir, name)
+        return self.spark.read.option("basePath", root).parquet(root)
 
     def violations(self) -> DataFrame:
         return self.spark.read.option("basePath",

@@ -148,3 +148,64 @@ def test_snapshot_change_invalidates(spark, audio_dir, results_dir, tmp_path):
              (1, 1))
     provider2 = ParquetDirTableProvider(tbl, "part_id")
     assert provider2.snapshot_id() != snap1
+
+
+def test_resumable_validate_and_curate(spark, audio_dir, results_dir):
+    """transform + extra_outputs: the one-decode validate+curate pass under
+    checkpoint/resume — flag-column suite verdicts AND a per-partition
+    features table, killed after 2 partitions and resumed, final features
+    identical to a direct uninterrupted pass."""
+    from pyspark.sql import functions as F
+
+    from gx_spark.audio_ops import validate_and_extract_audio
+    from gx_spark.model import ExpectationSuite
+    from gx_spark.table_provider import ParquetDirTableProvider
+
+    flag_suite = (
+        ExpectationSuite("audio_flags")
+        .add("expect_column_values_to_be_in_set", column="decodable",
+             value_set=[True], mostly=0.5)
+        .add("expect_column_values_to_not_be_null", column="fp64",
+             mostly=0.5)
+    )
+
+    def make_runner():
+        provider = ParquetDirTableProvider(
+            f"{audio_dir}/audio_clips.parquet", "part_id"
+        )
+        return CheckpointRunner(
+            spark, flag_suite, provider, results_dir,
+            EngineOptions(unexpected_index_column_names=("clip_id",)),
+            transform=lambda d: validate_and_extract_audio(
+                d, keep_cols=["clip_id", "part_id"]),
+            extra_outputs={
+                "_features": lambda t: t.select(
+                    "clip_id", "rms_dbfs", "silence_ratio", "fp64")
+            },
+        )
+
+    r1 = make_runner().run(max_partitions=2)
+    assert len(r1.validated_partitions) == 2
+    runner2 = make_runner()
+    r2 = runner2.run()
+    assert len(r1.validated_partitions) + len(r2.validated_partitions) == 16
+
+    feats = runner2.extra("_features")
+    direct = validate_and_extract_audio(
+        spark.read.parquet(f"{audio_dir}/audio_clips.parquet"),
+        keep_cols=["clip_id"],
+    ).select("clip_id", "rms_dbfs", "silence_ratio", "fp64")
+    a = {r["clip_id"]: (r["rms_dbfs"], r["silence_ratio"], r["fp64"])
+         for r in feats.select("clip_id", "rms_dbfs", "silence_ratio",
+                               "fp64").collect()}
+    b = {r["clip_id"]: (r["rms_dbfs"], r["silence_ratio"], r["fp64"])
+         for r in direct.collect()}
+    assert a == b
+    # lineage columns recovered from the hive dirs
+    assert {"snapshot_id", "partition_id"} <= set(feats.columns)
+    # re-run: nothing left, features row count unchanged (== table rows;
+    # the fixture's duplicate-clip_id violation row is a real extra row)
+    n_direct = direct.count()
+    r3 = make_runner().run()
+    assert r3.validated_partitions == []
+    assert runner2.extra("_features").count() == n_direct
