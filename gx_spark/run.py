@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--incremental-from", type=int, default=None,
                     help="validate only files appended after this Iceberg "
                          "snapshot id (steady-state append-only mode)")
+    ap.add_argument("--curate", action="store_true",
+                    help="one-decode validate+curate: each partition runs "
+                         "validate_and_extract_audio once, the suite "
+                         "validates the flag columns (--suite audio swaps "
+                         "to the flag form), and per-partition curation "
+                         "features + dedup keys land in <results-dir>/"
+                         "_features under the same resume manifest")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,12 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     from gx_spark.iceberg import IcebergLiteTable
     from gx_spark.model import EngineOptions
     from gx_spark.suite_io import load_suite
-    from gx_spark.suites import audio_aggregate_suite, audio_suite
+    from gx_spark.suites import (audio_aggregate_suite, audio_flag_suite,
+                                 audio_suite)
     from gx_spark.table_provider import (IcebergLiteTableProvider,
                                          ParquetDirTableProvider)
 
     if args.suite == "audio":
-        suite = audio_suite()
+        suite = audio_flag_suite() if args.curate else audio_suite()
     elif args.suite == "audio_aggregates":
         suite = audio_aggregate_suite()
     else:
@@ -85,9 +93,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.snapshot_id is not None or args.incremental_from is not None:
             ap.error("--snapshot-id/--incremental-from require an Iceberg table")
         provider = ParquetDirTableProvider(args.table_path, args.partition_column)
+    transform = None
+    extra_outputs = None
+    if args.curate:
+        from gx_spark.audio_ops import validate_and_extract_audio
+
+        transform = lambda d: validate_and_extract_audio(d)  # noqa: E731
+        extra_outputs = {
+            "_features": lambda t: t.select(
+                "clip_id", "rms_dbfs", "peak", "clipping_ratio",
+                "zcr_per_sec", "silence_ratio", "spectral_centroid_hz",
+                "dominant_hz", "fp64")
+        }
     runner = CheckpointRunner(
         spark, suite, provider,
         args.results_dir, options,
+        transform=transform, extra_outputs=extra_outputs,
     )
     res = runner.run(max_partitions=args.max_partitions)
     print(json.dumps({

@@ -41,3 +41,33 @@ def audio_aggregate_suite() -> ExpectationSuite:
         .add("expect_column_proportion_of_unique_values_to_be_between",
              column="clip_id", min_value=0.9)
     )
+
+
+def audio_flag_suite(min_snr_db: float = 30.0) -> ExpectationSuite:
+    """The audio suite re-expressed over validate_and_extract_audio's FLAG
+    columns (run.py --curate): the expensive decode happened in the
+    transform, so every check here is a plain column expectation — same
+    violation classes as audio_suite, zero audio UDFs in the suite.
+    Null flags (snr_db/header_sr_ok on undecodable rows) are skipped by
+    map-expectation null semantics; the undecodable row itself is caught
+    by the `decodable` check."""
+    return (
+        ExpectationSuite("audio_clips_flags")
+        .add("expect_table_row_count_to_be_between", min_value=1)
+        .add("expect_column_values_to_not_be_null", column="transcript")
+        .add("expect_column_values_to_be_unique", column="clip_id")
+        .add("expect_column_values_to_be_in_set", column="codec", value_set=AUDIO_CODECS)
+        .add("expect_column_values_to_match_regex", column="clip_id", regex=CLIP_ID_REGEX)
+        .add("expect_column_values_to_be_between", column="sr_hz",
+             min_value=8000, max_value=48000)
+        .add("expect_column_values_to_be_in_set", column="decodable",
+             value_set=[True])
+        .add("expect_column_values_to_be_in_set", column="header_sr_ok",
+             value_set=[True])
+        .add("expect_column_values_to_be_in_set", column="dur_ok",
+             value_set=[True])
+        .add("expect_column_values_to_be_between", column="snr_db",
+             min_value=min_snr_db)
+        .add("expect_column_values_to_be_in_set", column="transcript_ok",
+             value_set=[True])
+    )

@@ -61,3 +61,35 @@ def test_cli_parquet_dir_rejects_iceberg_flags(audio_dir, tmp_path, capsys):
                   "--suite", "audio",
                   "--results-dir", str(tmp_path / "o"),
                   "--incremental-from", "5"])
+
+
+def test_cli_curate_writes_features_and_resumes(spark, audio_dir, tmp_path,
+                                                capsys):
+    """--curate: one-decode validate+curate under the CLI — flag-suite
+    verdicts in _validation_results AND per-partition curation features in
+    _features, resumable via the same manifest."""
+    results = str(tmp_path / "out_curate")
+    rc, res = _run(capsys, "--table-path", f"{audio_dir}/audio_clips.parquet",
+                   "--suite", "audio", "--results-dir", results,
+                   "--curate", "--max-partitions", "3")
+    assert rc == 0 and len(res["validated_partitions"]) == 3
+    rc, res2 = _run(capsys, "--table-path",
+                    f"{audio_dir}/audio_clips.parquet",
+                    "--suite", "audio", "--results-dir", results, "--curate")
+    assert rc == 0
+    assert sorted(res2["skipped_partitions"]) == sorted(res["validated_partitions"])
+
+    feats = spark.read.option(
+        "basePath", os.path.join(results, "_features")
+    ).parquet(os.path.join(results, "_features"))
+    n_src = spark.read.parquet(f"{audio_dir}/audio_clips.parquet").count()
+    assert feats.count() == n_src
+    assert {"rms_dbfs", "fp64", "partition_id"} <= set(feats.columns)
+    # verdicts came from the flag suite (no audio UDF expectation types)
+    vres = spark.read.option(
+        "basePath", os.path.join(results, "_validation_results")
+    ).parquet(os.path.join(results, "_validation_results"))
+    types = {r["expectation_type"] for r in
+             vres.select("expectation_type").distinct().collect()}
+    assert "expect_audio_snr_to_be_at_least" not in types
+    assert "expect_column_values_to_be_in_set" in types
