@@ -93,3 +93,33 @@ def test_cli_curate_writes_features_and_resumes(spark, audio_dir, tmp_path,
              vres.select("expectation_type").distinct().collect()}
     assert "expect_audio_snr_to_be_at_least" not in types
     assert "expect_column_values_to_be_in_set" in types
+
+
+def test_cli_curate_iceberg_incremental(spark, audio_dir, tmp_path, capsys):
+    """--curate composes with the Iceberg steady-state shape: a full
+    curate run over the initial snapshot, then --incremental-from curates
+    ONLY the appended files — features accumulate under both snapshots'
+    lineage dirs."""
+    loc = str(tmp_path / "audio_ice_cur")
+    t = IcebergLiteTable.create_from_parquet(
+        loc, f"{audio_dir}/audio_clips.parquet")
+    s1 = t.current_snapshot_id()
+    results = str(tmp_path / "out_ice_cur")
+
+    rc, res = _run(capsys, "--table-path", loc, "--suite", "audio",
+                   "--results-dir", results, "--curate")
+    assert rc == 0 and len(res["validated_partitions"]) > 0
+    n1 = spark.read.parquet(f"{audio_dir}/audio_clips.parquet").count()
+
+    t.append(t.read(spark).limit(8))
+    rc, res2 = _run(capsys, "--table-path", loc, "--suite", "audio",
+                    "--results-dir", results, "--curate",
+                    "--incremental-from", str(s1))
+    assert rc == 0 and "-inc-" in res2["snapshot_id"]
+    assert len(res2["validated_partitions"]) > 0
+
+    feats = spark.read.option(
+        "basePath", os.path.join(results, "_features")
+    ).parquet(os.path.join(results, "_features"))
+    assert feats.count() == n1 + 8
+    assert feats.select("snapshot_id").distinct().count() == 2
