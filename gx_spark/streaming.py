@@ -46,22 +46,39 @@ def validate_stream(
     options: EngineOptions | None = None,
     checkpoint_location: str | None = None,
     trigger_available_now: bool = True,
+    transform=None,
+    extra_outputs: dict | None = None,
 ):
     """Attach suite validation to a streaming DataFrame via foreachBatch.
 
     Returns the StreamingQuery.  With trigger_available_now=True the query
     drains what is available and stops — the batch-incremental mode that
-    matches the engine's per-partition checkpoint semantics."""
+    matches the engine's per-partition checkpoint semantics.
+
+    `transform`/`extra_outputs` mirror CheckpointRunner's: the micro-batch
+    is transformed before validation (e.g. validate_and_extract_audio so
+    the suite checks flag columns) and each extra table gets an appended
+    per-batch slice from the SAME transformed DataFrame — persisted across
+    the suite and the writes, so an expensive transform (audio decode)
+    runs once per micro-batch."""
     os.makedirs(results_dir, exist_ok=True)
     run_id = uuid.uuid4().hex[:12]
     spark = stream_df.sparkSession
     opts = options or EngineOptions()
+    extras = extra_outputs or {}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        persisted = None
+        tdf = batch_df
+        if transform is not None:
+            tdf = transform(batch_df)
+            if extras:
+                persisted = tdf.persist()
+                tdf = persisted
         bundle = ValidationRun(spark, suite, opts).validate(
-            batch_df, run_id=f"{run_id}-b{batch_id}", partition_id=int(batch_id)
+            tdf, run_id=f"{run_id}-b{batch_id}", partition_id=int(batch_id)
         )
         bundle.results_df(spark).write.mode("append").parquet(
             os.path.join(results_dir, "_validation_results")
@@ -71,6 +88,13 @@ def validate_stream(
             vt.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
                 "append"
             ).parquet(os.path.join(results_dir, "_violations"))
+        for name, fn in extras.items():
+            fn(tdf).withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(os.path.join(results_dir, name))
+        bundle.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_location:

@@ -126,3 +126,47 @@ def test_stream_to_iceberg_quarantine(spark, audio_dir, audio_df, tmp_path):
         | F.col("expectation_type").startswith("expect_audio")).count()
     bundle.unpersist()
     assert per_row_viols == 0
+
+
+def test_stream_validate_and_curate(spark, audio_dir, audio_df, tmp_path):
+    """Streaming form of the one-decode validate+curate pass: three
+    micro-batches through transform+extra_outputs produce a features
+    table identical to the batch-mode validate_and_extract_audio output,
+    and flag-suite verdicts per batch."""
+    from gx_spark.audio_ops import validate_and_extract_audio
+    from gx_spark.model import ExpectationSuite
+
+    src = str(tmp_path / "src_cur")
+    out = str(tmp_path / "out_cur")
+    chk = str(tmp_path / "chk_cur")
+    audio_df.repartition(3, F.col("clip_id")).write.parquet(src)
+
+    flag_suite = (
+        ExpectationSuite("flags")
+        .add("expect_column_values_to_be_in_set", column="decodable",
+             value_set=[True], mostly=0.5)
+    )
+    q = validate_stream(
+        spark.readStream.schema(audio_df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        flag_suite, out,
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+        checkpoint_location=chk,
+        transform=lambda d: validate_and_extract_audio(
+            d, keep_cols=["clip_id"]),
+        extra_outputs={"_features": lambda t: t.select(
+            "clip_id", "rms_dbfs", "silence_ratio", "fp64")},
+    )
+    q.awaitTermination(300)
+
+    feats = spark.read.parquet(f"{out}/_features")
+    assert feats.select("batch_id").distinct().count() >= 3
+    direct = validate_and_extract_audio(
+        spark.read.parquet(src), keep_cols=["clip_id"]
+    ).select("clip_id", "rms_dbfs", "silence_ratio", "fp64")
+    a = sorted(map(tuple, feats.select("clip_id", "rms_dbfs",
+                                       "silence_ratio", "fp64").collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+    res = spark.read.parquet(f"{out}/_validation_results")
+    assert res.where("expectation_type = 'expect_column_values_to_be_in_set'").count() >= 3
