@@ -154,3 +154,50 @@ def test_oggopus_rejects_corruption():
     # pre-skip is subtracted from the duration per RFC 7845
     m = ogg_opus_parse(ogg_opus_encode("c", 16000, 400, pre_skip=4800))
     assert m["dur_ms"] == 400 and m["pre_skip"] == 4800
+
+
+def test_oggopus_roundtrip_property():
+    """Property: any (clip_id, input_sr, dur_ms) muxes to a stream whose
+    demux returns exactly the container metadata written, for durations
+    across the packet/page boundaries (one packet, one page, many pages)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gx_spark.oggopus import ogg_opus_encode, ogg_opus_parse
+
+    @settings(max_examples=60, deadline=None)
+    @given(sr=st.integers(8000, 48000), dur=st.integers(20, 180_000),
+           tag=st.integers(0, 10**6), pre=st.sampled_from([0, 312, 4800]))
+    def prop(sr, dur, tag, pre):
+        b = ogg_opus_encode(f"clip_{tag:010d}", sr, dur, pre_skip=pre)
+        m = ogg_opus_parse(b)
+        assert m["input_sr"] == sr
+        assert m["pre_skip"] == pre
+        # 48 kHz granule clock is exact for integer ms
+        assert m["dur_ms"] == dur
+        assert m["n_pages"] >= 3
+
+    prop()
+
+
+def test_isobmff_roundtrip_property():
+    """Property: any (n_frames, fps, dims) muxes to an MP4 whose demux
+    returns the written dims exactly and the duration to the mvhd
+    millisecond-timescale rounding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gx_spark.isobmff import mp4_encode, mp4_parse
+
+    @settings(max_examples=60, deadline=None)
+    @given(nf=st.integers(1, 5000),
+           fps=st.sampled_from([10.0, 12.5, 24.0, 25.0, 29.97, 30.0, 60.0]),
+           w=st.integers(1, 7680), h=st.integers(1, 4320),
+           tag=st.integers(0, 10**6))
+    def prop(nf, fps, w, h, tag):
+        b = mp4_encode(f"vid_{tag:07d}", nf, fps, w, h)
+        m = mp4_parse(b)
+        assert m["width"] == w and m["height"] == h and m["n_tracks"] == 1
+        assert abs(m["dur_ms"] - nf * 1000.0 / fps) <= 1.0  # ms timescale
+
+    prop()
