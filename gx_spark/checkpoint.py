@@ -5,9 +5,11 @@ orchestrates validate→store-result→actions per batch; ours is the scaled
 equivalent: a per-partition loop with a durable manifest so a killed
 spark-submit job restarts only unvalidated partitions.
 
-Manifest: JSON at <results_dir>/_checkpoint_manifest.json, one entry per
-(snapshot_id, partition_id) with status pending|done and the metrics row
-count — atomic tmp+rename writes.  Validation outputs append to
+Manifest: append-only JSONL log at <results_dir>/_checkpoint_manifest.json,
+one line per (snapshot_id, partition_id) status change (last line wins;
+fsync per mark; torn tail lines ignored on load) — O(1) I/O per partition
+instead of a full-document rewrite, so a 10k-partition run writes O(P)
+manifest bytes.  Legacy whole-dict JSON manifests are migrated in place.  Validation outputs append to
 <results_dir>/_validation_results and <results_dir>/_violations parquet
 tables (partition lineage columns included in every row).
 """
@@ -28,20 +30,46 @@ from .model import EngineOptions, ExpectationSuite
 from .table_provider import PartitionRef, TableProvider
 
 
-def _atomic_write_json(path: str, obj: Any) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-    os.replace(tmp, path)
-
-
 class CheckpointManifest:
+    """Durable (snapshot, partition) status ledger.
+
+    Persistence is an append-only JSONL LOG (one line per status change,
+    last line per key wins), not a full-document rewrite: marking a
+    partition is O(1) I/O, so a P-partition run writes O(P) total manifest
+    bytes instead of the O(P^2) a rewrite-the-JSON-each-mark scheme costs.
+    A torn final line (killed mid-append) is ignored on load — the
+    partition simply re-runs, which the per-partition overwrite writes
+    make idempotent.  Legacy whole-dict JSON manifests load transparently
+    and are migrated to the log on the next mark."""
+
     def __init__(self, path: str) -> None:
         self.path = path
         self.entries: dict[str, dict[str, Any]] = {}
+        self._migrated = True
         if os.path.exists(path):
             with open(path) as f:
-                self.entries = json.load(f)
+                content = f.read()
+            lines = [ln for ln in content.splitlines() if ln.strip()]
+            if len(lines) == 1 or content.lstrip().startswith("{\n"):
+                # legacy whole-dict format (pretty-printed multi-line JSON,
+                # or a single line that parses to a dict-of-dicts)
+                try:
+                    obj = json.loads(content)
+                    if obj and all(isinstance(v, dict) and "status" in v
+                                   for v in obj.values()):
+                        self.entries = obj
+                        self._migrated = False
+                except json.JSONDecodeError:
+                    pass
+            if self._migrated:  # JSONL log: one entry per line, last wins
+                self.entries = {}
+                for line in lines:
+                    try:
+                        e = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn tail line from a kill
+                    self.entries[self.key(e["snapshot_id"],
+                                          e["partition_id"])] = e
 
     @staticmethod
     def key(snapshot_id: str, partition_id: int) -> str:
@@ -55,7 +83,7 @@ class CheckpointManifest:
              run_id: str, metrics_rows: int = 0) -> None:
         import time
 
-        self.entries[self.key(snapshot_id, partition_id)] = {
+        entry = {
             "run_id": run_id,
             "snapshot_id": snapshot_id,
             "partition_id": partition_id,
@@ -63,7 +91,20 @@ class CheckpointManifest:
             "metrics_rows": metrics_rows,
             "updated_ts": int(time.time()),
         }
-        _atomic_write_json(self.path, self.entries)
+        self.entries[self.key(snapshot_id, partition_id)] = entry
+        if not self._migrated:
+            # rewrite the legacy dict file as a log once, then append
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                for e in self.entries.values():
+                    f.write(json.dumps(e) + "\n")
+            os.replace(tmp, self.path)
+            self._migrated = True
+            return
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
 
 @dataclass

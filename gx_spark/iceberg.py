@@ -446,7 +446,8 @@ class IcebergLiteTable:
     # -- append -------------------------------------------------------------
 
     def append(self, df, now_ms: int | None = None,
-               sort_by: list[str] | None = None) -> int:
+               sort_by: list[str] | None = None,
+               operation_id: str | None = None) -> int:
         """Write df as parquet data files and commit one new snapshot.
         Returns the new snapshot id (deterministic: derived from the table
         uuid + sequence number, so tests and resumed jobs are reproducible).
@@ -456,9 +457,20 @@ class IcebergLiteTable:
         range, which is what makes the manifest min/max bounds actually
         prune on value_filter reads — unsorted writes give every file
         near-global bounds and data skipping never fires.
+
+        operation_id: idempotency token recorded in the snapshot summary —
+        an append whose operation_id already committed is a NO-OP returning
+        the existing snapshot id.  This is what makes at-least-once
+        callers (foreachBatch retries/restarts in streaming.py) exactly-
+        once at the table: a replayed micro-batch finds its own earlier
+        commit instead of appending duplicate rows.
         """
         if pq is None:  # pragma: no cover
             raise RuntimeError("pyarrow required for iceberg-lite appends")
+        if operation_id is not None:
+            for snap in self.metadata["snapshots"]:
+                if snap.get("summary", {}).get("operation-id") == operation_id:
+                    return int(snap["snapshot-id"])
         meta, seq, snap_id, now_ms = self._begin(now_ms)
         pcols = self.partition_cols
         pnames = [c for c, _ in pcols]
@@ -470,7 +482,11 @@ class IcebergLiteTable:
             n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
             df = (df.repartitionByRange(int(n), *sort_by)
                   .sortWithinPartitions(*sort_by))
-        writer = df.write.mode("error")
+        # overwrite, not error: the snap-dir is uniquely owned by this
+        # not-yet-committed sequence number, and a crashed earlier attempt
+        # (data written, metadata commit not reached) leaves the same dir
+        # behind — the retry must be able to redo it
+        writer = df.write.mode("overwrite")
         if pnames:
             writer = writer.partitionBy(*pnames)
         writer.parquet(out_dir)
@@ -480,7 +496,8 @@ class IcebergLiteTable:
         # tuples; 3-4. manifest avro + manifest list avro + metadata commit
         entries = self._scan_dir_entries(out_dir, pcols, snap_id, seq)
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
-                                    operation="append")
+                                    operation="append",
+                                    operation_id=operation_id)
 
     def _scan_dir_entries(self, d: str, pcols, snap_id: int, seq: int) -> list[dict]:
         """Manifest entries for every parquet file under `d`: record counts
@@ -812,7 +829,8 @@ class IcebergLiteTable:
 
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
-                        content: int = 0, replace: bool = False) -> int:
+                        content: int = 0, replace: bool = False,
+                        operation_id: str | None = None) -> int:
         pcols = self.partition_cols
         total_rows = sum(e["data_file"]["record_count"] for e in entries)
         man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
@@ -850,6 +868,8 @@ class IcebergLiteTable:
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
             "summary": {"operation": operation,
+                        **({"operation-id": operation_id}
+                           if operation_id else {}),
                         **({"added-delete-files": str(len(entries)),
                             "added-position-deletes": str(total_rows)}
                            if content else

@@ -91,8 +91,13 @@ def mp4_parse(b: bytes) -> dict:
         if tag == b"moov":
             for t2, s2, e2 in _walk(b, s, e):
                 if t2 == b"mvhd":
+                    # bounds BEFORE the byte read: an empty-payload mvhd at
+                    # the buffer end must raise ValueError, not IndexError
+                    # (image.py's flags UDF catches only ValueError)
+                    if e2 - s2 < 20:
+                        raise ValueError("bad mvhd")
                     ver = b[s2]
-                    if ver != 0 or e2 - s2 < 20:
+                    if ver != 0:
                         raise ValueError("bad mvhd")
                     timescale, dur = struct.unpack(">II", b[s2 + 12:s2 + 20])
                     if timescale <= 0:

@@ -325,10 +325,15 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    # converged edge set is (node -> component root); roots map to themselves
+    # converged edge set is (node -> component root); roots map to
+    # themselves.  Label = min(v) per node: at the fixed point there is
+    # one row per node anyway, and if max_iter expired before convergence
+    # this still guarantees ONE deterministic row per node (a partially
+    # merged labeling) instead of silently emitting duplicate nodes.
+    labels = cur.groupBy("u").agg(F.min("v").alias("v"))
     nodes = e.select("u").union(e.select("v")).distinct()
     return (
-        nodes.join(cur, "u", "left")
+        nodes.join(labels, "u", "left")
         .select(F.col("u").alias("node"),
                 F.coalesce("v", "u").alias("component"))
     )
@@ -563,7 +568,10 @@ def cosine_near_dup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif mode == "lsh":
-        first = df.select(vec_col).first()
+        # isNotNull-filtered guard: a non-empty table whose vectors are
+        # ALL null must return empty pairs (null vectors are singleton
+        # clusters), not raise from build_ann_index's own guard
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:
             return base.limit(0).select(
                 F.col("id").alias("id_a"), F.col("id").alias("id_b"),
@@ -581,7 +589,10 @@ def cosine_near_dup_pairs(
                     for t in range(n_tables)
                 ])
             ).alias("tb"),
-        ).select("id", "tb.tbl", "tb.bucket")
+        ).select("id", "tb.tbl", "tb.bucket").where(F.col("bucket") >= 0)
+        # bucket -1 marks null/ragged vectors; without the filter every
+        # invalid row would pair with every other invalid row in the
+        # self-join (quadratic in the bad-row count at crawl scale)
         a = banded.alias("a")
         b = banded.alias("b")
         # dedup on the 16-byte id pair BEFORE rehydrating vectors — the
@@ -763,14 +774,9 @@ def train_ivf_centroids(
     extra count() job to size the fraction) — a bare limit() would take the
     first partitions only and train a biased quantizer on data clustered or
     sorted by embedding, degrading IVF recall at scale."""
-    vecs = df.select(vec_col).filter(F.col(vec_col).isNotNull())
-    n = vecs.count()
-    if n > sample_cap:
-        frac = min(1.0, sample_cap * 1.2 / n)
-        vecs = vecs.sample(fraction=frac, seed=seed)
-    rows = vecs.limit(sample_cap).collect()
-    if not rows:
-        raise ValueError("no vectors to train on")
+    rows = _bounded_sample(
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()),
+        sample_cap, seed)
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(M))
@@ -912,14 +918,9 @@ def train_pq_codebooks(
     to m=8 one-byte codes — 32x smaller — so a 10^12-vector corpus's codes
     fit a fraction of the executors the raw vectors need, and every
     candidate scan streams codes, not vectors."""
-    vecs = df.select(vec_col).filter(F.col(vec_col).isNotNull())
-    n = vecs.count()
-    if n > sample_cap:
-        frac = min(1.0, sample_cap * 1.2 / n)
-        vecs = vecs.sample(fraction=frac, seed=seed)
-    rows = vecs.limit(sample_cap).collect()
-    if not rows:
-        raise ValueError("no vectors to train on")
+    rows = _bounded_sample(
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()),
+        sample_cap, seed)
     # ragged-safe: train on the first row's dimensionality; stray
     # wrong-length vectors are skipped here and encode to null downstream
     arrs = [np.asarray(r[0], dtype=np.float64) for r in rows]
@@ -1393,8 +1394,11 @@ def fingerprint_overlap_pairs(
     that bounds every posting list, so the self-join is never quadratic
     in the corpus, only in genuinely-overlapping groups."""
     docfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
-    kept = fps.join(F.broadcast(docfreq.filter(F.col("df_") <= max_df)
-                                .select("fp")), "fp")
+    # broadcast the OVERSIZED set, not the kept set: stop-grams are
+    # bounded by corpus_size/max_df rows, while the kept set is nearly
+    # every distinct fingerprint (would OOM the driver at corpus scale)
+    oversized = docfreq.filter(F.col("df_") > max_df).select("fp")
+    kept = fps.join(F.broadcast(oversized), "fp", "left_anti")
     a = kept.select(F.col("fp"), F.col("id").alias("id_a"))
     b = kept.select(F.col("fp"), F.col("id").alias("id_b"))
     return (

@@ -80,18 +80,22 @@ def validate_stream(
         bundle = ValidationRun(spark, suite, opts).validate(
             tdf, run_id=f"{run_id}-b{batch_id}", partition_id=int(batch_id)
         )
-        bundle.results_df(spark).write.mode("append").parquet(
-            os.path.join(results_dir, "_validation_results")
+        # Exactly-once under foreachBatch's at-least-once replay: every
+        # write lands in a deterministic batch_id=N subdir with OVERWRITE
+        # (same discipline as checkpoint.py), so a retried/restarted batch
+        # rewrites its own output instead of appending duplicates; readers
+        # recover batch_id as a hive partition column.
+        sub = f"batch_id={int(batch_id)}"
+        bundle.results_df(spark).write.mode("overwrite").parquet(
+            os.path.join(results_dir, "_validation_results", sub)
         )
         vt = bundle.violations_table()
         if vt is not None:
-            vt.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(os.path.join(results_dir, "_violations"))
+            vt.write.mode("overwrite").parquet(
+                os.path.join(results_dir, "_violations", sub))
         for name, fn in extras.items():
-            fn(tdf).withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(os.path.join(results_dir, name))
+            fn(tdf).write.mode("overwrite").parquet(
+                os.path.join(results_dir, name, sub))
         bundle.unpersist()
         if persisted is not None:
             persisted.unpersist()
@@ -319,6 +323,14 @@ def stream_to_iceberg(
     if quarantine and not opts.unexpected_index_column_names:
         raise ValueError("quarantine requires unexpected_index_column_names")
     run_id = uuid.uuid4().hex[:12]
+    # Stream identity for append idempotency: stable across RESTARTS when
+    # a checkpoint location exists (foreachBatch replays the same batch_id
+    # from the same checkpoint); without one there are no restart
+    # semantics and the per-start run_id suffices for in-run retries.
+    import hashlib
+
+    stream_key = (hashlib.md5(checkpoint_location.encode()).hexdigest()[:12]
+                  if checkpoint_location else run_id)
     if results_dir:
         os.makedirs(results_dir, exist_ok=True)
 
@@ -329,33 +341,42 @@ def stream_to_iceberg(
             t = IcebergLiteTable(table_location).refresh()
         else:
             t = IcebergLiteTable.create(table_location, batch_df.schema)
+        sub = f"batch_id={int(batch_id)}"
         good = batch_df
         if suite is not None:
             bundle = ValidationRun(spark, suite, opts).validate(
                 batch_df, run_id=f"{run_id}-b{batch_id}",
                 partition_id=int(batch_id))
+            # deterministic batch subdir + overwrite = idempotent under
+            # foreachBatch's at-least-once replay (see validate_stream)
             if results_dir:
-                bundle.results_df(spark).write.mode("append").parquet(
-                    os.path.join(results_dir, "_validation_results"))
+                bundle.results_df(spark).write.mode("overwrite").parquet(
+                    os.path.join(results_dir, "_validation_results", sub))
             vt = bundle.violations_table()
             if results_dir and vt is not None:
-                vt.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                    "append").parquet(os.path.join(results_dir, "_violations"))
+                vt.write.mode("overwrite").parquet(
+                    os.path.join(results_dir, "_violations", sub))
             if quarantine and vt is not None:
                 keys = list(opts.unexpected_index_column_names)
                 bad = vt.select(
                     *[F.col(c).alias(f"_bad_{c}") for c in keys]).distinct()
+                # eqNullSafe: a violating row whose key column is NULL
+                # (e.g. a not_be_null violation on the key itself) must
+                # still be quarantined and excluded from the landed table —
+                # plain equality evaluates null and silently lands it
                 cond = reduce(
                     lambda a, b: a & b,
-                    [batch_df[c].cast("string") == F.col(f"_bad_{c}")
+                    [batch_df[c].cast("string").eqNullSafe(F.col(f"_bad_{c}"))
                      for c in keys])
                 quar = batch_df.join(F.broadcast(bad), cond, "left_semi")
-                quar.write.mode("append").parquet(
-                    os.path.join(results_dir or table_location, "_quarantine"))
+                quar.write.mode("overwrite").parquet(os.path.join(
+                    results_dir or table_location, "_quarantine", sub))
                 good = batch_df.join(F.broadcast(bad), cond, "left_anti")
             bundle.unpersist()
         if not good.isEmpty():
-            t.append(good)
+            # operation-id makes the Iceberg append a no-op on replay —
+            # exactly-once landing under at-least-once foreachBatch
+            t.append(good, operation_id=f"stream-{stream_key}-b{batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_location:

@@ -569,3 +569,23 @@ def test_append_sort_by_tightens_bounds(spark, tmp_path):
     assert len(t2.plan_files(value_filter={"score": (100, 149)})) == len(
         t2.plan_files())
     assert t1.read(spark, value_filter={"score": (100, 149)}).count() == 50
+
+
+def test_append_operation_id_is_idempotent(spark, tmp_path):
+    """Replaying an append with the same operation_id (foreachBatch retry/
+    restart) is a NO-OP returning the original snapshot — exactly-once
+    landing under at-least-once callers."""
+    from gx_spark.iceberg import IcebergLiteTable
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    loc = str(tmp_path / "idem")
+    t = IcebergLiteTable.create(loc, df.schema)
+    s1 = t.append(df, operation_id="stream-x-b0")
+    n1 = IcebergLiteTable(loc).read(spark).count()
+    s2 = IcebergLiteTable(loc).append(df, operation_id="stream-x-b0")
+    assert s2 == s1
+    assert IcebergLiteTable(loc).read(spark).count() == n1 == 10
+    # a different operation id is a genuine new snapshot
+    s3 = IcebergLiteTable(loc).append(df, operation_id="stream-x-b1")
+    assert s3 != s1
+    assert IcebergLiteTable(loc).read(spark).count() == 20

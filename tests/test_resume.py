@@ -209,3 +209,31 @@ def test_resumable_validate_and_curate(spark, audio_dir, results_dir):
     r3 = make_runner().run()
     assert r3.validated_partitions == []
     assert runner2.extra("_features").count() == n_direct
+
+
+def test_manifest_legacy_migration_and_torn_tail(tmp_path):
+    """A legacy whole-dict manifest loads, migrates to the JSONL log on
+    the next mark, and a torn tail line (killed mid-append) is ignored."""
+    import json
+
+    from gx_spark.checkpoint import CheckpointManifest
+
+    p = str(tmp_path / "_m.json")
+    legacy = {"snapA:0": {"run_id": "r", "snapshot_id": "snapA",
+                          "partition_id": 0, "status": "done",
+                          "metrics_rows": 3, "updated_ts": 1}}
+    with open(p, "w") as f:
+        json.dump(legacy, f, indent=1)
+    m = CheckpointManifest(p)
+    assert m.is_done("snapA", 0)
+    m.mark("snapA", 1, "done", "r2", 3)
+    # file is now a JSONL log carrying BOTH entries
+    lines = [ln for ln in open(p).read().splitlines() if ln.strip()]
+    assert len(lines) == 2 and all(json.loads(ln) for ln in lines)
+    m2 = CheckpointManifest(p)
+    assert m2.is_done("snapA", 0) and m2.is_done("snapA", 1)
+    # torn tail from a kill mid-append: ignored, earlier entries intact
+    with open(p, "a") as f:
+        f.write('{"run_id": "r3", "snapshot_id": "snapA", "partiti')
+    m3 = CheckpointManifest(p)
+    assert m3.is_done("snapA", 0) and m3.is_done("snapA", 1)
