@@ -518,6 +518,16 @@ def q_mixture_sample_documents(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_bpe_tokenize_documents(spark, sf_dir):
+    # rows-only: REAL corpus-trained BPE (Sennrich ACL'16) — greedy merge
+    # training is an iterative driver-side loop not expressible in ANSI
+    # SQL; determinism/losslessness/compression pinned by tests/test_bpe.py
+    docs = _load(spark, sf_dir, "documents")
+    merges = ops.train_bpe_merges(docs, "text", n_merges=300)
+    out = ops.bpe_encode(docs, "doc_id", "text", merges)
+    return out.select(F.col("id").alias("doc_id"), "n_bpe_tokens")
+
+
 def q_token_shards_documents(spark, sf_dir):
     # fixed-token-budget training shards via the two-phase distributed
     # prefix sum (range shuffle + broadcast offsets) — never a one-
@@ -1396,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "token_shards_documents": q_token_shards_documents,
+        "bpe_tokenize_documents": q_bpe_tokenize_documents,
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "audio_flac_violations": q_audio_flac_violations,
@@ -1915,5 +1926,6 @@ def oracle_sql() -> dict[str, str]:
         # (LSH/xxhash64/k-means seeds not reproducible in ANSI SQL; IVF
         # exactness pinned by tests/test_ivf.py, PQ ADC exactness + recall
         # by tests/test_pq.py, IVFADC layout/exactness/pruning/recall by
-        # tests/test_ivfpq.py)
+        # tests/test_ivfpq.py).  bpe_tokenize_documents likewise: greedy
+        # merge training is iterative; pinned by tests/test_bpe.py
     }

@@ -1639,3 +1639,120 @@ def token_shards(
             / F.lit(float(shard_tokens))
         ).cast("long").alias("shard"),
     )
+
+
+# Python-`re`-AND-Java-regex-compatible form of BPE_TOKEN_PATTERN (the
+# ICU \p{L} classes compile only JVM-side): used on BOTH the train side
+# (JVM regexp_extract_all) and the encode side (worker-local re.findall)
+# so the merge vocabulary and the applied pretokenization always agree.
+BPE_PY_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
+)
+
+
+def train_bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 500,
+    sample_cap: int = 20_000, seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table (Sennrich, Haiko & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    ACL 2016 — the public BPE algorithm): start from characters, greedily
+    merge the most frequent adjacent symbol pair, n_merges times.
+
+    The corpus-side work is ONE distributed word-count over a bounded
+    seeded sample (pretokenized by the same regex bpe_token_count uses);
+    the merge loop runs driver-side over the word-frequency DICTIONARY
+    (vocabulary-sized, not corpus-sized — the standard trick that makes
+    BPE training O(vocab) per merge regardless of corpus size).  Returns
+    the ordered merge list for bpe_encode()."""
+    rows = _bounded_sample(
+        df.select(F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PY_PATTERN), 0)
+        ).alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+        sample_cap, seed)
+    vocab = {tuple(r["w"]) + ("</w>",): int(r["c"]) for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # deterministic argmax: count desc, then lexicographic
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for word, c in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and word[i] == best[0] and word[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    symbols = list(word) + ["</w>"]
+    while len(symbols) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        symbols[best_i:best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize every document with a trained merge table: pretokenize by
+    the shared regex, then apply merges in rank order per word (the
+    standard BPE apply loop), with a per-worker word→pieces cache — real
+    corpora repeat words heavily, so the amortized per-row cost is a dict
+    lookup.  Returns (id, tokens array<string>, n_bpe_tokens).  Map-side
+    Arrow pass; the merge table broadcasts in the UDF closure."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    import re as _re
+
+    pat = _re.compile(BPE_PY_PATTERN)
+
+    @pandas_udf("array<string>")
+    def encode(texts):
+        cache: dict = {}
+
+        def enc(t):
+            if t is None:
+                return None
+            out = []
+            for w in pat.findall(t):
+                pieces = cache.get(w)
+                if pieces is None:
+                    pieces = _bpe_encode_word(w, ranks)
+                    cache[w] = pieces
+                out.extend(pieces)
+            return out
+
+        return pd.Series([enc(t) for t in texts])
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        encode(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_bpe_tokens", F.size("tokens"))

@@ -1,0 +1,70 @@
+"""Real BPE (Sennrich ACL'16): corpus-trained merge table + UDF encoding.
+
+Pins: deterministic greedy merges, lossless reconstruction (tokens
+concatenate back to the pretokenized words), compression on repeated
+vocabulary, and the documents-table smoke path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import ops  # noqa: E402
+from gx_spark.ops import BPE_PY_PATTERN  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_train_merges_most_frequent_pair_first(spark):
+    df = spark.createDataFrame(
+        [(i, "aaab aaab aaab xyz") for i in range(20)], ["i", "t"])
+    merges = ops.train_bpe_merges(df, "t", n_merges=3)
+    assert merges[0] == ("a", "a")  # most frequent adjacent pair
+    # determinism: identical result on a re-run and at other parallelism
+    assert merges == ops.train_bpe_merges(df.repartition(7), "t", n_merges=3)
+
+
+def test_encode_reconstructs_and_compresses(spark):
+    df = spark.createDataFrame(
+        [(i, "the quick the quick the lazy dog") for i in range(30)],
+        ["doc_id", "text"])
+    merges = ops.train_bpe_merges(df, "text", n_merges=60)
+    out = ops.bpe_encode(df, "doc_id", "text", merges).collect()
+    pat = re.compile(BPE_PY_PATTERN)
+    for r in out:
+        toks = r["tokens"]
+        assert r["n_bpe_tokens"] == len(toks)
+        # lossless: joining pieces and splitting on </w> rebuilds the words
+        words = "".join(toks).split("</w>")[:-1]
+        assert words == pat.findall("the quick the quick the lazy dog")
+    # after enough merges the frequent words collapse to single tokens
+    assert "the</w>" in out[0]["tokens"]
+    n_chars = len("the quick the quick the lazy dog".replace(" ", ""))
+    assert out[0]["n_bpe_tokens"] < n_chars
+
+
+def test_bpe_documents_smoke(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = ops.train_bpe_merges(docs, "text", n_merges=200)
+    assert len(merges) > 50
+    enc = ops.bpe_encode(docs, "doc_id", "text", merges)
+    row = enc.first()
+    assert row["n_bpe_tokens"] > 0
+    stats = enc.agg({"n_bpe_tokens": "sum"}).collect()[0][0]
+    total_chars = docs.selectExpr("sum(length(text))").collect()[0][0]
+    assert 0 < stats < total_chars  # genuine compression vs characters
+    # null text rows encode to null, not a crash
+    import pyspark.sql.functions as F
+
+    dirty = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("text")))
+    out = ops.bpe_encode(dirty, "doc_id", "text", merges)
+    assert out.where("tokens is null").count() > 0
