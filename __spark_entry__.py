@@ -1358,57 +1358,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness run checks the FIRST 50
+    # entries of this dict against oracle_sql() at sf0.01 (CORRECTNESS_r03
+    # stopped at entry #50 exactly).  Entries are therefore ordered by
+    # verification need, not by theme:
+    #   1. queries that have never been driver-oracled (round 3's newest 17
+    #      plus anything added this round) come first;
+    #   2. previously hash-green queries exercising distinct heavy code
+    #      paths keep window slots;
+    #   3. queries hash-green in BOTH r02 and r03 plus the no-oracle
+    #      rows-only entries (minhash/simhash/ANN/BPE — already recorded as
+    #      rows-only in r03 and pinned by pytest recall/determinism tests)
+    #      sit past the window.
     return {
-        "row_count_lineitem": q_row_count_lineitem,
-        "not_null_orders_custkey": q_not_null_orders_custkey,
-        "unique_orderkey_orders": q_unique_orderkey_orders,
-        "in_set_returnflag": q_in_set_returnflag,
-        "regex_event_type": q_regex_event_type,
-        "between_quantity": q_between_quantity,
-        "value_length_name": q_value_length_name,
-        "mean_extendedprice": q_mean_extendedprice,
-        "stdev_acctbal": q_stdev_acctbal,
-        "minmax_sum_tax": q_minmax_sum_tax,
-        "distinct_count_mktsegment": q_distinct_count_mktsegment,
-        "quantiles_totalprice": q_quantiles_totalprice,
-        "value_counts_linestatus": q_value_counts_linestatus,
-        "most_common_linestatus": q_most_common_linestatus,
-        "pair_ship_after_order": q_pair_ship_after_order,
-        "referential_custkey": q_referential_custkey,
-        "referential_salted_custkey": q_referential_salted_custkey,
-        "compound_unique_lineitem": q_compound_unique_lineitem,
-        "multicol_sum_10": q_multicol_sum_10,
-        "histogram_quantity": q_histogram_quantity,
-        "kl_quantity_uniform": q_kl_quantity_uniform,
-        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
-        "psi_quantity_uniform": q_psi_quantity_uniform,
-        "json_props_parseable": q_json_props_parseable,
-        "row_condition_filtered_mean": q_row_condition_filtered_mean,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "token_stats_documents": q_token_stats_documents,
-        "quality_documents": q_quality_documents,
-        "lang_distribution_documents": q_lang_distribution_documents,
-        "fingerprint_documents": q_fingerprint_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_documents": q_simhash_documents,
-        "ann_lsh_embeddings": q_ann_lsh_embeddings,
-        "ann_ivf_embeddings": q_ann_ivf_embeddings,
-        "ann_pq_embeddings": q_ann_pq_embeddings,
-        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
-        "image_metadata_violations": q_image_metadata_violations,
-        "image_png_violations": q_image_png_violations,
-        "word_jaccard_documents": q_word_jaccard_documents,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "hash_split_documents": q_hash_split_documents,
-        "group_cap_documents": q_group_cap_documents,
-        "mixture_sample_documents": q_mixture_sample_documents,
-        "token_shards_documents": q_token_shards_documents,
-        "bpe_tokenize_documents": q_bpe_tokenize_documents,
-        "chisquare_mktsegment": q_chisquare_mktsegment,
-        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
+        # -- tier 1: never externally oracled (r03 entries #51-#67) --
         "audio_flac_violations": q_audio_flac_violations,
         "audio_opus_container_violations": q_audio_opus_container_violations,
         "video_mp4_container_violations": q_video_mp4_container_violations,
@@ -1426,6 +1389,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
+        # -- tier 2: previously hash-green, distinct heavy code paths --
+        "row_count_lineitem": q_row_count_lineitem,
+        "unique_orderkey_orders": q_unique_orderkey_orders,
+        "quantiles_totalprice": q_quantiles_totalprice,
+        "histogram_quantity": q_histogram_quantity,
+        "kl_quantity_uniform": q_kl_quantity_uniform,
+        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
+        "psi_quantity_uniform": q_psi_quantity_uniform,
+        "chisquare_mktsegment": q_chisquare_mktsegment,
+        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
+        "json_props_parseable": q_json_props_parseable,
+        "row_condition_filtered_mean": q_row_condition_filtered_mean,
+        "referential_custkey": q_referential_custkey,
+        "referential_salted_custkey": q_referential_salted_custkey,
+        "compound_unique_lineitem": q_compound_unique_lineitem,
+        "pair_ship_after_order": q_pair_ship_after_order,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "quality_documents": q_quality_documents,
+        "lang_distribution_documents": q_lang_distribution_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "image_metadata_violations": q_image_metadata_violations,
+        "image_png_violations": q_image_png_violations,
+        "word_jaccard_documents": q_word_jaccard_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "hash_split_documents": q_hash_split_documents,
+        "group_cap_documents": q_group_cap_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
+        "token_shards_documents": q_token_shards_documents,
+        # -- tier 3: past the driver window — hash-green in r02 AND r03
+        #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
+        "not_null_orders_custkey": q_not_null_orders_custkey,
+        "in_set_returnflag": q_in_set_returnflag,
+        "regex_event_type": q_regex_event_type,
+        "between_quantity": q_between_quantity,
+        "value_length_name": q_value_length_name,
+        "mean_extendedprice": q_mean_extendedprice,
+        "stdev_acctbal": q_stdev_acctbal,
+        "minmax_sum_tax": q_minmax_sum_tax,
+        "distinct_count_mktsegment": q_distinct_count_mktsegment,
+        "value_counts_linestatus": q_value_counts_linestatus,
+        "most_common_linestatus": q_most_common_linestatus,
+        "multicol_sum_10": q_multicol_sum_10,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_documents": q_simhash_documents,
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_pq_embeddings": q_ann_pq_embeddings,
+        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
+        "bpe_tokenize_documents": q_bpe_tokenize_documents,
     }
 
 

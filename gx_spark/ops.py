@@ -1641,13 +1641,37 @@ def token_shards(
     )
 
 
-# Python-`re`-AND-Java-regex-compatible form of BPE_TOKEN_PATTERN (the
-# ICU \p{L} classes compile only JVM-side): used on BOTH the train side
-# (JVM regexp_extract_all) and the encode side (worker-local re.findall)
-# so the merge vocabulary and the applied pretokenization always agree.
+# BPE pretokenizer, compiled by Python `re` ONLY — on both the train and
+# the encode side (via _bpe_pretokenize below).  Java regex must not touch
+# this pattern: \w/\W/\s/\d are ASCII-only under Java's default flags but
+# Unicode-aware under Python 3, so a JVM regexp_extract_all would split
+# 'café' as 'caf'+'é' while the Python encode side keeps 'café' whole —
+# the merge vocabulary would be trained on different word units than
+# bpe_encode applies (tests/test_bpe.py::test_non_ascii_round_trip pins
+# the agreement).
 BPE_PY_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
 )
+
+
+def _bpe_pretokenize(df: DataFrame, text_col: str) -> DataFrame:
+    """Pretokenize with the SAME compiled Python regex bpe_encode uses
+    (Arrow-batched pandas UDF, map-side) and explode to one word per row.
+    Shared by train_bpe_merges so train/encode word units agree exactly,
+    including non-ASCII."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pat = _re.compile(BPE_PY_PATTERN)
+
+    @pandas_udf("array<string>")
+    def pretok(texts):
+        return pd.Series(
+            [pat.findall(t) if t is not None else [] for t in texts])
+
+    return df.select(F.explode(pretok(F.col(text_col))).alias("w"))
 
 
 def train_bpe_merges(
@@ -1660,15 +1684,15 @@ def train_bpe_merges(
     merge the most frequent adjacent symbol pair, n_merges times.
 
     The corpus-side work is ONE distributed word-count over a bounded
-    seeded sample (pretokenized by the same regex bpe_token_count uses);
+    seeded sample (pretokenized by _bpe_pretokenize — the same compiled
+    Python regex bpe_encode applies, so non-ASCII word units agree);
     the merge loop runs driver-side over the word-frequency DICTIONARY
     (vocabulary-sized, not corpus-sized — the standard trick that makes
     BPE training O(vocab) per merge regardless of corpus size).  Returns
     the ordered merge list for bpe_encode()."""
     rows = _bounded_sample(
-        df.select(F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PY_PATTERN), 0)
-        ).alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+        _bpe_pretokenize(df, text_col)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")),
         sample_cap, seed)
     vocab = {tuple(r["w"]) + ("</w>",): int(r["c"]) for r in rows}
     merges: list[tuple[str, str]] = []

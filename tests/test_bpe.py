@@ -68,3 +68,23 @@ def test_bpe_documents_smoke(spark):
         .otherwise(F.col("text")))
     out = ops.bpe_encode(dirty, "doc_id", "text", merges)
     assert out.where("tokens is null").count() > 0
+
+
+def test_non_ascii_round_trip(spark):
+    """Train and encode must pretokenize non-ASCII text identically (the
+    Java-regex \\w is ASCII-only, so a JVM train-side split would produce
+    'caf'+'é' word units the Python encode side never sees — train now
+    uses the same compiled Python regex as encode)."""
+    text = "café café café über über naïve 北京 北京"
+    df = spark.createDataFrame([(i, text) for i in range(25)], ["i", "t"])
+    merges = ops.train_bpe_merges(df, "t", n_merges=80)
+    # the trained vocabulary collapses the repeated accented word to ONE
+    # token — only possible if train saw 'café' whole, not 'caf'+'é'
+    out = ops.bpe_encode(df, "i", "t", merges).first()
+    assert " café</w>" in out["tokens"] or "café</w>" in out["tokens"]
+    # lossless reconstruction through the same Python pretokenizer
+    pat = re.compile(BPE_PY_PATTERN)
+    words = "".join(out["tokens"]).split("</w>")[:-1]
+    assert words == pat.findall(text)
+    # determinism across parallelism still holds with the pandas-UDF path
+    assert merges == ops.train_bpe_merges(df.repartition(9), "t", n_merges=80)
