@@ -1885,9 +1885,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id ASC) <= 10"
         ),
         "token_shards_documents": (
-            "SELECT doc_id, CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id "
+            # integer floor division (//) to mirror the engine's exact
+            # long `div` arithmetic — no float prefix sum on either side
+            "SELECT doc_id, CAST((SUM(n_chars) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
-            "/ 2000.0) AS BIGINT) AS shard FROM documents"
+            "// 2000 AS BIGINT) AS shard FROM documents"
         ),
         "mixture_sample_documents": (
             "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS g "

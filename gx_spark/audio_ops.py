@@ -309,14 +309,27 @@ def audio_dedup_groups(
     """Content-duplicate groups: (fp64, n_clips, clip_ids) for groups >= 2.
 
     Catches re-encoded (codec-changed) and gain-scaled re-uploads that
-    exact byte/md5 dedup misses.  clip_ids is capped at 20 per group so a
-    pathological all-identical corpus cannot OOM the aggregation state."""
+    exact byte/md5 dedup misses.  clip_ids is capped at 20 per group, and
+    the cap is enforced BEFORE aggregation state accumulates: a
+    row_number window over fp64 (sort-based, spillable — never an
+    in-memory list) marks the first 20 ids per group, and the single
+    groupBy collects only those (collect_list drops the NULLs the `when`
+    emits past the cap), so a pathological all-identical corpus holds at
+    most 20 ids of state per group instead of the whole group.  One
+    shuffle total: the groupBy reuses the window's hash partitioning on
+    fp64, and only the ~16-byte (id, fp64) rows ever shuffle — the one
+    expensive decode happens once, before the exchange."""
+    from pyspark.sql import Window
+
     fp = fingerprint_audio(
         df, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col
     )
-    capped = fp.groupBy("fp64").agg(
+    w = Window.partitionBy("fp64").orderBy(id_col)
+    ranked = fp.withColumn("_rn", F.row_number().over(w))
+    capped = ranked.groupBy("fp64").agg(
         F.count(F.lit(1)).alias("n_clips"),
-        F.slice(F.sort_array(F.collect_list(id_col)), 1, 20).alias("clip_ids"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("_rn") <= 20, F.col(id_col)))).alias("clip_ids"),
     )
     return capped.where(F.col("n_clips") >= 2)
 

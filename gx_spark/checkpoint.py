@@ -68,6 +68,12 @@ class CheckpointManifest:
                         e = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn tail line from a kill
+                    if (not isinstance(e, dict) or "snapshot_id" not in e
+                            or "partition_id" not in e):
+                        # valid JSON that isn't a manifest entry (legacy
+                        # '{}' manifest, stray scalar): skip like a torn
+                        # line instead of crashing the whole resume
+                        continue
                     self.entries[self.key(e["snapshot_id"],
                                           e["partition_id"])] = e
 

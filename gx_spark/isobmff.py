@@ -105,12 +105,27 @@ def mp4_parse(b: bytes) -> dict:
                     dur_ms = dur * 1000 // timescale
                 elif t2 == b"trak":
                     n_tracks += 1
+                    t_w = t_h = None
+                    is_vide = False
                     for t3, s3, e3 in _walk(b, s2, e2):
                         if t3 == b"tkhd":
                             if e3 - s3 < 84:
                                 raise ValueError("short tkhd")
                             w16, h16 = struct.unpack(">II", b[e3 - 8:e3])
-                            width, height = w16 >> 16, h16 >> 16
+                            t_w, t_h = w16 >> 16, h16 >> 16
+                        elif t3 == b"mdia":
+                            for t4, s4, e4 in _walk(b, s3, e3):
+                                # hdlr payload: ver(1)+flags(3)+
+                                # pre_defined(4)+handler_type(4)
+                                if t4 == b"hdlr" and e4 - s4 >= 12:
+                                    is_vide = b[s4 + 8:s4 + 12] == b"vide"
+                    # dims come from the VIDEO track (hdlr=='vide'), not
+                    # whichever trak happens to be last — a trailing audio
+                    # trak with 0x0 tkhd dims must not win.  Fallback for
+                    # hdlr-less files: first track with nonzero dims.
+                    if t_w is not None and (
+                            is_vide or (width is None and t_w > 0)):
+                        width, height = t_w, t_h
     if b"ftyp" not in tags or b"moov" not in tags or b"mdat" not in tags:
         raise ValueError("missing required top-level box")
     if dur_ms is None or width is None or n_tracks == 0:

@@ -1599,10 +1599,15 @@ def token_shards(
     for non-numeric ids.  Bucket boundaries do not affect the OUTPUT
     (any monotone contiguous bucketing yields the same global prefix
     sum), so approxQuantile's partitioning sensitivity is harmless.
-    Oracle: the ANSI equivalent is `floor((SUM(tok) OVER (ORDER BY id
-    ROWS UNBOUNDED PRECEDING) - tok) / S)` — same values, serially."""
+    Oracle: the ANSI equivalent is `(SUM(tok) OVER (ORDER BY id
+    ROWS UNBOUNDED PRECEDING) - tok) // S` — same values, serially.
+
+    All arithmetic stays in LONG (`div`, not float division): a double
+    prefix sum loses integer precision past 2^53 cumulative tokens, which
+    a 10^12-row corpus plausibly reaches — shard boundaries would drift
+    off the exact integer oracle exactly where the budget matters."""
     base = df.select(F.col(id_col).alias("id"),
-                     F.col(token_col).cast("double").alias("tok"))
+                     F.col(token_col).cast("long").alias("tok"))
     numeric = base.schema["id"].dataType.typeName() in (
         "byte", "short", "integer", "long", "float", "double", "decimal")
     if numeric and n_ranges > 1:
@@ -1620,24 +1625,24 @@ def token_shards(
             .withColumn("pid", F.spark_partition_id())
         )
     subtotals = ranged.groupBy("pid").agg(F.sum("tok").alias("s")).collect()
-    totals = {int(r["pid"]): float(r["s"]) for r in subtotals}
-    offsets, acc = {}, 0.0
+    totals = {int(r["pid"]): int(r["s"]) for r in subtotals}
+    offsets, acc = {}, 0
     for p in sorted(totals):
         offsets[p] = acc
         acc += totals[p]
     omap = F.create_map(
-        *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+        *[x for p, o in offsets.items()
+          for x in (F.lit(p), F.lit(o).cast("long"))]
     )
     w = (
         Window.partitionBy("pid").orderBy(F.asc("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ranged.select(
+    prefix = omap[F.col("pid")] + F.sum("tok").over(w) - F.col("tok")
+    return ranged.select("id", prefix.alias("_prefix_tok")).select(
         "id",
-        F.floor(
-            (omap[F.col("pid")] + F.sum("tok").over(w) - F.col("tok"))
-            / F.lit(float(shard_tokens))
-        ).cast("long").alias("shard"),
+        F.expr(f"_prefix_tok div {int(shard_tokens)}")
+        .cast("long").alias("shard"),
     )
 
 

@@ -323,14 +323,38 @@ def stream_to_iceberg(
     if quarantine and not opts.unexpected_index_column_names:
         raise ValueError("quarantine requires unexpected_index_column_names")
     run_id = uuid.uuid4().hex[:12]
-    # Stream identity for append idempotency: stable across RESTARTS when
-    # a checkpoint location exists (foreachBatch replays the same batch_id
-    # from the same checkpoint); without one there are no restart
+    # Stream identity for append idempotency (Delta txn-appId style): a
+    # nonce file INSIDE the checkpoint directory, so its lifetime is tied
+    # to the batch-id counter's.  Restart from the same checkpoint → same
+    # nonce → replayed batch_ids dedup as intended; checkpoint wiped to
+    # reprocess (batch ids restart at 0) → fresh nonce → the new batches
+    # are NOT mistaken for replays of the old ones.  A bare
+    # md5(checkpoint_location) key would silently drop those.  Non-local
+    # checkpoint URIs (hdfs:/s3:) fall back to hashing the path — there
+    # the checkpoint store is durable and wiping it is a documented
+    # reset-both operation.  Without any checkpoint there are no restart
     # semantics and the per-start run_id suffices for in-run retries.
     import hashlib
 
-    stream_key = (hashlib.md5(checkpoint_location.encode()).hexdigest()[:12]
-                  if checkpoint_location else run_id)
+    if checkpoint_location:
+        local = checkpoint_location.removeprefix("file:")
+        if "://" not in local:
+            os.makedirs(local, exist_ok=True)
+            nonce_path = os.path.join(local, "_gx_stream_id")
+            try:
+                with open(nonce_path, encoding="utf-8") as fh:
+                    stream_key = fh.read().strip()
+            except FileNotFoundError:
+                stream_key = uuid.uuid4().hex[:12]
+                tmp = nonce_path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(stream_key)
+                os.replace(tmp, nonce_path)
+        else:
+            stream_key = hashlib.md5(
+                checkpoint_location.encode()).hexdigest()[:12]
+    else:
+        stream_key = run_id
     if results_dir:
         os.makedirs(results_dir, exist_ok=True)
 

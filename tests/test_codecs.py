@@ -201,3 +201,36 @@ def test_isobmff_roundtrip_property():
         assert abs(m["dur_ms"] - nf * 1000.0 / fps) <= 1.0  # ms timescale
 
     prop()
+
+
+def test_mp4_dims_come_from_video_track():
+    """A multi-track file whose LAST trak is a non-video (soun) track with
+    0x0 tkhd dims must still report the video track's dimensions — dims
+    are selected by hdlr=='vide', not by trak order."""
+    import struct
+
+    from gx_spark.isobmff import _box, mp4_encode, mp4_parse
+
+    b = mp4_encode("vid_trackorder", 30, 30.0, 640, 480)
+    # craft an audio trak: tkhd with 0x0 dims + mdia/hdlr('soun')
+    dur = 1000
+    tkhd = _box(b"tkhd", struct.pack(
+        ">B3sIIIII", 0, b"\0\0\7", 0, 0, 2, 0, dur)
+        + b"\0" * 8 + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0))
+    mdhd = _box(b"mdhd", struct.pack(
+        ">B3sIIIIHH", 0, b"\0\0\0", 0, 0, 1000, dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">B3sI4s", 0, b"\0\0\0", 0, b"soun")
+                + b"\0" * 12 + b"gx\0")
+    audio_trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+    # splice the audio trak at the END of moov (after the video trak)
+    size, tag = struct.unpack(">I4s", b[0:8])
+    ftyp_end = size
+    msize, mtag = struct.unpack(">I4s", b[ftyp_end:ftyp_end + 8])
+    assert mtag == b"moov"
+    moov_payload = b[ftyp_end + 8:ftyp_end + msize] + audio_trak
+    rebuilt = b[:ftyp_end] + _box(b"moov", moov_payload) + b[ftyp_end + msize:]
+    m = mp4_parse(rebuilt)
+    assert m["n_tracks"] == 2
+    assert (m["width"], m["height"]) == (640, 480)

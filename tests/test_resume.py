@@ -237,3 +237,25 @@ def test_manifest_legacy_migration_and_torn_tail(tmp_path):
         f.write('{"run_id": "r3", "snapshot_id": "snapA", "partiti')
     m3 = CheckpointManifest(p)
     assert m3.is_done("snapA", 0) and m3.is_done("snapA", 1)
+
+
+def test_manifest_skips_non_entry_json_lines(tmp_path):
+    """Valid-JSON lines that are not manifest entries (legacy '{}', a bare
+    scalar, a dict missing keys) are skipped like torn lines — the resume
+    must not crash on them and later entries still load."""
+    import json
+
+    from gx_spark.checkpoint import CheckpointManifest
+
+    p = str(tmp_path / "_m.jsonl")
+    good = {"run_id": "r", "snapshot_id": "snapA", "partition_id": 0,
+            "status": "done", "metrics_rows": 1, "updated_ts": 1}
+    with open(p, "w") as f:
+        f.write("{}\n")                     # legacy empty manifest line
+        f.write("42\n")                      # bare scalar
+        f.write('["snapshot_id", 3]\n')      # non-dict JSON
+        f.write('{"snapshot_id": "x"}\n')    # dict missing partition_id
+        f.write(json.dumps(good) + "\n")
+    m = CheckpointManifest(p)
+    assert m.is_done("snapA", 0)
+    assert len(m.entries) == 1
