@@ -1319,6 +1319,31 @@ def q_streaming_windowed_events(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_expectation_diagnostics(spark, sf_dir):
+    """Gallery self-check harness (gx_spark/diagnostics.py — the GE
+    run_diagnostics/examples machinery): run the example suites attached
+    to four built-in expectations through the REAL validate() path and
+    report per-type example pass counts.  The oracle pins the exact
+    expected table — any engine regression in the underlying expectations
+    (null denominator, set membership, bounds strictness, mean agg) or in
+    the harness itself breaks the hash."""
+    from gx_spark import run_diagnostics
+
+    rows = []
+    for name in ("expect_column_mean_to_be_between",
+                 "expect_column_values_to_be_between",
+                 "expect_column_values_to_be_in_set",
+                 "expect_column_values_to_not_be_null"):
+        r = run_diagnostics(spark, name)
+        rows.append((name, r["examples_run"], r["examples_passed"],
+                     bool(r["success"])))
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, examples_run int, examples_passed int, "
+        "success boolean",
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end exact training-data curation (ops.curation_pipeline):
     md5 dedup -> lang filter -> quality band -> surviving token budget,
@@ -1389,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
+        "expectation_diagnostics": q_expectation_diagnostics,
         # -- tier 2: previously hash-green, distinct heavy code paths --
         "row_count_lineitem": q_row_count_lineitem,
         "unique_orderkey_orders": q_unique_orderkey_orders,
@@ -1409,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "quality_documents": q_quality_documents,
         "lang_distribution_documents": q_lang_distribution_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "image_metadata_violations": q_image_metadata_violations,
         "image_png_violations": q_image_png_violations,
@@ -1421,9 +1446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "token_shards_documents": q_token_shards_documents,
+        # (positions 49-50: last two inside the window)
+        "fingerprint_documents": q_fingerprint_documents,
+        "not_null_orders_custkey": q_not_null_orders_custkey,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
         #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
-        "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
         "between_quantity": q_between_quantity,
@@ -1734,6 +1761,18 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS price_sum, "
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
+        ),
+        "expectation_diagnostics": (
+            # fixed expected table: the diagnostics harness re-derives
+            # these counts by EXECUTING each expectation's example suites
+            # through validate() — a regression anywhere under those four
+            # expectations flips a success flag and breaks the hash
+            "SELECT * FROM (VALUES "
+            "('expect_column_mean_to_be_between', 2, 2, true), "
+            "('expect_column_values_to_be_between', 2, 2, true), "
+            "('expect_column_values_to_be_in_set', 2, 2, true), "
+            "('expect_column_values_to_not_be_null', 2, 2, true)) "
+            "AS t(expectation_type, examples_run, examples_passed, success)"
         ),
         "curation_pipeline_documents": (
             "WITH d AS ("

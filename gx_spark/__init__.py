@@ -26,7 +26,8 @@ from .profile import (
     build_continuous_partition_object,
     suggest_suite,
 )
-from .registry import list_expectations, register_expectation
+from .diagnostics import run_diagnostics, run_diagnostics_all
+from .registry import list_expectations, load_plugins, register_expectation
 from .validator import SparkDFDataset, Validator
 
 __all__ = [
@@ -46,7 +47,10 @@ __all__ = [
     "ValidationRun",
     "validate",
     "list_expectations",
+    "load_plugins",
     "register_expectation",
+    "run_diagnostics",
+    "run_diagnostics_all",
 ]
 
 __version__ = "0.1.0"

@@ -133,6 +133,7 @@ class CheckpointRunner:
         tables: dict[str, DataFrame] | None = None,
         transform=None,
         extra_outputs: dict | None = None,
+        actions: list | None = None,
     ) -> None:
         """`transform` (DataFrame -> DataFrame, optional) is applied to each
         partition BEFORE validation — pass validate_and_extract_audio to
@@ -143,7 +144,10 @@ class CheckpointRunner:
         discipline.  With both set, the partition is persisted across the
         suite and every extra write, so an expensive transform (audio
         decode) runs once per partition per run — the resumable form of
-        the one-decode validate+curate pass."""
+        the one-decode validate+curate pass.  `actions` (optional list of
+        gx_spark.actions callables) fire after each validated partition
+        and at run end — notification is best-effort and never fails or
+        re-runs a partition."""
         self.spark = spark
         self.suite = suite
         self.provider = provider
@@ -154,6 +158,7 @@ class CheckpointRunner:
         self.tables = tables or {}
         self.transform = transform
         self.extra_outputs = extra_outputs or {}
+        self.actions = list(actions or [])
         os.makedirs(results_dir, exist_ok=True)
         self.manifest = CheckpointManifest(
             os.path.join(results_dir, "_checkpoint_manifest.json")
@@ -221,6 +226,27 @@ class CheckpointRunner:
             self.manifest.mark(snapshot, p.partition_id, "done", run_id, n_rows)
             validated.append(p.partition_id)
             done_count += 1
+            if self.actions:
+                from .actions import fire_actions
+
+                fire_actions(self.actions, {
+                    "event": "partition_validated",
+                    "run_id": run_id, "snapshot_id": snapshot,
+                    "partition_id": p.partition_id,
+                    "suite_name": self.suite.name,
+                    "success": bundle.success,
+                    "n_expectations": n_rows,
+                })
+        if self.actions:
+            from .actions import fire_actions
+
+            fire_actions(self.actions, {
+                "event": "run_end", "run_id": run_id,
+                "snapshot_id": snapshot, "suite_name": self.suite.name,
+                "success": all_success,
+                "validated_partitions": list(validated),
+                "skipped_partitions": list(skipped),
+            })
         return CheckpointResult(run_id, snapshot, validated, skipped, all_success)
 
     def results(self) -> DataFrame:

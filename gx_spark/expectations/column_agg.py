@@ -41,6 +41,19 @@ class _SimpleAgg(ColumnAggregateExpectation):
 class MeanBetween(_SimpleAgg):
     metric = "column.mean"
 
+    examples = [{
+        "data": {"v": [2.0, 4.0, 6.0]},
+        "schema": "v double",
+        "tests": [
+            {"title": "mean observed exactly",
+             "in": {"column": "v", "min_value": 3, "max_value": 5},
+             "out": {"success": True, "observed_value": 4.0}},
+            {"title": "out-of-band mean fails",
+             "in": {"column": "v", "min_value": 5, "max_value": 9},
+             "out": {"success": False, "observed_value": 4.0}},
+        ],
+    }]
+
     def agg_expr(self, dc, cfg, ctx):
         return F.avg(dc)
 

@@ -37,6 +37,19 @@ class NotBeNull(ColumnMapExpectation):
     metric_name = "column_values.nonnull"
     denominator = "all"
 
+    examples = [{
+        "data": {"a": [1, 2, None, 4]},
+        "schema": "a int",
+        "tests": [
+            {"title": "fails on a null",
+             "in": {"column": "a"},
+             "out": {"success": False, "unexpected_count": 1}},
+            {"title": "mostly tolerates it",
+             "in": {"column": "a", "mostly": 0.7},
+             "out": {"success": True, "unexpected_count": 1}},
+        ],
+    }]
+
     def unexpected_condition(self, cfg, ctx) -> Column:
         return F.col(cfg.kwargs["column"]).isNull()
 
@@ -81,6 +94,19 @@ def _dt_col(column: str) -> Column:
 class BeInSet(ColumnMapExpectation):
     metric_name = "column_values.in_set"
 
+    examples = [{
+        "data": {"c": ["A", "B", "C", None]},
+        "schema": "c string",
+        "tests": [
+            {"title": "subset passes (nulls excluded from denominator)",
+             "in": {"column": "c", "value_set": ["A", "B", "C"]},
+             "out": {"success": True, "unexpected_count": 0}},
+            {"title": "missing member fails",
+             "in": {"column": "c", "value_set": ["A", "B"]},
+             "out": {"success": False, "unexpected_count": 1}},
+        ],
+    }]
+
     def unexpected_condition(self, cfg, ctx) -> Column:
         vs = list(cfg.kwargs["value_set"])
         if not vs:  # empty set: everything is unexpected (GE semantics)
@@ -109,6 +135,20 @@ class NotBeInSet(ColumnMapExpectation):
 @register_expectation("expect_column_values_to_be_between")
 class BeBetween(ColumnMapExpectation):
     metric_name = "column_values.between"
+
+    examples = [{
+        "data": {"x": [1.0, 5.0, 10.0]},
+        "schema": "x double",
+        "tests": [
+            {"title": "closed bounds include endpoints",
+             "in": {"column": "x", "min_value": 1, "max_value": 10},
+             "out": {"success": True, "unexpected_count": 0}},
+            {"title": "strict_min excludes the endpoint",
+             "in": {"column": "x", "min_value": 1, "max_value": 10,
+                    "strict_min": True},
+             "out": {"success": False, "unexpected_count": 1}},
+        ],
+    }]
 
     def unexpected_condition(self, cfg, ctx) -> Column:
         k = cfg.kwargs

@@ -46,6 +46,18 @@ def main(argv: list[str] | None = None) -> int:
                          "to the flag form), and per-partition curation "
                          "features + dedup keys land in <results-dir>/"
                          "_features under the same resume manifest")
+    ap.add_argument("--plugins", default=None,
+                    help="comma-separated custom-expectation plugins: "
+                         "dotted module paths, .py files, or plugin "
+                         "directories — imported BEFORE the suite loads so "
+                         "suite JSON referencing custom expectation types "
+                         "resolves (plus any installed gx_spark.plugins "
+                         "entry points)")
+    ap.add_argument("--actions", default=None,
+                    help="comma-separated checkpoint actions fired after "
+                         "each validated partition and at run end: 'log', "
+                         "'noop', 'file:<path>' (JSONL), or "
+                         "'webhook:<url>'")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
                                  audio_suite)
     from gx_spark.table_provider import (IcebergLiteTableProvider,
                                          ParquetDirTableProvider)
+
+    if args.plugins:
+        from gx_spark.registry import load_plugins
+
+        load_plugins(args.plugins)
 
     if args.suite == "audio":
         suite = audio_flag_suite() if args.curate else audio_suite()
@@ -105,10 +122,13 @@ def main(argv: list[str] | None = None) -> int:
                 "zcr_per_sec", "silence_ratio", "spectral_centroid_hz",
                 "dominant_hz", "fp64")
         }
+    from gx_spark.actions import parse_actions
+
     runner = CheckpointRunner(
         spark, suite, provider,
         args.results_dir, options,
         transform=transform, extra_outputs=extra_outputs,
+        actions=parse_actions(args.actions),
     )
     res = runner.run(max_partitions=args.max_partitions)
     print(json.dumps({

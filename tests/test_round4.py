@@ -1,0 +1,180 @@
+"""Round-4 parity surfaces: plugin loading (GE plugins dir / contrib),
+the run_diagnostics self-check harness (GE gallery `examples`), and
+checkpoint notification actions (GE checkpoint/actions.py shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import (  # noqa: E402
+    EngineOptions,
+    ExpectationSuite,
+    list_expectations,
+    load_plugins,
+    run_diagnostics,
+    run_diagnostics_all,
+    validate,
+)
+
+PLUGIN_SRC = '''
+from pyspark.sql import functions as F
+
+from gx_spark.expectations.column_map import ColumnMapExpectation
+from gx_spark.registry import register_expectation
+
+
+@register_expectation("expect_column_values_to_be_even")
+class BeEven(ColumnMapExpectation):
+    """Custom plugin expectation: integer column values must be even."""
+
+    metric_name = "column_values.even"
+
+    examples = [{
+        "data": {"n": [2, 4, 5]},
+        "schema": "n int",
+        "tests": [{"title": "odd value fails",
+                   "in": {"column": "n"},
+                   "out": {"success": False, "unexpected_count": 1}}],
+    }]
+
+    def unexpected_condition(self, cfg, ctx):
+        return F.col(cfg.kwargs["column"]) % 2 != 0
+'''
+
+
+def test_load_plugins_file_dir_and_module(tmp_path, spark):
+    # plugin as a .py FILE
+    p = tmp_path / "even_plugin.py"
+    p.write_text(PLUGIN_SRC)
+    loaded = load_plugins(str(p))
+    assert loaded == ["gx_plugin_even_plugin"]
+    assert "expect_column_values_to_be_even" in list_expectations()
+    # a suite JSON referencing the custom type now validates
+    df = spark.createDataFrame([(2,), (3,), (4,)], "n int")
+    suite = ExpectationSuite.from_dict({
+        "name": "plug", "expectations": [
+            {"expectation_type": "expect_column_values_to_be_even",
+             "kwargs": {"column": "n"}}]})
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    evr = b.suite_result.results[0]
+    assert evr.success is False and evr.result["unexpected_count"] == 1
+    # plugin DIRECTORY: every top-level *.py imports (underscore skipped)
+    d = tmp_path / "plugdir"
+    d.mkdir()
+    (d / "again.py").write_text(PLUGIN_SRC.replace("be_even", "be_even2"))
+    (d / "_private.py").write_text("raise RuntimeError('must not import')")
+    assert load_plugins(str(d)) == ["gx_plugin_again"]
+    assert "expect_column_values_to_be_even2" in list_expectations()
+    # dotted MODULE path
+    assert load_plugins("gx_spark.expectations.table") == [
+        "gx_spark.expectations.table"]
+    # comma-separated CLI form + unknown module raises
+    with pytest.raises(ImportError):
+        load_plugins("definitely_not_a_module_xyz")
+
+
+def test_run_diagnostics_builtin_examples_pass(spark):
+    for name in ("expect_column_values_to_not_be_null",
+                 "expect_column_values_to_be_in_set",
+                 "expect_column_values_to_be_between",
+                 "expect_column_mean_to_be_between"):
+        rep = run_diagnostics(spark, name)
+        assert rep["success"], rep
+        assert rep["examples_run"] == 2 and rep["examples_passed"] == 2
+        checks = {c["check"] for c in rep["checklist"]}
+        assert {"registered", "plan protocol", "docstring",
+                "examples provided"} <= checks
+
+
+def test_run_diagnostics_catches_wrong_example(tmp_path, spark):
+    # author a plugin whose example EXPECTS the wrong outcome: the
+    # harness must flag the example test, not crash
+    p = tmp_path / "bad_plugin.py"
+    p.write_text(PLUGIN_SRC
+                 .replace("be_even", "be_even_bad")
+                 .replace('"success": False', '"success": True'))
+    load_plugins(str(p))
+    rep = run_diagnostics(spark, "expect_column_values_to_be_even_bad")
+    assert rep["success"] is False
+    assert rep["examples_run"] == 1 and rep["examples_passed"] == 0
+    bad = [c for c in rep["checklist"] if not c["passed"]]
+    assert any("success=" in c["details"] for c in bad)
+
+
+def test_run_diagnostics_unregistered_and_no_examples(spark):
+    rep = run_diagnostics(spark, "expect_totally_unknown")
+    assert rep["success"] is False
+    assert rep["checklist"][0] == {
+        "check": "registered", "passed": False, "details": "not in registry"}
+    # a real built-in without examples: healthy protocol, examples check fails
+    rep2 = run_diagnostics(spark, "expect_column_values_to_be_unique")
+    by = {c["check"]: c["passed"] for c in rep2["checklist"]}
+    assert by["registered"] and by["plan protocol"]
+    if not by.get("examples provided", False):
+        assert rep2["success"] is False
+
+
+def test_run_diagnostics_all_sweeps_registry(spark):
+    reports = run_diagnostics_all(spark)
+    names = [r["expectation_type"] for r in reports]
+    assert names == sorted(names) and len(names) >= 60
+    covered = [r for r in reports if r["examples_run"] > 0]
+    assert len(covered) >= 4
+    assert all(r["success"] for r in covered
+               if r["expectation_type"].endswith(("not_be_null", "be_in_set",
+                                                  "be_between")))
+
+
+def test_checkpoint_actions_fire_and_isolate(tmp_path, spark):
+    from gx_spark.actions import (FileAction, LogAction, NoOpAction,
+                                  SlackNotificationAction, parse_actions)
+    from gx_spark.checkpoint import CheckpointRunner
+    from gx_spark.table_provider import ParquetDirTableProvider
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)],
+        "clip_id int, part_id int, v double").write.partitionBy(
+        "part_id").parquet(src)
+    suite = ExpectationSuite("a").add(
+        "expect_column_values_to_not_be_null", column="v")
+    notif = str(tmp_path / "notify.jsonl")
+
+    class Boom:
+        def __call__(self, payload):
+            raise RuntimeError("transport down")
+
+    runner = CheckpointRunner(
+        spark, suite, ParquetDirTableProvider(src, "part_id"),
+        str(tmp_path / "out"),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+        actions=[Boom(), FileAction(notif), LogAction(), NoOpAction()])
+    res = runner.run()
+    assert res.all_success and len(res.validated_partitions) == 4
+    lines = [json.loads(ln) for ln in open(notif)]
+    events = [ln["event"] for ln in lines]
+    assert events.count("partition_validated") == 4
+    assert events[-1] == "run_end"
+    assert all(ln["success"] for ln in lines)
+    assert sorted(lines[-1]["validated_partitions"]) == [0, 1, 2, 3]
+    # slack action formats + respects notify_on filter (no network: the
+    # urlopen failure is swallowed by design)
+    s = SlackNotificationAction("http://127.0.0.1:1/hook",
+                                notify_on="failure", timeout_s=0.2)
+    s({"event": "run_end", "success": True})   # filtered: no POST attempt
+    body = s.format_body({"event": "run_end", "success": False,
+                          "suite_name": "a", "run_id": "r",
+                          "snapshot_id": "s"})
+    assert b":x:" in body and b"FAILED" in body
+    # CLI spec parser
+    acts = parse_actions(f"log,noop,file:{notif},webhook:http://x/h")
+    assert len(acts) == 4
+    with pytest.raises(ValueError):
+        parse_actions("smoke-signals")
