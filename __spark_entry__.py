@@ -749,6 +749,48 @@ def q_video_mp4_container_violations(spark, sf_dir):
     )
 
 
+def q_video_h264_sps_violations(spark, sf_dir):
+    """Bare-H.264 Annex-B BITSTREAM validation (gx_spark/h264.py — real
+    exp-Golomb SPS mux/parse with VUI timing; slice macroblock data stays
+    opaque): videos synthesized from documents.doc_id with four
+    deterministic corruption classes — SPS dims lie vs the metadata
+    columns (doc_id%10==7), truncated stream (==9), wrong coded frame
+    count so the bitstream duration lies (==5), non-AVC junk (==1).  The
+    video metadata expectation must flag exactly those classes; the
+    oracle recomputes the counts from the corruption arithmetic."""
+    from gx_spark.h264 import annexb_encode
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    rows = []
+    for i in ids:
+        vid = f"h264_{i}"
+        nf, fps, w, h = 48, 24.0, 320, 180
+        enc_nf = nf * 2 if i % 10 == 5 else nf
+        enc_w = w // 2 if i % 10 == 7 else w
+        b = annexb_encode(vid, enc_nf, fps, enc_w, h)
+        if i % 10 == 9:
+            b = b[:20]  # cuts the SPS mid-field
+        if i % 10 == 1:
+            b = b"JUNK" + vid.encode()
+        rows.append((i, vid, bytearray(b), nf, fps, w, h, "h264"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, vid_id string, bytes binary, n_frames int, "
+        "fps double, width int, height int, format string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("video_h264")
+        .add("expect_video_metadata_to_be_consistent"),
+    )
+    return _row(
+        spark,
+        "element_count long, meta_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"]],
+    )
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1415,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
         "expectation_diagnostics": q_expectation_diagnostics,
+        "video_h264_sps_violations": q_video_h264_sps_violations,
         # -- tier 2: previously hash-green, distinct heavy code paths --
         "row_count_lineitem": q_row_count_lineitem,
         "unique_orderkey_orders": q_unique_orderkey_orders,
@@ -1446,11 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "token_shards_documents": q_token_shards_documents,
-        # (positions 49-50: last two inside the window)
+        # (position 50: last one inside the window)
         "fingerprint_documents": q_fingerprint_documents,
-        "not_null_orders_custkey": q_not_null_orders_custkey,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
         #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
+        "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
         "between_quantity": q_between_quantity,
@@ -1683,6 +1726,14 @@ def oracle_sql() -> dict[str, str]:
             "0::BIGINT AS snr_unexpected FROM d"
         ),
         "video_mp4_container_violations": (
+            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "SELECT count(*)::BIGINT AS element_count, "
+            "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
+            "::BIGINT AS meta_unexpected FROM d"
+        ),
+        "video_h264_sps_violations": (
+            # same corruption arithmetic as the mp4 query: classes 1/5/7/9
+            # (junk, frame-count lie, SPS-dims lie, truncation) violate
             "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"

@@ -124,10 +124,11 @@ class VideoMetadataConsistent(ColumnMapExpectation):
     """Unexpected when the video payload's CONTAINER contradicts its
     metadata columns: MP4 rows get a real ISO-BMFF demux (box structure,
     mvhd duration vs n_frames/fps, tkhd dims vs width/height —
-    gx_spark/isobmff.py; the AVC bitstream stays un-decoded, same stance
-    as the Opus packets); gxraw_frames rows get exact frame-count and
-    header-dimension checks.  Unverifiable formats (bare h264) are
-    excluded from the check, not blindly passed."""
+    gx_spark/isobmff.py); bare 'h264' rows get real Annex-B bitstream
+    validation (gx_spark/h264.py: exp-Golomb SPS dims, VUI frame rate,
+    VCL frame count — only the slice macroblock data stays un-decoded);
+    gxraw_frames rows get exact frame-count and header-dimension checks.
+    Unknown formats are excluded from the check, not blindly passed."""
 
     metric_name = "video.metadata_consistent"
     count_via_violations = True

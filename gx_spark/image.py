@@ -279,9 +279,13 @@ def compute_video_flags_row(
       The AVC bitstream inside mdat stays un-decoded (no codec libs).
     - 'gxraw_frames': payload must be exactly n_frames concatenated
       gxraw frames whose header dims match the metadata columns.
-    - anything else (bare 'h264' Annex-B, unknown labels): decodable is
-      None — unverifiable without codec libs, excluded from the check
-      (same stance as jpeg in compute_image_flags_row)."""
+    - 'h264': bare Annex-B bitstream validation (gx_spark/h264.py) —
+      start-code walk, full exp-Golomb SPS parse, SPS dims vs
+      width/height, VUI frame rate vs fps, VCL NAL count vs n_frames.
+      Only the slice macroblock data stays un-decoded.
+    - anything else (unknown labels): decodable is None — unverifiable,
+      excluded from the check (same stance as jpeg in
+      compute_image_flags_row)."""
     out = {"decodable": False, "dur_ok": None, "dims_ok": None,
            "container_dur_ms": None, "container_w": None, "container_h": None}
     if b is None:
@@ -301,6 +305,26 @@ def compute_video_flags_row(
             expected_ms = n_frames * 1000.0 / fps
             tol = max(1000.0 / fps, 0.02 * expected_ms)
             out["dur_ok"] = abs(m["dur_ms"] - expected_ms) <= tol
+        else:
+            out["dur_ok"] = False
+        return out
+    if fmt == "h264":
+        from .h264 import annexb_parse
+
+        try:
+            m = annexb_parse(bytes(b))
+        except ValueError:
+            return out
+        out["decodable"] = True
+        out["container_w"], out["container_h"] = m["width"], m["height"]
+        out["dims_ok"] = m["width"] == width and m["height"] == height
+        if m["fps"] and fps and fps > 0 and n_frames:
+            # bitstream duration (VCL count / VUI fps) vs metadata duration
+            bs_ms = m["n_frames"] * 1000.0 / m["fps"]
+            meta_ms = n_frames * 1000.0 / fps
+            out["container_dur_ms"] = int(round(bs_ms))
+            tol = max(1000.0 / fps, 0.02 * meta_ms)
+            out["dur_ok"] = abs(bs_ms - meta_ms) <= tol
         else:
             out["dur_ok"] = False
         return out

@@ -234,3 +234,65 @@ def test_mp4_dims_come_from_video_track():
     m = mp4_parse(rebuilt)
     assert m["n_tracks"] == 2
     assert (m["width"], m["height"]) == (640, 480)
+
+
+def test_h264_sps_roundtrip_property():
+    """Property: any (dims, fps, n_frames) muxes to an Annex-B stream
+    whose SPS parse returns the written dims exactly, the VUI frame rate
+    to float tolerance, and the VCL count == n_frames — including
+    non-multiple-of-16 dims through the frame-cropping syntax."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gx_spark.h264 import annexb_encode, annexb_parse
+
+    @settings(max_examples=80, deadline=None)
+    @given(nf=st.integers(1, 300),
+           fps=st.sampled_from([10.0, 12.5, 23.976, 24.0, 25.0, 29.97,
+                                30.0, 60.0]),
+           w=st.integers(1, 1920).map(lambda v: v * 2),
+           h=st.integers(1, 1080).map(lambda v: v * 2),
+           tag=st.integers(0, 10**6))
+    def prop(nf, fps, w, h, tag):
+        b = annexb_encode(f"vid_{tag:07d}", nf, fps, w, h)
+        m = annexb_parse(b)
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, nf)
+        assert abs(m["fps"] - fps) < 0.01
+        assert m["profile_idc"] == 66
+
+    prop()
+
+
+def test_h264_rejects_corruption():
+    import pytest
+
+    from gx_spark.h264 import annexb_encode, annexb_parse, sps_parse
+
+    b = annexb_encode("v", 10, 30.0, 640, 360)
+    assert annexb_parse(b)["n_frames"] == 10
+    with pytest.raises(ValueError):  # no start code at byte 0
+        annexb_parse(b"\x42" + b)
+    with pytest.raises(ValueError):  # SPS truncated mid-field
+        annexb_parse(b[:10])
+    with pytest.raises(ValueError):  # VCL NAL before any SPS
+        annexb_parse(b"\x00\x00\x00\x01\x65\x10\x20")
+    with pytest.raises(ValueError):  # forbidden_zero_bit
+        annexb_parse(b"\x00\x00\x00\x01\xe7" + b[5:])
+    with pytest.raises(ValueError):  # not an SPS NAL
+        sps_parse(b"\x68\x00")
+
+
+def test_h264_three_byte_start_codes_and_unescape():
+    """3-byte start codes parse too, and emulation-prevention unescape is
+    exercised: dims whose exp-golomb encoding forces 00 00 0x patterns
+    still round-trip."""
+    from gx_spark.h264 import (_escape_rbsp, _unescape_rbsp, annexb_encode,
+                               annexb_parse)
+
+    raw = b"\x00\x00\x00\x00\x01\x00\x00\x02\x00\x00\x03abc"
+    assert _unescape_rbsp(_escape_rbsp(raw)) == raw
+    b4 = annexb_encode("v3", 3, 24.0, 320, 240)
+    # rewrite all 4-byte start codes as 3-byte form
+    b3 = b4.replace(b"\x00\x00\x00\x01", b"\x00\x00\x01")
+    m = annexb_parse(b3)
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 240, 3)

@@ -251,6 +251,7 @@ def test_mp4_container_roundtrip_and_rejection():
 
 def test_video_metadata_expectation(spark):
     from gx_spark.executor import validate
+    from gx_spark.h264 import annexb_encode as h264_encode
     from gx_spark.isobmff import mp4_encode
     from gx_spark.model import EngineOptions, ExpectationSuite
 
@@ -272,9 +273,18 @@ def test_video_metadata_expectation(spark):
         ("v_raw", bytearray(b"".join(frames)), 10, 10.0, 8, 8, "gxraw_frames"),
         # frame-count lie
         ("v_rawn", bytearray(b"".join(frames)), 12, 10.0, 8, 8, "gxraw_frames"),
-        # bare h264: unverifiable -> excluded (no violation)
-        ("v_h264", bytearray(b"\x00\x00\x00\x01\x67deadbeef"),
+        # bare h264 is now bitstream-validated (gx_spark/h264.py):
+        # consistent stream passes...
+        ("v_h264", bytearray(h264_encode("v_h264", 100, 25.0, 64, 48)),
          100, 25.0, 64, 48, "h264"),
+        # ...SPS-dims lie violates...
+        ("v_h264dim", bytearray(h264_encode("v_h264dim", 100, 25.0, 32, 32)),
+         100, 25.0, 64, 48, "h264"),
+        # ...garbage that was formerly 'excluded' now violates
+        ("v_h264junk", bytearray(b"\x00\x00\x00\x01\x67deadbeef"),
+         100, 25.0, 64, 48, "h264"),
+        # genuinely unknown labels stay excluded (no violation)
+        ("v_unknown", bytearray(b"????"), 100, 25.0, 64, 48, "vp9"),
     ]
     df = spark.createDataFrame(
         rows,
@@ -289,4 +299,5 @@ def test_video_metadata_expectation(spark):
     )
     viol = {r["vid_id"] for r in bundle.violations_table().collect()}
     bundle.unpersist()
-    assert viol == {"v_dur", "v_dim", "v_trunc", "v_rawn"}, viol
+    assert viol == {"v_dur", "v_dim", "v_trunc", "v_rawn", "v_h264dim",
+                    "v_h264junk"}, viol
