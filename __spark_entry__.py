@@ -662,8 +662,9 @@ def q_audio_flac_violations(spark, sf_dir):
 
 
 def q_audio_opus_container_violations(spark, sf_dir):
-    """Ogg-Opus CONTAINER validation path (gx_spark/oggopus.py — real
-    RFC 3533/7845 mux/demux, packet decode stubbed): clips synthesized
+    """Ogg-Opus validation path (gx_spark/oggopus.py — real RFC 3533/7845
+    container mux/demux + RFC 6716 §3 packet-framing validation; only the
+    CELT/SILK frame contents stay opaque): clips synthesized
     from documents.doc_id with four deterministic container corruption
     classes — OpusHead input-rate lie (doc_id%10==7), truncated container
     → page CRC/parse failure (==9), granule duration inconsistent with

@@ -296,3 +296,77 @@ def test_h264_three_byte_start_codes_and_unescape():
     b3 = b4.replace(b"\x00\x00\x00\x01", b"\x00\x00\x01")
     m = annexb_parse(b3)
     assert (m["width"], m["height"], m["n_frames"]) == (320, 240, 3)
+
+
+def test_opus_packet_framing():
+    """RFC 6716 §3 framing: all four frame-count codes round-trip and the
+    R1-R7 malformed rules raise."""
+    import pytest
+
+    from gx_spark.oggopus import opus_packet_encode, opus_packet_parse
+
+    # code 0, CELT FB 20 ms mono (config 31)
+    p = opus_packet_parse(opus_packet_encode(b"x" * 39))
+    assert p == {"mode": "celt", "bandwidth": "fb", "frame_ms": 20.0,
+                 "stereo": False, "n_frames": 1, "dur_ms": 20.0}
+    # SILK WB 60 ms stereo (config 11), code 0
+    p = opus_packet_parse(bytes([(11 << 3) | 0x4]) + b"y" * 10)
+    assert (p["mode"], p["bandwidth"], p["frame_ms"],
+            p["stereo"]) == ("silk", "wb", 60.0, True)
+    # code 1: two equal CELT 10 ms frames (config 30) = 20 ms
+    assert opus_packet_parse(
+        bytes([(30 << 3) | 1]) + b"z" * 8)["dur_ms"] == 20.0
+    with pytest.raises(ValueError):  # odd payload (R3)
+        opus_packet_parse(bytes([(30 << 3) | 1]) + b"z" * 7)
+    # code 2: explicit first-frame length
+    p = opus_packet_parse(bytes([(30 << 3) | 2, 3]) + b"abc" + b"defg")
+    assert p["n_frames"] == 2 and p["dur_ms"] == 20.0
+    with pytest.raises(ValueError):  # first frame overruns (R4)
+        opus_packet_parse(bytes([(30 << 3) | 2, 10]) + b"abc")
+    # code 3 CBR: 4 x 10 ms frames with padding
+    body = bytes([0x40 | 4, 2]) + b"ppQQRRSSTT"  # pad flag, pad len 2
+    p = opus_packet_parse(bytes([(30 << 3) | 3]) + body)
+    assert p["n_frames"] == 4 and p["dur_ms"] == 40.0
+    # code 3 VBR: 2 frames, first length 1
+    p = opus_packet_parse(bytes([(30 << 3) | 3, 0x80 | 2, 1]) + b"AZZ")
+    assert p["n_frames"] == 2
+    with pytest.raises(ValueError):  # zero frames (R5)
+        opus_packet_parse(bytes([(30 << 3) | 3, 0x80]))
+    with pytest.raises(ValueError):  # > 120 ms total (R5)
+        opus_packet_parse(bytes([(11 << 3) | 3, 3]) + b"xxxxxx")
+    with pytest.raises(ValueError):  # empty packet (R1)
+        opus_packet_parse(b"")
+
+
+def test_oggopus_packet_layer_in_parse():
+    """ogg_opus_parse now validates every packet's framing and reports
+    the TOC packet clock + channel count."""
+    import struct
+
+    import pytest
+
+    from gx_spark.oggopus import ogg_opus_encode, ogg_opus_parse
+
+    b = ogg_opus_encode("pk", 16000, 400)
+    m = ogg_opus_parse(b)
+    assert m["n_packets"] == 20 and m["packet_dur_ms"] == 400.0
+    assert m["channels"] == 1 and m["dur_ms"] == 400
+    # corrupt one packet's TOC into a stereo flag: mono stream must reject
+    # (find the first audio page body and flip bit 2 of its first byte)
+    import re
+
+    pages = [mo.start() for mo in re.finditer(b"OggS", b)]
+    page3 = pages[2]
+    n_seg = b[page3 + 26]
+    body_at = page3 + 27 + n_seg
+    bad = bytearray(b)
+    bad[body_at] |= 0x4
+    # CRC now mismatches -> recompute it so ONLY the packet check fires
+    from gx_spark.oggopus import ogg_crc
+
+    page_end = pages[3] if len(pages) > 3 else len(bad)
+    page = bytearray(bad[page3:page_end])
+    page[22:26] = b"\0\0\0\0"
+    struct.pack_into("<I", bad, page3 + 22, ogg_crc(bytes(page)))
+    with pytest.raises(ValueError, match="stereo packet"):
+        ogg_opus_parse(bytes(bad))
