@@ -39,6 +39,114 @@ from .model import EngineOptions, ExpectationSuite
 from .registry import _REGISTRY, get_expectation
 
 
+# Central gallery for built-ins (GE keeps examples on each class; four
+# classes carry them as the authoring pattern, the rest live here so the
+# handler files stay lean).  Handler-attached `examples` win.
+GALLERY_EXAMPLES: dict[str, list[dict]] = {
+    "expect_column_values_to_be_null": [{
+        "data": {"a": [None, None, 3]}, "schema": "a int",
+        "tests": [{"title": "non-null fails", "in": {"column": "a"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_not_be_in_set": [{
+        "data": {"c": ["A", "B"]}, "schema": "c string",
+        "tests": [{"title": "forbidden member flagged",
+                   "in": {"column": "c", "value_set": ["B"]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_match_regex": [{
+        "data": {"s": ["ab1", "ab2", "xx"]}, "schema": "s string",
+        "tests": [{"title": "one mismatch",
+                   "in": {"column": "s", "regex": "^ab\\d$"},
+                   "out": {"success": False, "unexpected_count": 1}},
+                  {"title": "mostly passes",
+                   "in": {"column": "s", "regex": "^ab\\d$", "mostly": 0.6},
+                   "out": {"success": True}}]}],
+    "expect_column_values_to_not_match_regex": [{
+        "data": {"s": ["ok", "bad7"]}, "schema": "s string",
+        "tests": [{"title": "digit suffix flagged",
+                   "in": {"column": "s", "regex": "\\d"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_value_lengths_to_be_between": [{
+        "data": {"s": ["a", "abcd", "abcdefgh"]}, "schema": "s string",
+        "tests": [{"title": "bounds inclusive",
+                   "in": {"column": "s", "min_value": 1, "max_value": 8},
+                   "out": {"success": True, "unexpected_count": 0}},
+                  {"title": "short value flagged",
+                   "in": {"column": "s", "min_value": 2, "max_value": 8},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_value_lengths_to_equal": [{
+        "data": {"s": ["ab", "cd", "xyz"]}, "schema": "s string",
+        "tests": [{"title": "one wrong length",
+                   "in": {"column": "s", "value": 2},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_be_json_parseable": [{
+        "data": {"j": ['{"a": 1}', "[2, 3]", "{nope"]},
+        "schema": "j string",
+        "tests": [{"title": "malformed json flagged",
+                   "in": {"column": "j"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_be_unique": [{
+        "data": {"k": [1, 2, 2, 3]}, "schema": "k int",
+        "tests": [{"title": "both members of a dup group count",
+                   "in": {"column": "k"},
+                   "out": {"success": False, "unexpected_count": 2}}]}],
+    "expect_column_median_to_be_between": [{
+        "data": {"v": [1.0, 2.0, 9.0]}, "schema": "v double",
+        "tests": [{"title": "median observed",
+                   "in": {"column": "v", "min_value": 2, "max_value": 2},
+                   "out": {"success": True, "observed_value": 2.0}}]}],
+    "expect_column_stdev_to_be_between": [{
+        "data": {"v": [2.0, 4.0, 6.0]}, "schema": "v double",
+        "tests": [{"title": "sample stdev (ddof=1) observed",
+                   "in": {"column": "v", "min_value": 1.9, "max_value": 2.1},
+                   "out": {"success": True, "observed_value": 2.0}}]}],
+    "expect_column_min_to_be_between": [{
+        "data": {"v": [5.0, 7.0]}, "schema": "v double",
+        "tests": [{"title": "min observed",
+                   "in": {"column": "v", "min_value": 4, "max_value": 6},
+                   "out": {"success": True, "observed_value": 5.0}}]}],
+    "expect_column_max_to_be_between": [{
+        "data": {"v": [5.0, 7.0]}, "schema": "v double",
+        "tests": [{"title": "out-of-band max fails",
+                   "in": {"column": "v", "min_value": 1, "max_value": 6},
+                   "out": {"success": False, "observed_value": 7.0}}]}],
+    "expect_column_sum_to_be_between": [{
+        "data": {"v": [1, 2, 3]}, "schema": "v int",
+        "tests": [{"title": "sum observed",
+                   "in": {"column": "v", "min_value": 6, "max_value": 6},
+                   "out": {"success": True, "observed_value": 6.0}}]}],
+    "expect_column_unique_value_count_to_be_between": [{
+        "data": {"c": ["x", "x", "y", None]}, "schema": "c string",
+        "tests": [{"title": "nulls excluded from distinct count",
+                   "in": {"column": "c", "min_value": 2, "max_value": 2},
+                   "out": {"success": True, "observed_value": 2}}]}],
+    "expect_column_distinct_values_to_contain_set": [{
+        "data": {"c": ["x", "y", "z"]}, "schema": "c string",
+        "tests": [{"title": "missing required member fails",
+                   "in": {"column": "c", "value_set": ["x", "w"]},
+                   "out": {"success": False}}]}],
+    "expect_table_row_count_to_be_between": [{
+        "data": {"a": [1, 2, 3]}, "schema": "a int",
+        "tests": [{"title": "count observed",
+                   "in": {"min_value": 3, "max_value": 3},
+                   "out": {"success": True, "observed_value": 3}}]}],
+    "expect_table_row_count_to_equal": [{
+        "data": {"a": [1, 2, 3]}, "schema": "a int",
+        "tests": [{"title": "wrong expected count fails",
+                   "in": {"value": 4},
+                   "out": {"success": False, "observed_value": 3}}]}],
+    "expect_column_pair_values_a_to_be_greater_than_b": [{
+        "data": {"a": [5, 1], "b": [2, 4]}, "schema": "a int, b int",
+        "tests": [{"title": "one inverted pair",
+                   "in": {"column_A": "a", "column_B": "b"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_multicolumn_sum_to_equal": [{
+        "data": {"a": [4, 2], "b": [6, 7]}, "schema": "a int, b int",
+        "tests": [{"title": "one row off-total",
+                   "in": {"column_list": ["a", "b"], "sum_total": 10},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+}
+
+
 def _build_df(spark: SparkSession, data: dict, schema: str | None):
     cols = list(data)
     n = max((len(v) for v in data.values()), default=0)
@@ -80,7 +188,8 @@ def run_diagnostics(spark: SparkSession, expectation_type: str) -> dict:
         # protocol class (ColumnMapExpectation etc.) counts as documented
         doc = (inspect.getdoc(type(handler)) or "").strip()
         checklist.append(_check("docstring", bool(doc)))
-    examples = list(getattr(handler, "examples", None) or [])
+    examples = list(getattr(handler, "examples", None)
+                    or GALLERY_EXAMPLES.get(expectation_type) or [])
     checklist.append(_check(
         "examples provided", bool(examples),
         "" if examples else "attach `examples` to the handler class"))

@@ -17,6 +17,9 @@ def _evr(cfg, success, observed, rf):
 
 @register_expectation("expect_table_row_count_to_be_between")
 class RowCountBetween:
+    """Table row count within [min_value, max_value] (strict variants,
+    open-ended bounds; row_condition narrows the counted domain)."""
+
     def plan(self, ctx, cfg, index):
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         ref = ctx.element_count(dk, dom)
@@ -34,6 +37,9 @@ class RowCountBetween:
 
 @register_expectation("expect_table_row_count_to_equal")
 class RowCountEqual:
+    """Table row count equals `value` exactly (row_condition narrows the
+    counted domain)."""
+
     def plan(self, ctx, cfg, index):
         dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
         ref = ctx.element_count(dk, dom)
