@@ -31,20 +31,23 @@ IMAGE_DIR = os.path.join(REPO, "build", "images", f"n{IMAGE_N}")
 
 
 VIDEO_N = int(os.environ.get("GX_BENCH_VIDEO_N", "20000"))
-VIDEO_DIR = os.path.join(REPO, "build", "videos", f"n{VIDEO_N}")
+# v2: mix includes bare-h264 Annex-B rows (gx_spark/h264.py)
+VIDEO_DIR = os.path.join(REPO, "build", "videos", f"n{VIDEO_N}_v2")
 
 
 def ensure_video_table() -> str:
     """20k videos, mixed containers — 1/3 gxraw_frames (5 concatenated
-    16x16 frames), 2/3 real MP4/ISO-BMFF (opaque AVC payload) — with the
-    deterministic corruption pattern: i%10==7 container dims contradict
-    metadata, i%10==9 truncated payload."""
+    16x16 frames), 1/3 real MP4/ISO-BMFF (opaque AVC payload), 1/3 bare
+    H.264 Annex-B (real exp-Golomb SPS + VUI timing, opaque slice data) —
+    with the deterministic corruption pattern: i%10==7 container/SPS dims
+    contradict metadata, i%10==9 truncated payload."""
     path = os.path.join(VIDEO_DIR, "videos.parquet")
     if os.path.exists(path):
         return path
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from gx_spark.h264 import annexb_encode
     from gx_spark.image import raw_encode, synth_image
     from gx_spark.isobmff import mp4_encode
 
@@ -60,9 +63,12 @@ def ensure_video_table() -> str:
             fmt = "gxraw_frames"
             b = b"".join(raw_encode(synth_image(f"{vid}f{j}", enc_w, h))
                          for j in range(nf))
-        else:
+        elif i % 3 == 1:
             fmt = "mp4"
             b = mp4_encode(vid, nf, fps, enc_w, h)
+        else:
+            fmt = "h264"
+            b = annexb_encode(vid, nf, fps, enc_w, h)
         if i % 10 == 9:
             b = b[: len(b) // 3]
         cols["vid_id"].append(vid)
@@ -394,8 +400,9 @@ def main() -> None:
 
     @bench("video_suite")
     def _():
-        # container-level video validation (real ISO-BMFF demux for mp4
-        # rows, frame arithmetic for gxraw_frames) + the frame-sampling op
+        # video validation: real ISO-BMFF demux for mp4 rows, real Annex-B
+        # SPS/VUI bitstream parse for h264 rows, frame arithmetic for
+        # gxraw_frames + the frame-sampling op
         from gx_spark.image import sample_video_frames
 
         vid_df = spark.read.parquet(ensure_video_table()).repartition(int(cpus))
