@@ -48,6 +48,7 @@ def validate_stream(
     trigger_available_now: bool = True,
     transform=None,
     extra_outputs: dict | None = None,
+    actions: list | None = None,
 ):
     """Attach suite validation to a streaming DataFrame via foreachBatch.
 
@@ -60,7 +61,10 @@ def validate_stream(
     the suite checks flag columns) and each extra table gets an appended
     per-batch slice from the SAME transformed DataFrame — persisted across
     the suite and the writes, so an expensive transform (audio decode)
-    runs once per micro-batch."""
+    runs once per micro-batch.  `actions` (gx_spark.actions callables)
+    fire after each validated micro-batch (event="batch_validated"),
+    best-effort — a replayed batch may re-notify, which matches GE's
+    at-least-once action semantics."""
     os.makedirs(results_dir, exist_ok=True)
     run_id = uuid.uuid4().hex[:12]
     spark = stream_df.sparkSession
@@ -96,9 +100,18 @@ def validate_stream(
         for name, fn in extras.items():
             fn(tdf).write.mode("overwrite").parquet(
                 os.path.join(results_dir, name, sub))
+        success = bundle.success
         bundle.unpersist()
         if persisted is not None:
             persisted.unpersist()
+        if actions:
+            from .actions import fire_actions
+
+            fire_actions(actions, {
+                "event": "batch_validated", "run_id": run_id,
+                "batch_id": int(batch_id), "suite_name": suite.name,
+                "success": success,
+            })
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_location:

@@ -183,3 +183,31 @@ def test_checkpoint_actions_fire_and_isolate(tmp_path, spark):
     assert len(acts) == 4
     with pytest.raises(ValueError):
         parse_actions("smoke-signals")
+
+
+def test_validate_stream_fires_actions(tmp_path, spark):
+    from gx_spark.actions import FileAction
+    from gx_spark.streaming import validate_stream
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(30)],
+        "clip_id int, v double").repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("clip_id int, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    notif = str(tmp_path / "stream_notify.jsonl")
+    q = validate_stream(
+        stream,
+        ExpectationSuite("s").add(
+            "expect_column_values_to_not_be_null", column="v"),
+        str(tmp_path / "out"),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+        checkpoint_location=str(tmp_path / "chk"),
+        actions=[FileAction(notif)])
+    q.awaitTermination(300)
+    lines = [json.loads(ln) for ln in open(notif)]
+    assert len(lines) >= 3
+    assert all(ln["event"] == "batch_validated" and ln["success"]
+               for ln in lines)
+    assert sorted({ln["batch_id"] for ln in lines}) == list(
+        range(len({ln["batch_id"] for ln in lines})))
