@@ -370,3 +370,62 @@ def test_oggopus_packet_layer_in_parse():
     struct.pack_into("<I", bad, page3 + 22, ogg_crc(bytes(page)))
     with pytest.raises(ValueError, match="stereo packet"):
         ogg_opus_parse(bytes(bad))
+
+
+def test_opus_packet_framing_property():
+    """Property: synthesize arbitrary VALID packets of every frame-count
+    code and assert the parser recovers config/frames/duration exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gx_spark.oggopus import _OPUS_CONFIGS, opus_packet_parse
+
+    def build(config, stereo, code, frames, pad):
+        toc = (config << 3) | (0x4 if stereo else 0) | code
+        if code == 0:
+            return bytes([toc]) + frames[0]
+        if code == 1:
+            return bytes([toc]) + frames[0] + frames[0]
+        if code == 2:
+            ln = len(frames[0])
+            lb = bytes([ln]) if ln < 252 else bytes(
+                [252 + (ln - 252) % 4, (ln - 252) // 4 + 63])
+            # keep it simple: restrict to one-byte lengths in the strategy
+            return bytes([toc]) + bytes([ln]) + frames[0] + frames[1]
+        # code 3 VBR with optional padding
+        fc = 0x80 | (0x40 if pad else 0) | len(frames)
+        out = bytearray([toc, fc])
+        if pad:
+            out.append(2)  # 2 padding bytes
+        for f in frames[:-1]:
+            assert len(f) < 252
+            out.append(len(f))
+        for f in frames:
+            out += f
+        if pad:
+            out += b"\0\0"
+        return bytes(out)
+
+    frame = st.binary(min_size=0, max_size=60)
+
+    @settings(max_examples=120, deadline=None)
+    @given(config=st.integers(0, 31), stereo=st.booleans(),
+           code=st.integers(0, 3),
+           frames=st.lists(frame, min_size=1, max_size=4),
+           pad=st.booleans())
+    def prop(config, stereo, code, frames, pad):
+        mode, bw, fms = _OPUS_CONFIGS[config]
+        if code in (0, 1):
+            frames = frames[:1]
+        elif code == 2:
+            frames = (frames + [b""])[:2]
+        n = {0: 1, 1: 2, 2: 2, 3: len(frames)}[code]
+        if fms * n > 120.0:
+            return  # R5 would reject — not a valid packet
+        pkt = build(config, stereo, code, frames, pad)
+        p = opus_packet_parse(pkt)
+        assert (p["mode"], p["bandwidth"], p["frame_ms"]) == (mode, bw, fms)
+        assert p["stereo"] == stereo and p["n_frames"] == n
+        assert p["dur_ms"] == fms * n
+
+    prop()
