@@ -665,13 +665,16 @@ def q_audio_opus_container_violations(spark, sf_dir):
     """Ogg-Opus validation path (gx_spark/oggopus.py — real RFC 3533/7845
     container mux/demux + RFC 6716 §3 packet-framing validation; only the
     CELT/SILK frame contents stay opaque): clips synthesized
-    from documents.doc_id with four deterministic container corruption
-    classes — OpusHead input-rate lie (doc_id%10==7), truncated container
-    → page CRC/parse failure (==9), granule duration inconsistent with
-    dur_ms (==5), opaque non-Ogg bytes (==1).  The metadata expectation
-    must flag exactly those classes; SNR flags nothing (snr_db is null
-    for opus — packet decode is out of scope in-sandbox, and the engine
-    certifies only what it can verify)."""
+    from documents.doc_id with five deterministic corruption classes —
+    OpusHead input-rate lie (doc_id%10==7), truncated container → page
+    CRC/parse failure (==9), granule duration inconsistent with dur_ms
+    (==5), opaque non-Ogg bytes (==1), and a PACKET-level framing
+    corruption with pages/CRCs fully intact — a code-3 TOC declaring
+    zero frames, rule R5 — that only the RFC 6716 packet layer can catch
+    (==3).  The metadata expectation must flag exactly those classes;
+    SNR flags nothing (snr_db is null for opus — the CELT/SILK frame
+    contents are out of scope in-sandbox, and the engine certifies only
+    what it can verify)."""
     from gx_spark.audio import ref_transcript
     from gx_spark.oggopus import ogg_opus_encode
 
@@ -683,7 +686,8 @@ def q_audio_opus_container_violations(spark, sf_dir):
         clip_id = f"opus_{i}"
         ogg_sr = sr * 2 if i % 10 == 7 else sr
         ogg_dur = dur * 3 if i % 10 == 5 else dur
-        b = ogg_opus_encode(clip_id, ogg_sr, ogg_dur)
+        b = ogg_opus_encode(clip_id, ogg_sr, ogg_dur,
+                            corrupt_packet=(i % 10 == 3))
         if i % 10 == 9:
             b = b[: int(len(b) * 0.6)]
         if i % 10 == 1:
@@ -1718,12 +1722,13 @@ def oracle_sql() -> dict[str, str]:
             "AS transcript_unexpected FROM d"
         ),
         "audio_opus_container_violations": (
-            # container corruption arithmetic: classes 1/5/7/9 fail the
-            # metadata check; SNR flags nothing (null for opus)
+            # corruption arithmetic: classes 1/5/7/9 fail at the container
+            # layer, class 3 fails ONLY at the RFC 6716 packet-framing
+            # layer (pages/CRCs intact); SNR flags nothing (null for opus)
             "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
-            "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
-            "::BIGINT AS meta_unexpected, "
+            "SUM(CASE WHEN doc_id % 10 IN (1, 3, 5, 7, 9) THEN 1 ELSE 0 "
+            "END)::BIGINT AS meta_unexpected, "
             "0::BIGINT AS snr_unexpected FROM d"
         ),
         "video_mp4_container_violations": (

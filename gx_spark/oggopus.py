@@ -190,7 +190,7 @@ def _page(
 
 def ogg_opus_encode(
     clip_id: str, input_sr: int, dur_ms: int, serial: int | None = None,
-    pre_skip: int = 0,
+    pre_skip: int = 0, corrupt_packet: bool = False,
 ) -> bytes:
     """Mux a valid Ogg-Opus stream whose CONTAINER metadata describes a
     clip of `dur_ms` at `input_sr`: OpusHead/OpusTags header pages + one
@@ -216,6 +216,11 @@ def ogg_opus_encode(
             (struct.pack("<I", (seed + i) & 0xFFFFFFFF) * 10)[:39])
         for i in range(n_packets)
     ]
+    if corrupt_packet:
+        # a PACKET-level (not page-level) corruption: code-3 TOC whose
+        # count byte declares zero frames — pages and CRCs stay valid, so
+        # only the RFC 6716 framing check can catch it (test fodder)
+        packets[0] = bytes([(31 << 3) | 3, 0x80])
     # one audio page per <=100 packets (lacing-table bound)
     seq = 2
     for i in range(0, len(packets), 100):
