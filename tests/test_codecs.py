@@ -387,11 +387,8 @@ def test_opus_packet_framing_property():
         if code == 1:
             return bytes([toc]) + frames[0] + frames[0]
         if code == 2:
-            ln = len(frames[0])
-            lb = bytes([ln]) if ln < 252 else bytes(
-                [252 + (ln - 252) % 4, (ln - 252) // 4 + 63])
-            # keep it simple: restrict to one-byte lengths in the strategy
-            return bytes([toc]) + bytes([ln]) + frames[0] + frames[1]
+            # strategy keeps frames <= 60 bytes, so one-byte lengths apply
+            return bytes([toc, len(frames[0])]) + frames[0] + frames[1]
         # code 3 VBR with optional padding
         fc = 0x80 | (0x40 if pad else 0) | len(frames)
         out = bytearray([toc, fc])
