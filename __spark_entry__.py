@@ -1105,6 +1105,44 @@ def q_iceberg_position_deletes(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_compaction(spark, sf_dir):
+    """Iceberg compaction (iceberg.py rewrite_data_files — the
+    small-file maintenance action): orders appended, 'F' rows deleted via
+    v2 position deletes, then the table is compacted to ONE file with a
+    REPLACE snapshot that folds the deletes in (target_files=1 — coalesce
+    can only merge, so 1 is the deterministic target at every scale).  The post-compaction read
+    must equal the post-delete state, the file count must drop to the
+    target, delete manifests must stop applying, and time travel to the
+    pre-delete snapshot must still see every original row.  Oracle
+    recomputes all four from orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_compact_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        s_before = t.append(orders.coalesce(8))
+        t.delete(spark, "o_orderstatus = 'F'")
+        t.rewrite_data_files(spark, target_files=1)
+        after = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        n_files = len(t.plan_files())
+        before_count = t.read(spark, snapshot_id=s_before).count()
+        return _row(
+            spark,
+            "compacted_count long, compacted_sum double, n_files long, "
+            "before_count long",
+            [int(after["c"]), float(after["s"]), n_files, before_count],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_iceberg_schema_evolution(spark, sf_dir):
     """Iceberg schema evolution (iceberg.py add/rename/drop_column):
     orders appended in two eras around an add_column — era-1 files
@@ -1451,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_position_deletes": q_iceberg_position_deletes,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_compaction": q_iceberg_compaction,
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
@@ -1494,10 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "token_shards_documents": q_token_shards_documents,
-        # (position 50: last one inside the window)
-        "fingerprint_documents": q_fingerprint_documents,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
         #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
+        "fingerprint_documents": q_fingerprint_documents,
         "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
@@ -1810,6 +1848,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS before_count, "
             "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT "
             "AS deleted_rows FROM orders"
+        ),
+        "iceberg_compaction": (
+            # post-compaction state == post-delete state; file count is
+            # the rewrite target; time travel still sees every row
+            "SELECT "
+            "SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT "
+            "AS compacted_count, "
+            "ROUND(SUM(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice "
+            "END), 2) AS compacted_sum, "
+            "1::BIGINT AS n_files, "
+            "count(*)::BIGINT AS before_count FROM orders"
         ),
         "iceberg_schema_evolution": (
             "SELECT count(*)::BIGINT AS n, "

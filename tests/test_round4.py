@@ -113,12 +113,13 @@ def test_run_diagnostics_unregistered_and_no_examples(spark):
     assert rep["success"] is False
     assert rep["checklist"][0] == {
         "check": "registered", "passed": False, "details": "not in registry"}
-    # a real built-in without examples: healthy protocol, examples check fails
-    rep2 = run_diagnostics(spark, "expect_column_values_to_be_unique")
+    # a real built-in without examples: healthy protocol, examples check
+    # fails (maturity gating) so the overall report is not success
+    rep2 = run_diagnostics(spark, "expect_column_values_to_be_increasing")
     by = {c["check"]: c["passed"] for c in rep2["checklist"]}
     assert by["registered"] and by["plan protocol"]
-    if not by.get("examples provided", False):
-        assert rep2["success"] is False
+    assert by["examples provided"] is False
+    assert rep2["success"] is False
 
 
 def test_run_diagnostics_all_sweeps_registry(spark):
