@@ -1143,6 +1143,43 @@ def q_iceberg_compaction(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_equality_deletes(spark, sf_dir):
+    """Iceberg v2 EQUALITY deletes (iceberg.py equality_delete, content=2
+    files with field-id equality_ids + strict sequence scoping): orders
+    appended, every o_custkey divisible by 7 equality-deleted, then rows
+    with those keys RE-INSERTED — the spec's sequence rule (an equality
+    delete at sequence s applies only to data files with sequence < s)
+    means the re-inserted rows must survive.  Oracle recomputes the
+    remaining count/sum plus the surviving re-inserts from orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_eqdel_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        t.append(orders.coalesce(4))
+        keys = orders.where("o_custkey % 7 = 0").select("o_custkey")
+        t.equality_delete(spark, keys, ["o_custkey"])
+        t.append(orders.where("o_custkey % 7 = 0").coalesce(2))
+        out = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("o_custkey") % 7 == 0, 1).otherwise(0))
+            .cast("long").alias("reinserted_survivors"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        return _row(
+            spark,
+            "total_count long, reinserted_survivors long, total_sum double",
+            [int(out["c"]), int(out["reinserted_survivors"]),
+             float(out["s"])],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_iceberg_schema_evolution(spark, sf_dir):
     """Iceberg schema evolution (iceberg.py add/rename/drop_column):
     orders appended in two eras around an add_column — era-1 files
@@ -1490,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_position_deletes": q_iceberg_position_deletes,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_equality_deletes": q_iceberg_equality_deletes,
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
@@ -1531,11 +1569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "hash_split_documents": q_hash_split_documents,
         "group_cap_documents": q_group_cap_documents,
-        "mixture_sample_documents": q_mixture_sample_documents,
         "token_shards_documents": q_token_shards_documents,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
         #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
         "fingerprint_documents": q_fingerprint_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
@@ -1848,6 +1886,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS before_count, "
             "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT "
             "AS deleted_rows FROM orders"
+        ),
+        "iceberg_equality_deletes": (
+            # equality delete removes ALL old rows with key%7==0; the
+            # re-insert lands at a LATER sequence so it survives (strict
+            # sequence scoping): total = non-deleted + re-inserted
+            "SELECT count(*)::BIGINT AS total_count, "
+            "SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS reinserted_survivors, "
+            "ROUND(SUM(o_totalprice), 2) AS total_sum FROM orders"
         ),
         "iceberg_compaction": (
             # post-compaction state == post-delete state; file count is
