@@ -539,6 +539,22 @@ class IcebergLiteTable:
                 })
         return entries
 
+    def _scan_nonempty_entries(self, d: str, snap_id: int, seq: int) -> list[dict]:
+        """Manifest entries for the non-empty parquet files under `d`;
+        zero-record part files (empty shuffle partitions of a fanned-out
+        delete write) are unlinked so nothing unreferenced is left for
+        expire_snapshots to miss."""
+        entries = []
+        for e in self._scan_dir_entries(d, [], snap_id, seq):
+            if e["data_file"]["record_count"] > 0:
+                entries.append(e)
+            else:
+                try:
+                    os.unlink(e["data_file"]["file_path"])
+                except OSError:  # pragma: no cover
+                    pass
+        return entries
+
     def add_files(self, source_dir: str, now_ms: int | None = None) -> int:
         """Metadata-only import of existing parquet files — the migration
         path, mirroring Iceberg's `add_files` procedure: commits a snapshot
@@ -655,7 +671,15 @@ class IcebergLiteTable:
         sequence s applies to data files with sequence <= s — and since a
         position delete can only name files that existed when it was
         written, applying the whole delete set of a snapshot to its whole
-        data set is equivalent, which is what read() does."""
+        data set is equivalent, which is what read() does.
+
+        The commit writes MULTIPLE delete files — matches are hash
+        partitioned by source data-file group (the spec allows any number
+        of delete files per commit, each registered in the content=1
+        manifest), so a DELETE matching 10^9 rows sorts and writes in
+        parallel instead of funnelling through one task.  All positions of
+        a given data file land in the same delete file, keeping each file
+        internally sorted by (file_path, pos) as the spec requires."""
         files = self.plan_files()
         if not files:
             return None
@@ -669,9 +693,11 @@ class IcebergLiteTable:
                     F.col("_gx_pos").alias("pos"))
         )
         out_dir = os.path.join(self.data_dir, f"deletes-{snap_id}")
-        (matches.repartition(1).sortWithinPartitions("file_path", "pos")
+        n_parts = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+        (matches.repartition(n_parts, "file_path")
+         .sortWithinPartitions("file_path", "pos")
          .write.mode("error").parquet(out_dir))
-        entries = self._scan_dir_entries(out_dir, [], snap_id, seq)
+        entries = self._scan_nonempty_entries(out_dir, snap_id, seq)
         n_deleted = sum(e["data_file"]["record_count"] for e in entries)
         if n_deleted == 0:
             import shutil
@@ -693,10 +719,17 @@ class IcebergLiteTable:
         data files STRICTLY OLDER than this commit only (sequence scoping
         per the spec: an equality delete at sequence s applies to data
         files with sequence < s, so rows re-inserted later survive).
-        The delete file stores the distinct key tuples as parquet plus the
+        The delete files store the distinct key tuples as parquet plus the
         columns' field ids (`equality_ids`), so the mapping survives
         renames.  Matching is null-safe (<=>), mirroring Iceberg.
-        Returns the new snapshot id, or None for an empty key set."""
+        Returns the new snapshot id, or None for an empty key set.
+
+        Keys are hash partitioned by the key columns, so a commit writes
+        one delete file per non-empty partition (the spec allows any
+        number per commit) — a billion-key delete distributes the
+        distinct + write instead of sorting in a single task.  read()
+        unions all files of one commit back into a single broadcast
+        anti-join, so commit fan-out never multiplies join count."""
         columns = columns or list(keys_df.columns)
         by_name = {f["name"]: f for f in self.schema_fields}
         for c in columns:
@@ -704,9 +737,10 @@ class IcebergLiteTable:
                 raise ValueError(f"no column {c!r} in table schema")
         meta, seq, snap_id, now_ms = self._begin(now_ms)
         out_dir = os.path.join(self.data_dir, f"eqdeletes-{snap_id}")
-        keys = keys_df.select(*columns).distinct()
-        keys.repartition(1).write.mode("error").parquet(out_dir)
-        entries = self._scan_dir_entries(out_dir, [], snap_id, seq)
+        keys = keys_df.select(*columns).repartition(
+            max(1, spark.sparkContext.defaultParallelism), *columns).distinct()
+        keys.write.mode("error").parquet(out_dir)
+        entries = self._scan_nonempty_entries(out_dir, snap_id, seq)
         if sum(e["data_file"]["record_count"] for e in entries) == 0:
             import shutil
 
@@ -1044,20 +1078,27 @@ class IcebergLiteTable:
             # files STRICTLY older than it.  Group data files into eras by
             # their applicable delete set so each era gets exactly the
             # anti-joins the spec prescribes (#eras <= #eq-delete commits
-            # + 1, so the plan stays bounded).
+            # + 1, so the plan stays bounded).  A commit may carry MANY
+            # delete files (written partitioned); all files sharing a
+            # (sequence, equality_ids) group union into ONE broadcast
+            # anti-join, so commit fan-out never multiplies join count.
+            groups: dict[tuple, list[DataFileInfo]] = {}
+            for d in eqs:
+                gk = (d.sequence_number, tuple(d.equality_ids or []))
+                groups.setdefault(gk, []).append(d)
             eras: dict[tuple, list[DataFileInfo]] = {}
             for f in files:
-                key = tuple(sorted(d.file_path for d in eqs
-                                   if d.sequence_number > f.sequence_number))
+                key = tuple(sorted(gk for gk in groups
+                                   if gk[0] > f.sequence_number))
                 eras.setdefault(key, []).append(f)
-            by_path = {d.file_path: d for d in eqs}
             parts = []
             for key in sorted(eras):
                 part = self._files_df(spark, eras[key], with_position=bool(pos))
-                for dp in key:
-                    d = by_path[dp]
-                    names = [self._field_name(i) for i in d.equality_ids or []]
-                    keys = spark.read.parquet(d.file_path).toDF(*names).distinct()
+                for gk in key:
+                    names = [self._field_name(i) for i in gk[1]]
+                    keys = spark.read.parquet(
+                        *[d.file_path for d in groups[gk]]
+                    ).toDF(*names).distinct()
                     cond = reduce(lambda a, b: a & b,
                                   [part[c].eqNullSafe(keys[c]) for c in names])
                     part = part.join(F.broadcast(keys), cond, "left_anti")

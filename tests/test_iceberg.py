@@ -450,6 +450,45 @@ def test_equality_delete_sequence_scoping(spark, tmp_path):
     assert got3.count("clip_00002") == 1 and "clip_00005" not in got3
 
 
+def test_delete_commits_write_multiple_files(spark, tmp_path):
+    """A delete matching rows across many data files writes MULTIPLE delete
+    files in one commit (hash partitioned by source data-file group /
+    key tuple), not a single-task repartition(1) funnel — and the read
+    result is identical to the logical delete."""
+    loc = str(tmp_path / "tbl")
+    df = _clips_df(spark, 0, 80)
+    t = IcebergLiteTable.create(loc, df.schema, partition_by=["shard"])
+    t.append(df.repartition(4, "shard"))
+    assert len(t.plan_files()) >= 4  # enough source files to fan out
+    s_del = t.delete(spark, "score >= 20")
+    assert s_del is not None
+    pos_files = [d for d in t.plan_delete_files() if d.content != 2]
+    assert len(pos_files) > 1, "positional delete commit should fan out"
+    # every delete file is internally sorted by (file_path, pos)
+    import pyarrow.parquet as papq
+    for d in pos_files:
+        tbl = papq.read_table(d.file_path)
+        pairs = list(zip(tbl.column("file_path").to_pylist(),
+                         tbl.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)
+    got = sorted(r.clip_id for r in t.read(spark).collect())
+    assert got == [f"clip_{i:05d}" for i in range(20)]
+    # equality delete with a wide key set also fans out, and the reader
+    # folds one commit's files into a single anti-join
+    keys = spark.createDataFrame([(f"clip_{i:05d}",) for i in range(0, 16)],
+                                 "clip_id string")
+    s_eq = t.equality_delete(spark, keys)
+    assert s_eq is not None
+    eq_files = [d for d in t.plan_delete_files() if d.content == 2]
+    assert len(eq_files) > 1, "equality delete commit should fan out"
+    back = t.read(spark)
+    assert sorted(r.clip_id for r in back.collect()) == [
+        f"clip_{i:05d}" for i in range(16, 20)]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("LeftAnti") == 2  # one per commit, not per file
+
+
 def test_equality_and_position_deletes_compose(spark, tmp_path):
     loc = str(tmp_path / "tbl")
     t = IcebergLiteTable.create(loc, _clips_df(spark, 0, 12).schema)
