@@ -335,11 +335,31 @@ def q_simhash_documents(spark, sf_dir):
     return ops.simhash64(_load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _ann_recall(spark, sf_dir, ann_out, min_recall):
+    """Make an ANN query driver-oracleable: centroids/hyperplane seeds are
+    not ANSI-SQL-expressible, but the EXACT top-10 is (brute-force cosine,
+    same oracle as cosine_topk) — so return the deterministic exact top-10
+    plus `recall_ok` = (|ANN∩exact| / 10 >= min_recall), computed in-Spark
+    via a left-semi join against the ANN shortlist.  The oracle emits the
+    exact top-10 with a TRUE literal: an ANN recall regression flips
+    recall_ok to false and the driver hash-mismatches."""
+    emb = _load(spark, sf_dir, "embeddings")
+    exact = ops.cosine_topk(emb, "vec_id", "embedding",
+                            _query_vec(spark, sf_dir), k=10)
+    hits = exact.join(ann_out.select(F.col("id").alias("_aid")),
+                      F.col("id") == F.col("_aid"), "left_semi").count()
+    ok = bool(hits / 10.0 >= min_recall)
+    return exact.select(F.col("id").alias("vec_id"),
+                        F.round("cosine", 6).alias("cosine"),
+                        F.lit(ok).alias("recall_ok"))
+
+
 def q_ann_lsh_embeddings(spark, sf_dir):
-    # rows-only: ANN via random-hyperplane LSH bucket probe
+    # ANN via random-hyperplane LSH bucket probe; recall >= 0.9 vs exact
+    # top-10 folded into the hash (pytest pin: tests/test_ops2.py)
     emb = _load(spark, sf_dir, "embeddings")
     out = ops.ann_topk_lsh(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
-    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+    return _ann_recall(spark, sf_dir, out, min_recall=0.9)
 
 
 def q_image_metadata_violations(spark, sf_dir):
@@ -411,36 +431,36 @@ def q_image_png_violations(spark, sf_dir):
 
 
 def q_ann_ivf_embeddings(spark, sf_dir):
-    # rows-only: IVF coarse-quantizer ANN (k-means centroids not
-    # reproducible in ANSI SQL); exactness at nprobe=n_centroids and
-    # partial-probe recall are pinned by tests/test_ivf.py
+    # IVF coarse-quantizer ANN (k-means centroids not reproducible in ANSI
+    # SQL, so the oracle checks exact top-10 + recall_ok; exactness at
+    # nprobe=n_centroids and partial-probe recall pinned by tests/test_ivf.py)
     emb = _load(spark, sf_dir, "embeddings")
     out = ops.ann_topk_ivf(emb, "vec_id", "embedding",
                            _query_vec(spark, sf_dir), k=10,
                            n_centroids=16, nprobe=8)
-    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+    return _ann_recall(spark, sf_dir, out, min_recall=0.8)
 
 
 def q_ann_pq_embeddings(spark, sf_dir):
-    # rows-only: product-quantization ANN (Jégou TPAMI'11) with ADC
-    # shortlist + exact rerank (k-means codebooks not reproducible in ANSI
-    # SQL); ADC-score exactness vs code reconstruction and recall@10 >= 0.9
-    # are pinned by tests/test_pq.py
+    # product-quantization ANN (Jégou TPAMI'11) with ADC shortlist + exact
+    # rerank; k-means codebooks not reproducible in ANSI SQL so the oracle
+    # checks exact top-10 + recall_ok (ADC exactness and recall@10 >= 0.9
+    # pinned by tests/test_pq.py)
     emb = _load(spark, sf_dir, "embeddings")
     B = ops.train_pq_codebooks(emb, "embedding", m=8, k=64, seed=42)
     codes = ops.pq_encode(emb, "vec_id", "embedding", B)
     out = ops.pq_topk_rerank(emb, "vec_id", "embedding", codes, B,
                              _query_vec(spark, sf_dir), k=10, shortlist=50)
-    return out.select(F.col("id").alias("vec_id"),
-                      F.round("cosine", 6).alias("cosine"))
+    return _ann_recall(spark, sf_dir, out, min_recall=0.9)
 
 
 def q_ann_ivfpq_embeddings(spark, sf_dir):
-    # rows-only: full IVFADC composition (Jégou TPAMI'11 §V) — written
-    # index partitioned by coarse cell (probe = partition pruning) with
-    # residual PQ codes (probe streams 8-byte codes), ADC shortlist +
-    # exact rerank; ADC exactness / pruning plan / recall pinned by
-    # tests/test_ivfpq.py (k-means seeds not reproducible in ANSI SQL)
+    # full IVFADC composition (Jégou TPAMI'11 §V) — written index
+    # partitioned by coarse cell (probe = partition pruning) with residual
+    # PQ codes (probe streams 8-byte codes), ADC shortlist + exact rerank;
+    # k-means seeds not reproducible in ANSI SQL so the oracle checks
+    # exact top-10 + recall_ok (ADC exactness / pruning plan / recall
+    # pinned by tests/test_ivfpq.py)
     import shutil
     import tempfile
 
@@ -453,11 +473,12 @@ def q_ann_ivfpq_embeddings(spark, sf_dir):
         out = ops.ivfpq_topk_rerank(emb, "vec_id", "embedding", codes, C, B,
                                     _query_vec(spark, sf_dir), k=10,
                                     nprobe=8, shortlist=50)
-        rows = out.select(F.col("id").alias("vec_id"),
-                          F.round("cosine", 6).alias("cosine")).collect()
+        res = _ann_recall(spark, sf_dir, out, min_recall=0.8)
+        rows = res.collect()  # materialize before the index dir is removed
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "vec_id bigint, cosine double")
+    return spark.createDataFrame(
+        rows, "vec_id bigint, cosine double, recall_ok boolean")
 
 
 def q_word_jaccard_documents(spark, sf_dir):
@@ -1540,19 +1561,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_events": q_streaming_windowed_events,
         "expectation_diagnostics": q_expectation_diagnostics,
         "video_h264_sps_violations": q_video_h264_sps_violations,
+        # -- tier 1b: newly oracle-ified this round (were rows-only in
+        #    r03; now emit exact top-10 + recall_ok so the driver can
+        #    hash-match them) --
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_pq_embeddings": q_ann_pq_embeddings,
+        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
         # -- tier 2: previously hash-green, distinct heavy code paths --
         "row_count_lineitem": q_row_count_lineitem,
         "unique_orderkey_orders": q_unique_orderkey_orders,
         "quantiles_totalprice": q_quantiles_totalprice,
         "histogram_quantity": q_histogram_quantity,
-        "kl_quantity_uniform": q_kl_quantity_uniform,
         "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
-        "psi_quantity_uniform": q_psi_quantity_uniform,
         "chisquare_mktsegment": q_chisquare_mktsegment,
-        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
         "json_props_parseable": q_json_props_parseable,
         "row_condition_filtered_mean": q_row_condition_filtered_mean,
-        "referential_custkey": q_referential_custkey,
         "referential_salted_custkey": q_referential_salted_custkey,
         "compound_unique_lineitem": q_compound_unique_lineitem,
         "pair_ship_after_order": q_pair_ship_after_order,
@@ -1560,7 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "quality_documents": q_quality_documents,
         "lang_distribution_documents": q_lang_distribution_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "bpe_tokenize_documents": q_bpe_tokenize_documents,
         "image_metadata_violations": q_image_metadata_violations,
         "image_png_violations": q_image_png_violations,
         "word_jaccard_documents": q_word_jaccard_documents,
@@ -1571,7 +1595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "token_shards_documents": q_token_shards_documents,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
-        #    (simple scalar aggs) or rows-only by design (no SQL oracle) --
+        #    (simple scalar aggs, or subsumed by an in-window query: the
+        #    ann_* oracles embed cosine_topk's exact top-10; kl/psi/ks
+        #    share the drift/stat-test code paths still covered by
+        #    kl_vs_profiled_baseline + chisquare; referential_custkey is
+        #    the unsalted variant of referential_salted_custkey) or
+        #    rows-only by design (no SQL oracle) --
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "kl_quantity_uniform": q_kl_quantity_uniform,
+        "psi_quantity_uniform": q_psi_quantity_uniform,
+        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
+        "referential_custkey": q_referential_custkey,
         "fingerprint_documents": q_fingerprint_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "not_null_orders_custkey": q_not_null_orders_custkey,
@@ -1588,15 +1622,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multicol_sum_10": q_multicol_sum_10,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
-        "ann_lsh_embeddings": q_ann_lsh_embeddings,
-        "ann_ivf_embeddings": q_ann_ivf_embeddings,
-        "ann_pq_embeddings": q_ann_pq_embeddings,
-        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
-        "bpe_tokenize_documents": q_bpe_tokenize_documents,
     }
 
 
 _STOPWORDS_SQL = "['the','a','and','of','to','in','is']"
+
+# Shared oracle for the four ann_* queries: the deterministic EXACT top-10
+# by cosine (identical to the cosine_topk oracle) plus recall_ok=TRUE —
+# the Spark side computes recall_ok for real against its ANN shortlist.
+_ANN_EXACT_RECALL_SQL = (
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine, TRUE AS recall_ok "
+    "FROM embeddings e, q "
+    "ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
+)
 
 _LANG_CASE_SQL = """
     CASE
@@ -2130,12 +2173,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(MAX(GREATEST(rn * 1.0 / n - LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0), "
             "LEAST(GREATEST((x - 1.0) / 49.0, 0.0), 1.0) - (rn - 1.0) / n)), 6) AS ks_stat FROM s"
         ),
-        # minhash_near_dups, simhash_documents, ann_lsh_embeddings,
-        # ann_ivf_embeddings, ann_pq_embeddings, ann_ivfpq_embeddings:
-        # intentionally omitted → driver records rows-only checks
-        # (LSH/xxhash64/k-means seeds not reproducible in ANSI SQL; IVF
-        # exactness pinned by tests/test_ivf.py, PQ ADC exactness + recall
-        # by tests/test_pq.py, IVFADC layout/exactness/pruning/recall by
-        # tests/test_ivfpq.py).  bpe_tokenize_documents likewise: greedy
-        # merge training is iterative; pinned by tests/test_bpe.py
+        # ann_*: hyperplane/k-means seeds are not ANSI-SQL-expressible, but
+        # the queries return the EXACT top-10 (oracle below) plus an
+        # in-Spark recall_ok flag vs the ANN shortlist; the oracle asserts
+        # recall_ok via a TRUE literal, so an ANN recall regression
+        # hash-mismatches (IVF exactness pinned by tests/test_ivf.py, PQ
+        # ADC exactness + recall by tests/test_pq.py, IVFADC
+        # layout/exactness/pruning/recall by tests/test_ivfpq.py).
+        "ann_lsh_embeddings": _ANN_EXACT_RECALL_SQL,
+        "ann_ivf_embeddings": _ANN_EXACT_RECALL_SQL,
+        "ann_pq_embeddings": _ANN_EXACT_RECALL_SQL,
+        "ann_ivfpq_embeddings": _ANN_EXACT_RECALL_SQL,
+        # minhash_near_dups, simhash_documents: intentionally omitted →
+        # driver records rows-only checks (banded-LSH candidate sets and
+        # xxhash64 seeds are not reproducible in ANSI SQL; recall and
+        # bit-identity pinned by tests/test_neardup.py / tests/test_ops.py)
     }
