@@ -540,13 +540,25 @@ def q_mixture_sample_documents(spark, sf_dir):
 
 
 def q_bpe_tokenize_documents(spark, sf_dir):
-    # rows-only: REAL corpus-trained BPE (Sennrich ACL'16) — greedy merge
-    # training is an iterative driver-side loop not expressible in ANSI
-    # SQL; determinism/losslessness/compression pinned by tests/test_bpe.py
+    # REAL corpus-trained BPE (Sennrich ACL'16), trained at runtime; the
+    # greedy merge TRAINING loop is not ANSI-SQL-expressible, but APPLYING
+    # a merge table is — the oracle replays the committed sf0.01 merge
+    # table (_BPE_MERGES_SF0_01) with a recursive CTE and recomputes every
+    # per-doc token count, so training drift, encode bugs, and lossiness
+    # all hash-mismatch.  reconstruction_ok is computed for real in Spark:
+    # concat(tokens) minus the </w> markers must equal the source text.
     docs = _load(spark, sf_dir, "documents")
     merges = ops.train_bpe_merges(docs, "text", n_merges=300)
     out = ops.bpe_encode(docs, "doc_id", "text", merges)
-    return out.select(F.col("id").alias("doc_id"), "n_bpe_tokens")
+    joined = out.join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.size("tokens"), F.lit(0)).cast("long")
+        .alias("n_bpe_tokens"),
+        (F.regexp_replace(F.concat_ws("", F.col("tokens")), "</w>", "")
+         == F.coalesce(F.col("text"), F.lit("")))
+        .alias("reconstruction_ok"),
+    )
 
 
 def q_token_shards_documents(spark, sf_dir):
@@ -1531,13 +1543,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stopped at entry #50 exactly).  Entries are therefore ordered by
     # verification need, not by theme:
     #   1. queries that have never been driver-oracled (round 3's newest 17
-    #      plus anything added this round) come first;
+    #      plus anything added this round) come first, including the ann_*
+    #      and bpe entries that gained real oracles this round;
     #   2. previously hash-green queries exercising distinct heavy code
     #      paths keep window slots;
-    #   3. queries hash-green in BOTH r02 and r03 plus the no-oracle
-    #      rows-only entries (minhash/simhash/ANN/BPE — already recorded as
-    #      rows-only in r03 and pinned by pytest recall/determinism tests)
-    #      sit past the window.
+    #   3. queries hash-green in BOTH r02 and r03 (or subsumed by an
+    #      in-window query) plus the two remaining no-oracle rows-only
+    #      entries (minhash/simhash — pinned by pytest recall/determinism
+    #      tests) sit past the window.
     return {
         # -- tier 1: never externally oracled (r03 entries #51-#67) --
         "audio_flac_violations": q_audio_flac_violations,
@@ -1640,6 +1653,109 @@ _ANN_EXACT_RECALL_SQL = (
     "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
 )
+
+# BPE merge table trained by ops.train_bpe_merges(documents@sf0.01, n=300,
+# seed=42) — the training stopped at 143 merges (pair-frequency cutoff).
+# Committed as a literal so the DuckDB oracle can APPLY the merges
+# independently (a recursive CTE below); the Spark side still TRAINS at
+# runtime, so any training drift vs this table hash-mismatches.  Valid for
+# the driver's sf0.01 correctness corpus only (deterministic: the sf0.01
+# vocabulary is under the trainer's 20k sample cap, so no sampling fires).
+_BPE_MERGES_SF0_01 = [
+    (' ', 's'), ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('er', '</w>'),
+    ('w', '</w>'), ('o', 'w</w>'), ('o', 'r'), ('t', '</w>'), ('h',
+    '</w>'), ('a', 't'), ('l', 'u'), (' ', 'c'), ('a', 's'), ('i', 'n'),
+    ('a', '</w>'), (' ', 'b'), (' ', 'v'), ('g', '</w>'), ('y', '</w>'),
+    ('p', 'a'), ('pa', 'r'), (' ', 'f'), (' ', 't'), ('o', 'i'), ('oi',
+    'n</w>'), ('j', 'oin</w>'), ('h', 'as'), ('has', 'h</w>'), (' ',
+    'join</w>'), ('s', 't'), ('r', 'ow</w>'), ('c', 'h</w>'), ('at',
+    'ch</w>'), ('c', 'a'), ('ca', 'n</w>'), ('u', 'st'), ('ust', 'o'),
+    ('usto', 'm'), ('ustom', 'er</w>'), ('o', 'lu'), ('olu', 'm'),
+    ('olum', 'n</w>'), ('t', 'er</w>'), ('l', 'ter</w>'), ('i',
+    'lter</w>'), (' ', 'hash</w>'), ('m', 'a'), ('ma', 'l'), ('mal', 'l'),
+    ('mall', '</w>'), (' ', 'row</w>'), (' s', 'can</w>'), ('m', 'er'),
+    ('mer', 'g'), ('merg', 'e</w>'), ('l', 'ow</w>'), (' s', 'mall</w>'),
+    (' ', 'd'), (' b', 'atch</w>'), (' c', 'olumn</w>'), (' f',
+    'ilter</w>'), ('t', 'or'), ('tor', '</w>'), ('or', 'd'), ('ord',
+    'er</w>'), ('e', 'c'), ('ec', 'tor</w>'), (' c', 'ustomer</w>'), ('l',
+    'in'), ('lin', 'e</w>'), ('l', 'e</w>'), ('b', 'le</w>'), ('at',
+    'a</w>'), ('a', 'ble</w>'), ('u', 'p'), ('up', '</w>'), (' s',
+    'low</w>'), ('g', 'g</w>'), ('a', 'gg</w>'), (' v', 'ector</w>'),
+    (' ', 'order</w>'), ('lu', 'e</w>'), ('a', 'lue</w>'), (' ',
+    'merge</w>'), ('k', 'e'), ('ke', 'y</w>'), (' ', 'line</w>'), (' d',
+    'ata</w>'), ('r', 'e'), ('re', 'a'), ('rea', 'm'), ('ream', '</w>'),
+    (' ', 'agg</w>'), (' t', 'able</w>'), ('w', 'in'), ('win', 'd'),
+    ('wind', 'ow</w>'), (' v', 'alue</w>'), ('par', 'k'), ('park',
+    '</w>'), ('r', 'o'), ('ro', 'up</w>'), ('par', 't</w>'), ('g',
+    'roup</w>'), ('t', 'ream</w>'), (' s', 'tream</w>'), ('i', 'g</w>'),
+    ('or', 't</w>'), ('u', 'er'), ('uer', 'y</w>'), ('q', 'uery</w>'),
+    (' b', 'ig</w>'), (' s', 'park</w>'), (' ', 'key</w>'), (' ',
+    'window</w>'), (' ', 'part</w>'), (' ', 'group</w>'), (' ', 'a</w>'),
+    (' s', 'ort</w>'), (' ', 'query</w>'), ('as', 't</w>'), (' f',
+    'ast</w>'), ('h', 'e</w>'), (' t', 'he</w>'), (' d', 'up</w>'), ('t',
+    'he</w>'), ('c', 'ustomer</w>'), ('t', 'able</w>'), ('b', 'atch</w>'),
+    ('f', 'ilter</w>'), ('c', 'olumn</w>'), ('s', 'low</w>'), ('s',
+    'can</w>'), ('d', 'ata</w>'), ('v', 'ector</w>'), ('s', 'ort</w>'),
+    ('v', 'alue</w>'), ('f', 'ast</w>'), ('st', 'ream</w>'), ('s',
+    'park</w>'), ('s', 'mall</w>'), ('b', 'ig</w>')]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for bpe_tokenize_documents: pretokenize with the RE2
+    twin of ops.BPE_PY_PATTERN (equivalent on the printable-ASCII sf0.01
+    corpus — \\w/\\d/\\s agree between RE2 and Python re on ASCII), then
+    apply the committed merge table with a recursive CTE that walks the
+    ranks in order with a per-rank replace-all fixpoint over
+    chr(31)-delimited symbol strings.  Rank-order + fixpoint is provably
+    identical to the greedy min-rank loop in ops._bpe_encode_word: a merge
+    learned at rank k can only create symbols whose pairs were learned
+    AFTER k, so no lower-rank pair ever (re)appears once rank k is
+    processed (verified exhaustively over the corpus vocabulary in
+    tests/test_bpe.py::test_rank_order_fixpoint_equivalence)."""
+    from gx_spark.ops import BPE_PY_PATTERN
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({i + 1}, '{esc(a)}', '{esc(b)}')"
+        for i, (a, b) in enumerate(_BPE_MERGES_SF0_01))
+    return f"""
+WITH RECURSIVE
+merges AS (
+  SELECT m.rank, chr(31) || m.a || chr(31) || m.b || chr(31) AS pat,
+         chr(31) || m.a || m.b || chr(31) AS rep
+  FROM (VALUES {vals}) m(rank, a, b)
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{esc(BPE_PY_PATTERN)}')) AS w
+  FROM documents
+),
+uw AS (SELECT DISTINCT w FROM toks),
+enc(w, s, r) AS (
+  SELECT w,
+         chr(31) || array_to_string(str_split(w, ''), chr(31))
+           || chr(31) || '</w>' || chr(31), 1
+  FROM uw
+  UNION ALL
+  SELECT e.w,
+         CASE WHEN position(m.pat IN e.s) > 0
+              THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+         CASE WHEN position(m.pat IN e.s) > 0 THEN e.r ELSE e.r + 1 END
+  FROM enc e JOIN merges m ON m.rank = e.r
+),
+wtok AS (
+  SELECT w, len(str_split(trim(s, chr(31)), chr(31)))::BIGINT AS n_tok
+  FROM enc WHERE r = (SELECT max(rank) FROM merges) + 1
+),
+perdoc AS (
+  SELECT t.doc_id, SUM(wt.n_tok)::BIGINT AS n_bpe_tokens
+  FROM toks t JOIN wtok wt ON t.w = wt.w GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       TRUE AS reconstruction_ok
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+"""
 
 _LANG_CASE_SQL = """
     CASE
@@ -2184,6 +2300,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_embeddings": _ANN_EXACT_RECALL_SQL,
         "ann_pq_embeddings": _ANN_EXACT_RECALL_SQL,
         "ann_ivfpq_embeddings": _ANN_EXACT_RECALL_SQL,
+        # bpe_tokenize: training is iterative/driver-side, but APPLYING the
+        # committed merge table is SQL — recursive-CTE re-encode, see
+        # _bpe_oracle_sql()
+        "bpe_tokenize_documents": _bpe_oracle_sql(),
         # minhash_near_dups, simhash_documents: intentionally omitted →
         # driver records rows-only checks (banded-LSH candidate sets and
         # xxhash64 seeds are not reproducible in ANSI SQL; recall and

@@ -88,3 +88,29 @@ def test_non_ascii_round_trip(spark):
     assert words == pat.findall(text)
     # determinism across parallelism still holds with the pandas-UDF path
     assert merges == ops.train_bpe_merges(df.repartition(9), "t", n_merges=80)
+
+
+def test_rank_order_fixpoint_equivalence(spark):
+    """The DuckDB oracle for bpe_tokenize_documents applies merges in RANK
+    ORDER with a per-rank replace-all fixpoint (a recursive CTE).  That is
+    equivalent to ops._bpe_encode_word's greedy min-rank loop because a
+    merge learned at rank k can only create symbols whose pairs were
+    learned after k — pin the equivalence exhaustively over the sf0.001
+    corpus vocabulary with a corpus-trained table."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = ops.train_bpe_merges(docs, "text", n_merges=300)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    pat = re.compile(BPE_PY_PATTERN)
+    words = set()
+    for (t,) in docs.select("text").collect():
+        if t:
+            words.update(pat.findall(t))
+    assert len(words) > 20
+    US = chr(31)
+    for w in words:
+        s = US + US.join(list(w) + ["</w>"]) + US
+        for a, b in merges:  # rank order; replace-all fixpoint per rank
+            p, rep = US + a + US + b + US, US + a + b + US
+            while p in s:
+                s = s.replace(p, rep)
+        assert s.strip(US).split(US) == ops._bpe_encode_word(w, ranks), w
