@@ -193,12 +193,45 @@ def main() -> None:
         # fresh-JVM condition each section would see on a cluster.
         spark.sparkContext._jvm.System.gc()
 
+    # -- noise self-adjudication ------------------------------------------
+    # This box is a shared hypervisor (single shots vary up to 2x under
+    # steal — see BENCH/BASELINE.md).  Two mechanisms let a reader separate
+    # box noise from plan regressions WITHOUT re-running anything:
+    #   1. every section runs best-of-N (N=3, or 2 when a single shot is
+    #      expensive) and the full run array is recorded, so uniform drift
+    #      across runs reads as load, a reproducible slowdown as a plan;
+    #   2. an in-window HARDWARE CONTROL — a fixed pure-CPU numpy FFT
+    #      workload (single-threaded, no Spark, no disk) — is measured
+    #      immediately before every timed run; if a section slows down
+    #      while its control also slows down, the box moved, not the plan.
+    import numpy as _np
+
+    _ctrl_x = _np.random.default_rng(42).standard_normal(1 << 20)
+
+    def hw_control() -> float:
+        t0 = time.time()
+        for _ in range(4):
+            _np.fft.rfft(_ctrl_x)
+        return round(4 * (1 << 20) / (time.time() - t0) / 1e6, 1)  # Melem/s
+
+    section_runs: dict[str, list[float]] = {}
+    section_ctrl: dict[str, list[float]] = {}
+    # single shot above this → best-of-2 instead of 3 (bounds bench wall)
+    EXPENSIVE_S = float(os.environ.get("GX_BENCH_EXPENSIVE_S", "8.0"))
+
     def bench(name):
         def deco(fn):
-            jvm_gc()
-            t0 = time.time()
-            fn()
-            timings[name] = round(time.time() - t0, 3)
+            runs: list[float] = []
+            ctrls: list[float] = []
+            while len(runs) < (2 if runs and runs[0] > EXPENSIVE_S else 3):
+                jvm_gc()
+                ctrls.append(hw_control())
+                t0 = time.time()
+                fn()
+                runs.append(round(time.time() - t0, 3))
+            timings[name] = min(runs)
+            section_runs[name] = runs
+            section_ctrl[name] = ctrls
         return deco
 
     # warmup: touch the JVM + arrow paths so q1 isn't charged for init,
@@ -447,8 +480,10 @@ def main() -> None:
     # shots vary up to 2x — see BENCH/BASELINE.md); minimum wall = the
     # least-interfered measurement of the same fixed work
     audio_runs = []
+    section_ctrl["audio_suite"] = []
     for _ in range(3):
         jvm_gc()
+        section_ctrl["audio_suite"].append(hw_control())
         t0 = time.time()
         bundle = validate(
             spark, audio_df, audio_suite(),
@@ -500,8 +535,10 @@ def main() -> None:
     # single shots up to 4x vs the identical job on a quiet box (measured
     # 9.8 s isolated vs 45 s in-bench for this exact plan)
     pipeline_runs = []
+    section_ctrl["audio_pipeline"] = []
     for _ in range(2):
         jvm_gc()
+        section_ctrl["audio_pipeline"].append(hw_control())
         t0 = time.time()
         feats = extract_audio_features(
             pipe_df, keep_cols=["clip_id"], fingerprint=True).persist()
@@ -532,8 +569,10 @@ def main() -> None:
     from gx_spark.audio_ops import validate_and_extract_audio
 
     combined_runs = []
+    section_ctrl["audio_validate_curate"] = []
     for _ in range(2):
         jvm_gc()
+        section_ctrl["audio_validate_curate"].append(hw_control())
         t0 = time.time()
         cur = validate_and_extract_audio(
             pipe_df, keep_cols=["clip_id"]).persist()
@@ -579,6 +618,21 @@ def main() -> None:
         "combined_violations": {
             "meta": int(cstats["meta_bad"]), "snr": int(cstats["snr_bad"]),
             "transcript": int(cstats["tx_bad"]),
+        },
+        # noise adjudication (see the comment above bench()): full run
+        # arrays per section + the pure-CPU control measured immediately
+        # before each timed run.  To call plan-vs-box on a cross-round
+        # delta: normalize each section's best run by its control — if
+        # wall grew but control (Melem/s) dropped proportionally, the box
+        # moved, not the plan.
+        "section_runs_sec": {**section_runs,
+                             "audio_suite": [round(x, 3) for x in audio_runs],
+                             "audio_pipeline": [round(x, 3) for x in pipeline_runs],
+                             "audio_validate_curate": [round(x, 3) for x in combined_runs]},
+        "hardware_control": {
+            "workload": "4x numpy rfft over 2^20 float64, single-threaded",
+            "unit": "Melem/s",
+            "per_section": section_ctrl,
         },
     }))
 
