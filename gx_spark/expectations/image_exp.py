@@ -53,11 +53,18 @@ class ImageMetadataConsistent(ColumnMapExpectation):
 
     def unexpected_condition(self, cfg, ctx) -> Column:
         a = F.col(_IMAGE_COL)
-        ok = a["decodable"] & F.coalesce(a["dims_ok"], F.lit(True))
-        # decodable NULL = stubbed codec whose container magic checked out
-        # (jpeg in-sandbox): unverifiable, excluded from the check rather
-        # than blindly passed or failed (counts in the denominator)
-        return a["decodable"].isNotNull() & ~F.coalesce(ok, F.lit(False))
+        # decodable NULL = valid-but-unsupported coding process (e.g.
+        # progressive JPEG behind the in-sandbox baseline decoder) whose
+        # container passed the structural scan: the DECODE check is
+        # excluded — a valid stream must not be called corrupt just
+        # because we cannot decode its pixels — but header dims, when the
+        # scan recovered them, still verify the metadata columns.  Rows
+        # with decodable NULL and no header info are unverifiable and
+        # excluded entirely (counted in the denominator, never flagged).
+        ok = (F.coalesce(a["decodable"], F.lit(True))
+              & F.coalesce(a["dims_ok"], F.lit(True)))
+        verifiable = a["decodable"].isNotNull() | a["dims_ok"].isNotNull()
+        return verifiable & ~F.coalesce(ok, F.lit(False))
 
     def observed_expr(self, cfg) -> Column:
         a = F.col(_IMAGE_COL)

@@ -108,7 +108,29 @@ def compute_image_flags_row(b, width, height, channels, fmt):
         return out
     try:
         px = decode_image(bytes(b), fmt)
-    except (ValueError, NotImplementedError):
+    except ValueError:
+        return out  # malformed payload: decodable=False → violation
+    except NotImplementedError:
+        # valid-but-unsupported coding process (e.g. progressive JPEG with
+        # only the baseline decoder in-sandbox).  NOT corrupt: validate the
+        # container structurally instead — decodable=NULL means "undecoded
+        # but container-consistent" (excluded from the decode check), while
+        # header dims still verify the metadata columns.  Garbage behind a
+        # JPEG magic fails the structural scan → stays decodable=False.
+        if fmt == "jpeg":
+            from .jpeg import jpeg_header_scan
+
+            try:
+                h, w, nc = jpeg_header_scan(bytes(b))
+            except ValueError:
+                return out
+            out["decodable"] = None
+            out["header_w"] = int(w)
+            out["header_h"] = int(h)
+            out["dims_ok"] = ((w == width) and (h == height)
+                              and (nc == channels))
+        else:
+            out["decodable"] = None  # unverifiable stub: no header scan
         return out
     h, w, c = px.shape
     out["decodable"] = True

@@ -180,6 +180,65 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def jpeg_header_scan(b: bytes) -> tuple[int, int, int]:
+    """Structural validation WITHOUT entropy decode: walk every marker
+    checking SOI, marker framing, segment lengths, exactly one SOFn,
+    SOS before entropy data, byte-stuffing in the scan, and EOI
+    reachability.  Returns (h, w, n_components) from the SOF header.
+
+    This is the honesty boundary for coding processes the in-sandbox
+    decoder does not implement (progressive/arithmetic/12-bit): a VALID
+    such stream passes the scan — its container must not be called
+    corrupt just because we cannot decode the pixels — while garbage
+    behind a JPEG magic, a truncated stream, or a malformed marker walk
+    raises ValueError exactly as jpeg_decode would."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    frame = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if frame is None:
+                raise ValueError("EOI before SOF")
+            return frame
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(b):
+            raise ValueError("truncated marker segment")
+        seg = b[pos + 2 : pos + seglen]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # any SOFn, including the non-baseline coding processes
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            if len(seg) < 6:
+                raise ValueError("short SOF")
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            nc = seg[5]
+            if h == 0 or w == 0 or nc == 0 or len(seg) != 6 + 3 * nc:
+                raise ValueError("malformed SOF")
+            frame = (h, w, nc)
+        pos += seglen
+        if marker == 0xDA:  # SOS: skip entropy bytes to the next marker
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            while pos + 1 < len(b):
+                if (b[pos] == 0xFF and b[pos + 1] != 0x00
+                        and not 0xD0 <= b[pos + 1] <= 0xD7):
+                    break
+                pos += 1
+            else:
+                raise ValueError("unterminated scan")
+    raise ValueError("no EOI")
+
+
 def jpeg_decode(b: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, c) uint8 (c = 1 or 3, RGB for 3).
     Raises ValueError on malformed input, NotImplementedError on

@@ -301,3 +301,33 @@ def test_video_metadata_expectation(spark):
     bundle.unpersist()
     assert viol == {"v_dur", "v_dim", "v_trunc", "v_rawn", "v_h264dim",
                     "v_h264junk"}, viol
+
+
+def test_progressive_jpeg_end_to_end(spark):
+    """Full expectation semantics for valid-but-unsupported coding
+    processes: a valid progressive JPEG row passes (decodable NULL,
+    container-consistent), a progressive row whose metadata lies about
+    width fails on header dims WITHOUT decoding, garbage behind a JPEG
+    magic fails as corrupt."""
+    from tests.test_jpeg import _synth_progressive_jpeg
+
+    prog = _synth_progressive_jpeg(24, 16)
+    garbage = b"\xff\xd8" + bytes(range(1, 65))
+    rows = [
+        ("ok_prog", bytearray(prog), 24, 16, 3, "jpeg"),
+        ("lying_prog", bytearray(prog), 25, 16, 3, "jpeg"),
+        ("garbage", bytearray(garbage), 24, 16, 3, "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "img_id string, bytes binary, width int, height int, channels int, "
+        "format string",
+    )
+    b = validate(
+        spark, df,
+        ExpectationSuite("prog").add("expect_image_metadata_to_be_consistent"),
+        EngineOptions(unexpected_index_column_names=("img_id",)),
+    )
+    bad = {r["img_id"] for r in b.violations_table().collect()}
+    b.unpersist()
+    assert bad == {"lying_prog", "garbage"}

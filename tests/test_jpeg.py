@@ -74,3 +74,73 @@ def test_truncated_and_garbage():
         jpeg_decode(enc[: len(enc) // 2])
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg at all")
+
+
+# ---------------------------------------------------------------------------
+# non-baseline (progressive) semantics — VERDICT r3 #10
+# ---------------------------------------------------------------------------
+
+def _synth_progressive_jpeg(w: int, h: int) -> bytes:
+    """Structurally valid SOF2 (progressive) JPEG: real marker walk (DQT,
+    SOF2, DHT, SOS), byte-stuff-clean entropy payload, EOI.  The entropy
+    bytes are opaque — exactly the honesty boundary jpeg_header_scan
+    validates (same pattern as the Opus/AVC container stubs)."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(range(1, 65))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    bits = [0] * 16
+    bits[0] = 1
+    dht = bytes([0x00]) + bytes(bits) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += b"\x12\x34\x00\x56" * 10  # no 0xFF -> byte-stuff clean
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_raises_not_implemented_but_scans():
+    from gx_spark.jpeg import jpeg_header_scan
+
+    b = _synth_progressive_jpeg(24, 16)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(b)
+    assert jpeg_header_scan(b) == (16, 24, 3)
+
+
+def test_progressive_flags_not_corrupt_dims_still_checked():
+    """A VALID progressive JPEG must not be flagged corrupt (decodable is
+    NULL = undecoded-but-container-consistent), while its SOF header dims
+    still verify the metadata columns."""
+    from gx_spark.image import compute_image_flags_row
+
+    b = _synth_progressive_jpeg(24, 16)
+    r = compute_image_flags_row(b, 24, 16, 3, "jpeg")
+    assert r["decodable"] is None
+    assert r["header_w"] == 24 and r["header_h"] == 16
+    assert r["dims_ok"] is True
+    # metadata that lies about width IS caught without decoding
+    r2 = compute_image_flags_row(b, 25, 16, 3, "jpeg")
+    assert r2["decodable"] is None and r2["dims_ok"] is False
+
+
+def test_jpeg_magic_garbage_does_not_pass():
+    """Garbage behind a JPEG magic must stay decodable=False (corrupt) —
+    the structural scan is not a blind pass."""
+    from gx_spark.image import compute_image_flags_row
+    from gx_spark.jpeg import jpeg_header_scan
+
+    rng = np.random.default_rng(3)
+    garbage = b"\xff\xd8" + rng.integers(0, 255, 64, dtype=np.uint8).tobytes()
+    with pytest.raises(ValueError):
+        jpeg_header_scan(garbage)
+    assert compute_image_flags_row(garbage, 8, 8, 3, "jpeg")["decodable"] is False
+    # truncated progressive stream: also corrupt
+    b = _synth_progressive_jpeg(24, 16)
+    assert compute_image_flags_row(b[: len(b) // 2], 24, 16, 3,
+                                   "jpeg")["decodable"] is False
