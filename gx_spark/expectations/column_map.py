@@ -480,7 +480,21 @@ class _Monotonic:
     require an explicit `order_by` kwarg at scale; without one we fall back to
     the file/partition order via monotonically_increasing_id (matches the
     reference's single-file batches).  Optional `partition_by` gives
-    partition-local monotonicity — the only form that scales to 10^12 rows.
+    partition-local monotonicity via a keyed window.
+
+    The GLOBAL check (no partition_by) is NOT a global `Window.orderBy` —
+    that serializes the table through one task.  It is the token_shards
+    two-phase shape instead (ops.py token_shards): range-bucket rows on
+    the order column (numeric → approxQuantile boundaries + one hash
+    exchange; else repartitionByRange), run the lag window per bucket
+    (sort state = one bucket, spillable), and stitch bucket boundaries
+    with a tiny per-bucket min_by/max_by aggregate (n_buckets rows on the
+    driver).  Adjacent-pair semantics are identical: a cross-boundary
+    inversion flags the first row of the later bucket, exactly the row
+    the global lag would have flagged.  Ties in the order column are
+    nondeterministic within a bucket, as they are for a global window;
+    range bucketing keeps equal keys in one bucket so ties never span a
+    boundary.
     """
 
     direction_increasing = True
@@ -498,6 +512,11 @@ class _Monotonic:
         nn_ref = ctx.nonnull_count(column, dk, dom)
         inc = self.direction_increasing
 
+        def _bad_vs_prev(prev):
+            if inc:
+                return (F.col(column) <= prev) if strictly else (F.col(column) < prev)
+            return (F.col(column) >= prev) if strictly else (F.col(column) > prev)
+
         def metric(df) -> dict[str, Any]:
             d = df
             if dom is not None:
@@ -508,20 +527,56 @@ class _Monotonic:
                 ocol = "__ord"
             else:
                 ocol = order_by
-            w = Window.orderBy(ocol)
+
             if partition_by:
                 w = Window.partitionBy(*partition_by).orderBy(ocol)
-            prev = F.lag(F.col(column)).over(w)
-            if inc:
-                bad = (F.col(column) <= prev) if strictly else (F.col(column) < prev)
+                badrows = d.withColumn("__bad", _bad_vs_prev(
+                    F.lag(F.col(column)).over(w))).filter(
+                    F.col("__bad").isNotNull() & F.col("__bad"))
+                uc = badrows.count()
+                sample = [r[column]
+                          for r in badrows.select(column).limit(20).collect()]
+                return {"unexpected_count": uc, "sample": sample}
+
+            # global order: range-bucket, per-bucket lag, boundary stitch
+            n_buckets = 32
+            otype = d.schema[ocol].dataType.typeName() if ocol in d.columns \
+                else "long"
+            numeric = otype in ("byte", "short", "integer", "long",
+                                "float", "double", "decimal")
+            if numeric and n_buckets > 1:
+                qs = [i / n_buckets for i in range(1, n_buckets)]
+                bounds = sorted(set(d.stat.approxQuantile(ocol, qs, 0.001)))
+                bucket = F.lit(0)
+                for j, bnd in enumerate(bounds):
+                    bucket = F.when(F.col(ocol) > F.lit(bnd),
+                                    F.lit(j + 1)).otherwise(bucket)
+                ranged = d.withColumn("__pid", bucket).repartition(
+                    max(1, len(bounds) + 1), "__pid")
             else:
-                bad = (F.col(column) >= prev) if strictly else (F.col(column) > prev)
-            # window exprs can't sit in WHERE — materialize the flag first
-            badrows = d.withColumn("__bad", bad).filter(
-                F.col("__bad").isNotNull() & F.col("__bad")
-            )
+                ranged = (d.repartitionByRange(n_buckets, F.col(ocol))
+                          .withColumn("__pid", F.spark_partition_id()))
+            w = Window.partitionBy("__pid").orderBy(ocol)
+            badrows = ranged.withColumn("__bad", _bad_vs_prev(
+                F.lag(F.col(column)).over(w))).filter(
+                F.col("__bad").isNotNull() & F.col("__bad"))
             uc = badrows.count()
-            sample = [r[column] for r in badrows.select(column).limit(20).collect()]
+            sample = [r[column]
+                      for r in badrows.select(column).limit(20).collect()]
+            # boundary pairs: (last value of bucket i, first value of i+1)
+            edges = ranged.groupBy("__pid").agg(
+                F.min_by(F.col(column), F.col(ocol)).alias("__first"),
+                F.max_by(F.col(column), F.col(ocol)).alias("__last"),
+            ).collect()
+            edges.sort(key=lambda r: r["__pid"])
+            for lo, hi in zip(edges, edges[1:]):
+                a, b = lo["__last"], hi["__first"]
+                bad = (a >= b if strictly else a > b) if inc else \
+                      (a <= b if strictly else a < b)
+                if bad:
+                    uc += 1
+                    if len(sample) < 20:
+                        sample.append(b)
             return {"unexpected_count": uc, "sample": sample}
 
         m_ref = ctx.data(

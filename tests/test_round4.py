@@ -9,6 +9,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -212,3 +213,71 @@ def test_validate_stream_fires_actions(tmp_path, spark):
                for ln in lines)
     assert sorted({ln["batch_id"] for ln in lines}) == list(
         range(len({ln["batch_id"] for ln in lines})))
+
+
+# ---------------------------------------------------------------------------
+# scalable global monotonic check (bucketed lag + boundary stitch)
+# ---------------------------------------------------------------------------
+
+def _monotonic_result(spark, df, **kwargs):
+    suite = ExpectationSuite("mono").add(
+        "expect_column_values_to_be_increasing", **kwargs)
+    b = validate(spark, df, suite, EngineOptions())
+    r = b.suite_result.results[0]
+    b.unpersist()
+    return r
+
+
+def test_global_increasing_counts_every_boundary(spark):
+    """Strictly decreasing data checked as increasing flags EVERY adjacent
+    pair (n-1): proves the bucket-boundary stitch neither drops nor
+    double-counts the 31 cross-bucket pairs of the 32-bucket plan."""
+    n = 3200
+    df = spark.range(n).select(
+        (10 * 10**6 - F.col("id")).alias("v"),
+        F.col("id").alias("t"),
+    ).repartition(8)
+    r = _monotonic_result(spark, df, column="v", order_by="t")
+    assert r.success is False
+    assert r.result["unexpected_count"] == n - 1
+
+
+def test_global_increasing_sorted_with_ties_passes(spark):
+    n = 3200
+    df = spark.range(n).select(
+        (F.col("id") / 7).cast("long").alias("v"),
+        F.col("id").alias("t"),
+    ).repartition(8)
+    r = _monotonic_result(spark, df, column="v", order_by="t")
+    assert r.success is True and r.result["unexpected_count"] == 0
+    # strictly: each tie flags, count = serial oracle
+    r2 = _monotonic_result(spark, df, column="v", order_by="t",
+                           strictly=True)
+    vals = [i // 7 for i in range(n)]
+    exp = sum(1 for a, b in zip(vals, vals[1:]) if b <= a)
+    assert r2.result["unexpected_count"] == exp
+
+
+def test_global_increasing_random_walk_matches_serial_oracle(spark):
+    import random
+
+    rng = random.Random(42)
+    vals, v = [], 0
+    for _ in range(2000):
+        v += rng.choice([-3, 1, 2, 5])
+        vals.append(v)
+    rows = [(i, x) for i, x in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long").repartition(16)
+    exp = sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+    r = _monotonic_result(spark, df, column="v", order_by="t")
+    assert r.result["unexpected_count"] == exp
+    assert r.success is (exp == 0)
+
+
+def test_global_increasing_string_order_key(spark):
+    """Non-numeric order key exercises the repartitionByRange fallback."""
+    rows = [(f"k{i:05d}", i if i != 1500 else -1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "t string, v long").repartition(8)
+    r = _monotonic_result(spark, df, column="v", order_by="t")
+    assert r.result["unexpected_count"] == 1  # the drop into -1 at t=1500
+    assert r.result["partial_unexpected_list"]
