@@ -1504,24 +1504,45 @@ def hash_split(
 def group_cap(
     df: DataFrame, group_col: str, order_col: str, cap: int,
     id_col: str | None = None, descending: bool = True,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Per-group cap — "keep at most `cap` best documents per domain", the
     anti-over-representation step of corpus curation (a handful of mega
     sources otherwise dominate a crawl-scale mix).
 
-    One shuffle on group_col; rank = row_number over (order_col desc, id
-    asc) so ties break deterministically; window state is one group, never
-    the table.  A skewed mega-group still ranks in one partition — for
-    known-degenerate keys, pre-aggregate or salt upstream (see skew.py);
-    at cap<<group size a cheaper 2-phase top-k (per-partition cap then
-    global) applies, which Catalyst's rank-limit pushdown already performs
-    for row_number filters."""
+    Default path: one shuffle on group_col; rank = row_number over
+    (order_col desc, id asc) so ties break deterministically; window state
+    is one group, never the table — but a skewed mega-group ranks in ONE
+    task.  For corpora with known-degenerate keys (one domain = half the
+    crawl), pass ``salt_buckets=B``: a pre-phase ranks within
+    (group, xxhash64(id) % B) and keeps `cap` per shard, bounding any
+    task's window state to ~group/B rows, then the final window ranks the
+    <= B*cap survivors.  Output is IDENTICAL to the unsalted plan: the
+    order (order_col, id) is total, so every row of the group's true
+    top-cap is also in its shard's top-cap — the pre-phase can only drop
+    rows the final rank would drop anyway.  Costs a second shuffle; worth
+    it exactly when a group is too big for one task."""
     order = [F.desc(order_col) if descending else F.asc(order_col)]
     if id_col:
         order.append(F.asc(id_col))
+    src = df
+    if salt_buckets and salt_buckets > 1:
+        if not id_col:
+            raise ValueError("salt_buckets requires id_col (deterministic "
+                             "shard assignment + total tie-break order)")
+        w_pre = Window.partitionBy(group_col, "_gc_salt").orderBy(*order)
+        src = (
+            df.withColumn(
+                "_gc_salt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)),
+            )
+            .withColumn("_gc_rk", F.row_number().over(w_pre))
+            .filter(F.col("_gc_rk") <= cap)
+            .drop("_gc_salt", "_gc_rk")
+        )
     w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("rk", F.row_number().over(w))
+        src.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
         .drop("rk")
     )

@@ -169,3 +169,30 @@ def test_mixture_sample_broadcasts_group_totals(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_cap_salted_identical_on_mega_group(docs, spark):
+    """salt_buckets is the skew escape hatch: a pathological corpus where
+    one group holds almost every row must (a) produce EXACTLY the unsalted
+    output — the pre-phase may only drop rows the final rank drops anyway —
+    and (b) bound any single window task's state to ~group/B rows (pinned
+    by plan shape: the pre-phase partitions on (group, salt))."""
+    mega = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 97 == 0, F.col("source"))
+        .otherwise(F.lit("megasrc")),
+    )
+    plain = ops.group_cap(mega, "source", "n_chars", cap=7, id_col="doc_id")
+    salted = ops.group_cap(mega, "source", "n_chars", cap=7,
+                           id_col="doc_id", salt_buckets=8)
+    a = sorted(tuple(r) for r in
+               plain.select("doc_id", "source", "n_chars").collect())
+    b = sorted(tuple(r) for r in
+               salted.select("doc_id", "source", "n_chars").collect())
+    assert a == b and len(a) > 0
+    # plan: the pre-phase window's partition spec includes the salt column,
+    # so no task ever ranks a whole mega-group
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_gc_salt" in plan
+    with pytest.raises(ValueError):
+        ops.group_cap(mega, "source", "n_chars", cap=7, salt_buckets=8)
