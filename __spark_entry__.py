@@ -829,6 +829,23 @@ def q_video_h264_sps_violations(spark, sf_dir):
     )
 
 
+def q_decontaminate_documents(spark, sf_dir):
+    """Test-set decontamination (GPT-3 appendix-C n-gram filter,
+    gx_spark/ops.py decontaminate): docs with doc_id%10==7 stand in for
+    the held-out benchmark; every other doc is train.  A train doc is
+    contaminated if it shares ANY word 5-gram with the bench set (the
+    corpus's planted near-dups light this up: 6 docs at sf0.01).  Bench
+    grams are DISTINCT + broadcast, so train rows never shuffle for the
+    probe.  Output: per train doc with >=5 words, total distinct 5-grams,
+    contaminated-gram count, flag."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    return ops.decontaminate(train, bench, "doc_id", "text", n=5).select(
+        "doc_id", "n_ngrams", "n_hits", "contaminated"
+    )
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1574,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_events": q_streaming_windowed_events,
         "expectation_diagnostics": q_expectation_diagnostics,
         "video_h264_sps_violations": q_video_h264_sps_violations,
+        "decontaminate_documents": q_decontaminate_documents,
         # -- tier 1b: newly oracle-ified this round (were rows-only in
         #    r03; now emit exact top-10 + recall_ok so the driver can
         #    hash-match them) --
@@ -1606,14 +1624,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "hash_split_documents": q_hash_split_documents,
         "group_cap_documents": q_group_cap_documents,
-        "token_shards_documents": q_token_shards_documents,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
+        #    (token_shards moved here when decontaminate_documents took
+        #    its window slot; its oracle + plan pin stay in the repo)
         #    (simple scalar aggs, or subsumed by an in-window query: the
         #    ann_* oracles embed cosine_topk's exact top-10; kl/psi/ks
         #    share the drift/stat-test code paths still covered by
         #    kl_vs_profiled_baseline + chisquare; referential_custkey is
         #    the unsalted variant of referential_salted_custkey) or
         #    rows-only by design (no SQL oracle) --
+        "token_shards_documents": q_token_shards_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "kl_quantity_uniform": q_kl_quantity_uniform,
         "psi_quantity_uniform": q_psi_quantity_uniform,
@@ -2234,6 +2254,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "ORDER BY n_chars DESC, doc_id ASC) <= 10"
+        ),
+        "decontaminate_documents": (
+            # word 5-grams via 1-based inclusive list slices; range() is
+            # end-exclusive so i runs 1..len-4 (= #5-grams); bench =
+            # doc_id%10==7, train = the rest; LEFT JOIN keeps clean docs
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS ngram "
+            "FROM w, unnest(range(1, len(words)-5+2)) AS t(i) "
+            "WHERE len(words) >= 5), "
+            "bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 10 = 7), "
+            "tr AS (SELECT doc_id, ngram FROM g WHERE doc_id % 10 <> 7), "
+            "tot AS (SELECT doc_id, CAST(count(DISTINCT ngram) AS BIGINT) "
+            "AS n_ngrams FROM tr GROUP BY doc_id), "
+            "hit AS (SELECT t.doc_id, CAST(count(DISTINCT t.ngram) AS BIGINT) "
+            "AS n_hits FROM tr t JOIN bench USING (ngram) GROUP BY t.doc_id) "
+            "SELECT tot.doc_id, tot.n_ngrams, "
+            "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
+            "coalesce(hit.n_hits, 0) > 0 AS contaminated "
+            "FROM tot LEFT JOIN hit USING (doc_id)"
         ),
         "token_shards_documents": (
             # integer floor division (//) to mirror the engine's exact

@@ -1410,6 +1410,62 @@ def fingerprint_overlap_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame, bench: DataFrame, id_col: str, text_col: str,
+    n: int = 13, broadcast_bench: bool = True,
+) -> DataFrame:
+    """Test-set decontamination — flag training documents sharing any
+    word n-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+    filter; 13-grams there, parameterized here).  The step every
+    pretraining pipeline runs so eval numbers aren't memorization.
+
+    All JVM-side: split -> slice/array_join n-grams -> explode; the
+    benchmark's DISTINCT n-grams join against train n-grams.  Benchmark
+    sets are tiny relative to a crawl (thousands of eval documents vs
+    billions of train docs), so the bench gram set is BROADCAST by
+    default — train rows never shuffle for the probe; per-doc totals and
+    hit counts are two partial-aggregated groupBys on the train side
+    only.  For a pathologically large bench set pass
+    ``broadcast_bench=False`` to fall back to a shuffle hash join on the
+    n-gram key.  Docs shorter than ``n`` words have no n-grams and are
+    absent from the output (nothing to test for contamination).
+
+    Returns one row per train doc with >= n words:
+    (id_col, n_ngrams, n_hits, contaminated).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        w = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+        ).filter(F.size("_w") >= n)
+        # sequence(1, k) DESCENDS when k < 1 — the size filter above
+        # guarantees k = size-n+1 >= 1 so the expr never sees that case
+        return w.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {n} + 1), "
+                    f"i -> array_join(slice(_w, i, {n}), ' '))"
+                )
+            ).alias("ngram"),
+        )
+
+    bench_grams = grams(bench).select("ngram").distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = grams(train)
+    totals = train_grams.groupBy(id_col).agg(
+        F.countDistinct("ngram").cast("long").alias("n_ngrams")
+    )
+    hits = train_grams.join(bench_grams, "ngram").groupBy(id_col).agg(
+        F.countDistinct("ngram").cast("long").alias("n_hits")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def curation_pipeline(
     df: DataFrame, id_col: str, text_col: str, lang: str = "en",
     min_tokens: int = 5, max_tokens: int = 1000,

@@ -196,3 +196,38 @@ def test_group_cap_salted_identical_on_mega_group(docs, spark):
     assert "_gc_salt" in plan
     with pytest.raises(ValueError):
         ops.group_cap(mega, "source", "n_chars", cap=7, salt_buckets=8)
+
+
+def test_decontaminate_flags_planted_near_dups(docs, spark):
+    """Decontamination (GPT-3 appendix-C n-gram filter): benchmark slice
+    doc_id%10==7, train = rest.  Pins (a) pandas recompute of the exact
+    per-doc distinct-5-gram totals and hit counts, (b) the planted
+    near-dups are flagged, (c) bench-gram broadcast in the plan, and
+    (d) short docs (<n words) are absent rather than zero-filled."""
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    out = ops.decontaminate(train, bench, "doc_id", "text", n=5)
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_hits"], r["contaminated"])
+           for r in out.collect()}
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)} \
+            if len(w) >= 5 else set()
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_g = set()
+    for _, row in pdf[pdf["doc_id"] % 10 == 7].iterrows():
+        bench_g |= grams(row["text"])
+    n_contam = 0
+    for _, row in pdf[pdf["doc_id"] % 10 != 7].iterrows():
+        g = grams(row["text"])
+        if not g:
+            assert row["doc_id"] not in got
+            continue
+        hits = len(g & bench_g)
+        assert got[row["doc_id"]] == (len(g), hits, hits > 0), row["doc_id"]
+        n_contam += hits > 0
+    assert n_contam > 0, "corpus's planted near-dups must light up"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
