@@ -846,6 +846,17 @@ def q_decontaminate_documents(spark, sf_dir):
     )
 
 
+def q_repetition_stats_documents(spark, sf_dir):
+    """Within-document repetition quality signals (Gopher / Rae et al.
+    2021 Table A1, gx_spark/ops.py repetition_stats): duplicate word
+    2-gram / 3-gram fractions + the most-repeated 2-gram's multiplicity,
+    all computed as higher-order-function folds over each doc's own gram
+    array — the plan has ZERO Exchange (pinned in tests); the oracle
+    recomputes every signal relationally."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.repetition_stats(docs, "doc_id", "text")
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1592,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectation_diagnostics": q_expectation_diagnostics,
         "video_h264_sps_violations": q_video_h264_sps_violations,
         "decontaminate_documents": q_decontaminate_documents,
+        "repetition_stats_documents": q_repetition_stats_documents,
         # -- tier 1b: newly oracle-ified this round (were rows-only in
         #    r03; now emit exact top-10 + recall_ok so the driver can
         #    hash-match them) --
@@ -1622,11 +1634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "hash_split_documents": q_hash_split_documents,
         "group_cap_documents": q_group_cap_documents,
         # -- tier 3: past the driver window — hash-green in r02 AND r03
-        #    (token_shards moved here when decontaminate_documents took
-        #    its window slot; its oracle + plan pin stay in the repo)
+        #    (token_shards and hash_split moved here when the round-4
+        #    decontaminate/repetition queries took their window slots;
+        #    oracles + plan pins stay in the repo; group_cap stays IN the
+        #    window because its impl gained the salted pre-cap this round)
         #    (simple scalar aggs, or subsumed by an in-window query: the
         #    ann_* oracles embed cosine_topk's exact top-10; kl/psi/ks
         #    share the drift/stat-test code paths still covered by
@@ -1634,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the unsalted variant of referential_salted_custkey) or
         #    rows-only by design (no SQL oracle) --
         "token_shards_documents": q_token_shards_documents,
+        "hash_split_documents": q_hash_split_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "kl_quantity_uniform": q_kl_quantity_uniform,
         "psi_quantity_uniform": q_psi_quantity_uniform,
@@ -2274,6 +2288,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "repetition_stats_documents": (
+            # relational recompute of the engine's map-side HOF folds:
+            # dup frac = 1 - distinct/total grams; top multiplicity from
+            # a per-(doc, gram) count; docs too short for grams -> 0s
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "g2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram "
+            "FROM w, unnest(range(1, len(words))) t(i) WHERE len(words) >= 2), "
+            "g3 AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram "
+            "FROM w, unnest(range(1, len(words)-1)) t(i) WHERE len(words) >= 3), "
+            "a2 AS (SELECT doc_id, SUM(cnt) AS tot, COUNT(*) AS dist, "
+            "MAX(cnt) AS topc FROM (SELECT doc_id, gram, count(*) AS cnt "
+            "FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "a3 AS (SELECT doc_id, SUM(cnt) AS tot, COUNT(*) AS dist "
+            "FROM (SELECT doc_id, gram, count(*) AS cnt "
+            "FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id) "
+            "SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+            "ROUND(coalesce(1.0 - a2.dist / CAST(a2.tot AS DOUBLE), 0), 6) "
+            "AS dup_2gram_frac, "
+            "ROUND(coalesce(1.0 - a3.dist / CAST(a3.tot AS DOUBLE), 0), 6) "
+            "AS dup_3gram_frac, "
+            "CAST(coalesce(a2.topc, 0) AS BIGINT) AS top_2gram_count "
+            "FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"
         ),
         "token_shards_documents": (
             # integer floor division (//) to mirror the engine's exact

@@ -1315,6 +1315,69 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (Gopher quality-filter family,
+    Rae et al. 2021 Table A1): duplicate word-2-gram / 3-gram fractions
+    and the most-repeated 2-gram's count.  A doc that is one phrase
+    stuttered thousands of times sails through length/punct filters but
+    lights these up.
+
+    ZERO shuffle: every signal is a higher-order-function fold over the
+    doc's own gram array — dup fraction from array_distinct, the top
+    count from a single aggregate() pass over the sorted grams (sorted =>
+    equal grams are adjacent => max run length == max multiplicity).
+    Docs with fewer than n words score 0 (nothing repeatable)."""
+    t = F.col(text_col)
+    w = F.split(t, " ")
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
+                f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g: Column) -> Column:
+        return F.round(
+            F.when(
+                F.size(g) > 0,
+                1.0 - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    def max_mult(g: Column) -> Column:
+        z = F.lit(0).cast("long")
+        return F.aggregate(
+            F.sort_array(g),
+            F.struct(
+                F.lit("").alias("prev"), z.alias("run"), z.alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long")),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    g2, g3 = grams(2), grams(3)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).cast("long").alias("n_words"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        max_mult(g2).alias("top_2gram_count"),
+    )
+
+
 # deterministic marker-word rule shared verbatim with the DuckDB oracle
 LANG_RULES = [
     ("zh", "[一-鿿]"),

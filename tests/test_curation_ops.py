@@ -231,3 +231,29 @@ def test_decontaminate_flags_planted_near_dups(docs, spark):
     assert n_contam > 0, "corpus's planted near-dups must light up"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_repetition_stats_matches_python_and_never_shuffles(docs, spark):
+    """Gopher repetition signals: pandas recompute of dup-gram fractions
+    and top-2-gram multiplicity, plus the zero-Exchange plan pin (every
+    signal folds over the doc's own gram array — no groupBy anywhere)."""
+    out = ops.repetition_stats(docs, "doc_id", "text")
+    got = {r["doc_id"]: (r["n_words"], r["dup_2gram_frac"],
+                         r["dup_3gram_frac"], r["top_2gram_count"])
+           for r in out.collect()}
+    from collections import Counter
+    pdf = docs.select("doc_id", "text").toPandas()
+    assert len(got) == len(pdf)
+    for _, row in pdf.iterrows():
+        w = row["text"].split(" ")
+        g2 = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        g3 = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        want = (
+            len(w),
+            round(1 - len(set(g2)) / len(g2), 6) if g2 else 0.0,
+            round(1 - len(set(g3)) / len(g3), 6) if g3 else 0.0,
+            max(Counter(g2).values()) if g2 else 0,
+        )
+        assert got[row["doc_id"]] == want, row["doc_id"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
