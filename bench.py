@@ -330,6 +330,16 @@ def main() -> None:
         ops.lang_distribution(docs, "text").collect()
         ops.md5_fingerprints(docs, "doc_id", "text").count()
         ops.simhash64(docs, "doc_id", "text").count()
+        # round-4 quality/safety ops: zero-shuffle Gopher repetition folds
+        # + decontamination probe against a broadcast benchmark gram set
+        ops.repetition_stats(docs, "doc_id", "text").agg(
+            F.avg("dup_2gram_frac"), F.max("top_2gram_count")
+        ).collect()
+        bench_slice = docs.where(F.col("doc_id") % 10 == 7)
+        train_slice = docs.where(F.col("doc_id") % 10 != 7)
+        ops.decontaminate(
+            train_slice, bench_slice, "doc_id", "text", n=5
+        ).where("contaminated").count()
 
     @bench("embeddings_similarity")
     def _():
