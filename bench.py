@@ -330,8 +330,14 @@ def main() -> None:
         ops.lang_distribution(docs, "text").collect()
         ops.md5_fingerprints(docs, "doc_id", "text").count()
         ops.simhash64(docs, "doc_id", "text").count()
-        # round-4 quality/safety ops: zero-shuffle Gopher repetition folds
-        # + decontamination probe against a broadcast benchmark gram set
+
+    @bench("documents_quality_safety")
+    def _():
+        # round-4 quality/safety ops in their OWN section so the
+        # long-lived text_analysis numbers stay comparable across rounds:
+        # zero-shuffle Gopher repetition folds + decontamination probe
+        # against a broadcast benchmark gram set
+        docs = load("documents")
         ops.repetition_stats(docs, "doc_id", "text").agg(
             F.avg("dup_2gram_frac"), F.max("top_2gram_count")
         ).collect()

@@ -1326,16 +1326,22 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     doc's own gram array — dup fraction from array_distinct, the top
     count from a single aggregate() pass over the sorted grams (sorted =>
     equal grams are adjacent => max run length == max multiplicity).
-    Docs with fewer than n words score 0 (nothing repeatable)."""
-    t = F.col(text_col)
-    w = F.split(t, " ")
+    Docs with fewer than n words score 0 (nothing repeatable).
+
+    The split and each gram array are materialized ONCE per row in
+    staged projections — referencing split() inside the transform lambda
+    would re-evaluate it per element (O(words^2) chars per doc; measured
+    ~3x on the bench corpus)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
 
     def grams(n: int) -> Column:
         return F.when(
-            F.size(w) >= n,
+            F.size("_w") >= n,
             F.expr(
-                f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
-                f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+                f"transform(sequence(1, size(_w) - {n} + 1), "
+                f"i -> array_join(slice(_w, i, {n}), ' '))"
             ),
         ).otherwise(F.array().cast("array<string>"))
 
@@ -1368,13 +1374,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda acc: acc["best"],
         )
 
-    g2, g3 = grams(2), grams(3)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(w).cast("long").alias("n_words"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        max_mult(g2).alias("top_2gram_count"),
+    return staged.select(
+        "doc_id", "_w", grams(2).alias("_g2"), grams(3).alias("_g3")
+    ).select(
+        F.col("doc_id"),
+        F.size("_w").cast("long").alias("n_words"),
+        dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
+        max_mult(F.col("_g2")).alias("top_2gram_count"),
     )
 
 
