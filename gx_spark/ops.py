@@ -1331,7 +1331,16 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The split and each gram array are materialized ONCE per row in
     staged projections — referencing split() inside the transform lambda
     would re-evaluate it per element (O(words^2) chars per doc; measured
-    ~3x on the bench corpus)."""
+    ~3x on the bench corpus).
+
+    Tokenization is a RAW single-space split, deliberately: no trim /
+    lowercase / \\s+ collapse.  Repetition is a signal about the byte
+    stream as stored — "a  a  a" (double-spaced stutter) repeating is
+    exactly as degenerate as "a a a", and normalizing first would merge
+    grams that differ only in whitespace, under-counting the very
+    pathology this filter exists to catch.  This intentionally differs
+    from the quality/stopword ops (which lower+trim+\\s+ because their
+    signals are linguistic); the DuckDB oracle splits identically."""
     staged = df.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w")
     )
@@ -1500,6 +1509,14 @@ def decontaminate(
     n-gram key.  Docs shorter than ``n`` words have no n-grams and are
     absent from the output (nothing to test for contamination).
 
+    Tokenization is a RAW single-space split (no trim/lower/\\s+), and
+    train and bench are split IDENTICALLY — what matters for
+    decontamination is that the two sides agree, so a verbatim eval leak
+    always matches itself regardless of the convention.  GPT-3's filter
+    normalized more aggressively (lowercase + punctuation strip); callers
+    wanting that recall can pre-normalize both inputs with the same
+    expression.  The DuckDB oracle splits identically.
+
     Returns one row per train doc with >= n words:
     (id_col, n_ngrams, n_hits, contaminated).
     """
@@ -1656,6 +1673,12 @@ def group_cap(
         if not id_col:
             raise ValueError("salt_buckets requires id_col (deterministic "
                              "shard assignment + total tie-break order)")
+        clash = {"_gc_salt", "_gc_rk"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"group_cap temp column name(s) {sorted(clash)} already "
+                "exist on the input — rename them first (withColumn would "
+                "silently overwrite; same caveat as the 'rk' output column)")
         w_pre = Window.partitionBy(group_col, "_gc_salt").orderBy(*order)
         src = (
             df.withColumn(

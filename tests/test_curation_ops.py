@@ -196,6 +196,12 @@ def test_group_cap_salted_identical_on_mega_group(docs, spark):
     assert "_gc_salt" in plan
     with pytest.raises(ValueError):
         ops.group_cap(mega, "source", "n_chars", cap=7, salt_buckets=8)
+    # temp-name collision guard: a caller column named _gc_salt/_gc_rk
+    # would be silently overwritten by the salted pre-phase — refuse it
+    with pytest.raises(ValueError, match="_gc_salt"):
+        ops.group_cap(mega.withColumn("_gc_salt", F.lit(1)),
+                      "source", "n_chars", cap=7, id_col="doc_id",
+                      salt_buckets=8)
 
 
 def test_decontaminate_flags_planted_near_dups(docs, spark):
@@ -248,12 +254,17 @@ def test_repetition_stats_matches_python_and_never_shuffles(docs, spark):
         w = row["text"].split(" ")
         g2 = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
         g3 = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
-        want = (
-            len(w),
-            round(1 - len(set(g2)) / len(g2), 6) if g2 else 0.0,
-            round(1 - len(set(g3)) / len(g3), 6) if g3 else 0.0,
-            max(Counter(g2).values()) if g2 else 0,
-        )
-        assert got[row["doc_id"]] == want, row["doc_id"]
+        n_words, f2, f3, top = got[row["doc_id"]]
+        assert n_words == len(w), row["doc_id"]
+        assert top == (max(Counter(g2).values()) if g2 else 0), row["doc_id"]
+        # fractions via approx, not rounded equality: Spark F.round is
+        # HALF_UP while Python round() is banker's — an exact .5 at the
+        # 6th decimal would flake an == on the two roundings
+        assert f2 == pytest.approx(
+            (1 - len(set(g2)) / len(g2)) if g2 else 0.0, abs=1e-6
+        ), row["doc_id"]
+        assert f3 == pytest.approx(
+            (1 - len(set(g3)) / len(g3)) if g3 else 0.0, abs=1e-6
+        ), row["doc_id"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
