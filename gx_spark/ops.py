@@ -1498,16 +1498,23 @@ def decontaminate(
     filter; 13-grams there, parameterized here).  The step every
     pretraining pipeline runs so eval numbers aren't memorization.
 
-    All JVM-side: split -> slice/array_join n-grams -> explode; the
-    benchmark's DISTINCT n-grams join against train n-grams.  Benchmark
-    sets are tiny relative to a crawl (thousands of eval documents vs
-    billions of train docs), so the bench gram set is BROADCAST by
-    default — train rows never shuffle for the probe; per-doc totals and
-    hit counts are two partial-aggregated groupBys on the train side
-    only.  For a pathologically large bench set pass
-    ``broadcast_bench=False`` to fall back to a shuffle hash join on the
-    n-gram key.  Docs shorter than ``n`` words have no n-grams and are
-    absent from the output (nothing to test for contamination).
+    All JVM-side: split -> slice/array_join n-grams; the benchmark's
+    DISTINCT n-grams join against train n-grams.  Benchmark sets are tiny
+    relative to a crawl (thousands of eval documents vs billions of train
+    docs), so the bench gram set is BROADCAST by default — train rows
+    never shuffle for the probe.  Per-doc totals are computed MAP-SIDE on
+    the un-exploded gram array (``size(array_distinct(...))``, the
+    repetition_stats fold technique): no exchange ever carries the train
+    corpus's exploded n-grams.  Only the HITS leg explodes — each doc's
+    distinct grams probe the broadcast set, so the post-join rows are
+    bounded by |bench grams| x contaminated docs, and the groupBy behind
+    them partial-aggregates map-side before its (tiny) exchange.  The
+    final totals<-hits left join exchanges one ~24-byte row per train doc
+    — the unavoidable floor for a per-doc verdict.  For a pathologically
+    large bench set pass ``broadcast_bench=False`` to fall back to a
+    shuffle hash join on the n-gram key.  Docs shorter than ``n`` words
+    have no n-grams and are absent from the output (nothing to test for
+    contamination).
 
     Tokenization is a RAW single-space split (no trim/lower/\\s+), and
     train and bench are split IDENTICALLY — what matters for
@@ -1520,7 +1527,7 @@ def decontaminate(
     Returns one row per train doc with >= n words:
     (id_col, n_ngrams, n_hits, contaminated).
     """
-    def grams(df: DataFrame) -> DataFrame:
+    def gram_sets(df: DataFrame) -> DataFrame:
         w = df.select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
         ).filter(F.size("_w") >= n)
@@ -1528,23 +1535,31 @@ def decontaminate(
         # guarantees k = size-n+1 >= 1 so the expr never sees that case
         return w.select(
             F.col(id_col),
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(_w) - {n} + 1), "
                     f"i -> array_join(slice(_w, i, {n}), ' '))"
                 )
-            ).alias("ngram"),
+            ).alias("_grams"),
         )
 
-    bench_grams = grams(bench).select("ngram").distinct()
+    bench_grams = (
+        gram_sets(bench).select(F.explode("_grams").alias("ngram")).distinct()
+    )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    train_grams = grams(train)
-    totals = train_grams.groupBy(id_col).agg(
-        F.countDistinct("ngram").cast("long").alias("n_ngrams")
+    train_sets = gram_sets(train)
+    # totals: a pure per-row fold — never exploded, never exchanged
+    totals = train_sets.select(
+        F.col(id_col), F.size("_grams").cast("long").alias("n_ngrams")
     )
-    hits = train_grams.join(bench_grams, "ngram").groupBy(id_col).agg(
-        F.countDistinct("ngram").cast("long").alias("n_hits")
+    # hits: the only explode; _grams is already distinct per doc, so the
+    # post-join count(*) equals the old countDistinct without a dedup
+    hits = (
+        train_sets.select(F.col(id_col), F.explode("_grams").alias("ngram"))
+        .join(bench_grams, "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     return (
         totals.join(hits, id_col, "left")

@@ -239,6 +239,28 @@ def test_decontaminate_flags_planted_near_dups(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
 
+def test_decontaminate_totals_leg_never_exchanges_train_grams(docs, spark):
+    """Scale-shape pin for the r5 rewrite: per-doc totals are a map-side
+    size(array_distinct(...)) fold, so no Exchange partitioned on the doc
+    key may carry an ngram attribute (the old countDistinct plan shuffled
+    every distinct (doc, 13-gram) pair of the train corpus).  The only
+    Exchange allowed to carry grams is the bench side's distinct — bounded
+    by the (tiny) benchmark set, and broadcast after."""
+    from gx_spark.plancheck import exchange_sections, formatted_plan
+
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    out = ops.decontaminate(train, bench, "doc_id", "text", n=5)
+    plan = formatted_plan(out)
+    exchanges = exchange_sections(plan)
+    assert exchanges, "expected at least the bench-distinct exchange"
+    for ex in exchanges:
+        if "hashpartitioning(doc_id" in ex:
+            assert "ngram" not in ex and "_grams" not in ex, (
+                f"train grams entered a doc-keyed shuffle:\n{ex}")
+    assert "array_distinct" in plan, "map-side totals fold missing"
+
+
 def test_repetition_stats_matches_python_and_never_shuffles(docs, spark):
     """Gopher repetition signals: pandas recompute of dup-gram fractions
     and top-2-gram multiplicity, plus the zero-Exchange plan pin (every
