@@ -305,31 +305,50 @@ def audio_dedup_groups(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     codec_col: str = "codec",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Content-duplicate groups: (fp64, n_clips, clip_ids) for groups >= 2.
 
     Catches re-encoded (codec-changed) and gain-scaled re-uploads that
     exact byte/md5 dedup misses.  clip_ids is capped at 20 per group, and
     the cap is enforced BEFORE aggregation state accumulates: a
-    row_number window over fp64 (sort-based, spillable — never an
-    in-memory list) marks the first 20 ids per group, and the single
-    groupBy collects only those (collect_list drops the NULLs the `when`
-    emits past the cap), so a pathological all-identical corpus holds at
-    most 20 ids of state per group instead of the whole group.  One
-    shuffle total: the groupBy reuses the window's hash partitioning on
-    fp64, and only the ~16-byte (id, fp64) rows ever shuffle — the one
-    expensive decode happens once, before the exchange."""
+    row_number window marks the first 20 ids, and the single groupBy
+    collects only those (collect_list drops the NULLs the `when` emits
+    past the cap).
+
+    The pre-cap window is SALTED (the group_cap(salt_buckets=) shape,
+    ops.py): it partitions on (fp64, xxhash64(id) % salt_buckets), so a
+    pathological mega-group — half the corpus being one re-uploaded clip —
+    ranks in salt_buckets parallel spillable tasks of ~group/B rows each,
+    never one task holding the whole group.  Output is IDENTICAL to the
+    unsalted plan: ranking by id is a total order, so every member of the
+    group's true first-20 is also in its shard's first-20 — the final
+    sort_array + slice(…, 1, 20) over the <= B*20 collected survivors
+    recovers exactly the global first 20, and n_clips counts every row
+    regardless of rank.  Aggregation state stays bounded at <= B*20 ids
+    per group.  Two exchanges of ~16-byte (id, fp64) rows — (fp64, salt)
+    for the window, fp64 for the groupBy — and the one expensive decode
+    still happens exactly once, map-side, before any shuffle
+    (fingerprint_audio is consumed once; no second decode pass).
+    ``salt_buckets=1`` reproduces the old single-window plan."""
     from pyspark.sql import Window
 
+    b = max(1, int(salt_buckets))
     fp = fingerprint_audio(
         df, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col
     )
-    w = Window.partitionBy("fp64").orderBy(id_col)
-    ranked = fp.withColumn("_rn", F.row_number().over(w))
+    salted = fp.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(b))
+    )
+    w = Window.partitionBy("fp64", "_salt").orderBy(id_col)
+    ranked = salted.withColumn("_rn", F.row_number().over(w))
     capped = ranked.groupBy("fp64").agg(
         F.count(F.lit(1)).alias("n_clips"),
-        F.sort_array(F.collect_list(
-            F.when(F.col("_rn") <= 20, F.col(id_col)))).alias("clip_ids"),
+        F.slice(
+            F.sort_array(F.collect_list(
+                F.when(F.col("_rn") <= 20, F.col(id_col)))),
+            1, 20,
+        ).alias("clip_ids"),
     )
     return capped.where(F.col("n_clips") >= 2)
 

@@ -15,7 +15,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from gx_spark.audio import decode_payload, encode_payload, wav_encode  # noqa: E402
+from gx_spark.audio import decode_payload, encode_payload, synth_pcm, wav_encode  # noqa: E402
 from gx_spark.audio_ops import (  # noqa: E402
     audio_dedup_groups,
     compute_features_row,
@@ -226,6 +226,32 @@ def test_audio_dedup_groups_spark(spark):
     assert len(g) == 8
     assert all(r.n_clips == 3 for r in g)
     assert all(len(r.clip_ids) == 3 for r in g)
+
+
+def test_audio_dedup_salted_identical_on_all_identical_fingerprints(spark):
+    """The r5 salted pre-cap must be output-identical to the unsalted
+    plan on the degenerate input it exists for: EVERY clip one
+    fingerprint group (47 > 2*cap members), so the group spans all salt
+    shards and the final slice must recover exactly the global first-20
+    ids while n_clips still counts every member."""
+    pcm = synth_pcm("same-content", SR, 80)
+    payload = bytearray(encode_payload(pcm, SR, "pcm_s16le"))
+    rows = [(f"clip{i:03d}", payload, "pcm_s16le") for i in range(47)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string")
+    salted = audio_dedup_groups(df, salt_buckets=8).collect()
+    plain = audio_dedup_groups(df, salt_buckets=1).collect()
+    assert len(salted) == len(plain) == 1
+    s, p = salted[0], plain[0]
+    assert (s.fp64, s.n_clips, s.clip_ids) == (p.fp64, p.n_clips, p.clip_ids)
+    assert s.n_clips == 47
+    assert s.clip_ids == [f"clip{i:03d}" for i in range(20)]
+    # plan: the pre-cap window partitions on (fp64, salt)
+    plan = (
+        audio_dedup_groups(df, salt_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
 
 
 def test_fingerprint_binary_never_shuffles(spark):
