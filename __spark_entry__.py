@@ -857,6 +857,44 @@ def q_repetition_stats_documents(spark, sf_dir):
     return ops.repetition_stats(docs, "doc_id", "text")
 
 
+def q_pii_documents(spark, sf_dir):
+    """PII detection + redaction (gx_spark/ops.py pii_stats/redact_pii;
+    pattern classes in the spirit of public scrubbers — Presidio, ROOTS).
+    The synthetic corpus carries no PII, so the query PLANTS it
+    deterministically from doc_id modular classes (email / phone / ipv4 /
+    card) with the identical SQL-expressible concat on both engines, then
+    reports per-doc class counts, the total, and the redaction residue
+    (count + length after redact_pii) — residual_pii must be 0 on every
+    row.  Entirely map-side: regexp_count/regexp_replace folds, zero
+    Exchange."""
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 3, F.concat(
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 11 == 5, F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(d % 13 == 2, F.concat(
+                F.lit(" from 10.0."), (d % 200).cast("string"),
+                F.lit(".7"))).otherwise(F.lit("")),
+            F.when(d % 17 == 11,
+                   F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = ops.redact_pii(planted, "text", out_col="clean")
+    return (
+        ops.pii_stats(red, "doc_id", "text", keep_cols=["clean"])
+        .withColumn("residual_pii", ops.pii_count_expr(F.col("clean")))
+        .withColumn("clean_len", F.length("clean").cast("long"))
+        .drop("clean")
+    )
+
+
 def q_audio_features_banded(spark, sf_dir):
     """Per-clip acoustic feature extraction (gx_spark.audio_ops.
     extract_audio_features): one Arrow UDF decodes each payload and emits
@@ -1603,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectation_diagnostics": q_expectation_diagnostics,
         "video_h264_sps_violations": q_video_h264_sps_violations,
         "decontaminate_documents": q_decontaminate_documents,
+        "pii_documents": q_pii_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         # -- tier 1b: newly oracle-ified this round (were rows-only in
         #    r03; now emit exact top-10 + recall_ok so the driver can
@@ -1790,6 +1829,55 @@ SELECT d.doc_id, COALESCE(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
        TRUE AS reconstruction_ok
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 """
+
+def _pii_oracle_sql() -> str:
+    """DuckDB oracle for pii_documents: the identical deterministic plant,
+    RE2 twins of ops.PII_PATTERNS (patterns restricted to the
+    Java-regex/RE2-common subset by construction), counts via
+    len(regexp_extract_all(...)), redaction via chained global
+    regexp_replace in ops._PII_REDACT_ORDER."""
+    from gx_spark.ops import _PII_REDACT_ORDER, PII_PATTERNS
+
+    def cnt(expr: str, name: str) -> str:
+        return (f"len(regexp_extract_all({expr}, "
+                f"'{PII_PATTERNS[name]}'))::BIGINT")
+
+    red = "text"
+    for name in _PII_REDACT_ORDER:
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[name]}', "
+               f"'[PII]', 'g')")
+    total = " + ".join(cnt("text", n) for n in PII_PATTERNS)
+    resid = " + ".join(cnt("clean", n) for n in PII_PATTERNS)
+    class_cols = ",\n  ".join(
+        f"{cnt('text', n)} AS n_{n}" for n in PII_PATTERNS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 3
+         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 5
+         THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 2
+         THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.7'
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 11
+         THEN ' card 4111 1111 1111 1111'
+         ELSE '' END AS text
+  FROM documents
+),
+red AS (SELECT doc_id, text, {red} AS clean FROM planted)
+SELECT doc_id,
+  {class_cols},
+  ({total})::BIGINT AS n_pii,
+  (({total}) > 0) AS has_pii,
+  ({resid})::BIGINT AS residual_pii,
+  length(clean)::BIGINT AS clean_len
+FROM red
+"""
+
 
 _LANG_CASE_SQL = """
     CASE
@@ -2289,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
         ),
+        "pii_documents": _pii_oracle_sql(),
         "repetition_stats_documents": (
             # relational recompute of the engine's map-side HOF folds:
             # dup frac = 1 - distinct/total grams; top multiplicity from

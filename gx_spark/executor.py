@@ -49,6 +49,7 @@ from .expectations import (  # noqa: F401
     drift_exp,
     image_exp,
     multicolumn,
+    pii,
     referential,
     stat_tests,
     table,

@@ -1568,6 +1568,88 @@ def decontaminate(
     )
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Regex classes for PII-shaped spans.  Deliberately restricted to syntax
+# that behaves IDENTICALLY under Java regex (Spark's rlike/regexp_count/
+# regexp_replace) and RE2 (DuckDB's regexp_* — the correctness oracle):
+# no lookaround, no backreferences, only \b/\d/char classes/bounded
+# repetition, all of which have the same leftmost, non-overlapping match
+# semantics in both engines.  The classes are detection heuristics in the
+# spirit of public PII scrubbers (e.g. Microsoft Presidio's pattern
+# recognizers; BigScience ROOTS corpus PII filtering, Laurençon et al.
+# 2022) — "shaped like", not verified: the card class is digit-grouping
+# only (no Luhn checksum — not expressible as a regex), and the ipv4
+# class accepts octets up to 999 (tightening to 0-255 triples the
+# pattern for no recall gain on real text).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ccard": r"\b(?:\d{4}[ -]){3}\d{1,4}\b",
+}
+
+# Redaction order: most-specific / longest spans first, so a card number
+# is masked whole before the phone class could nibble a sub-span, and an
+# address-like host in an email is gone before the ipv4 pass.
+_PII_REDACT_ORDER = ("email", "ccard", "ipv4", "phone")
+
+
+def pii_count_expr(col: Column | str, classes: list[str] | None = None) -> Column:
+    """Total PII-shaped match count in a string column — a pure map-side
+    regexp_count sum (JVM codegen, no UDF).  Classes are counted
+    independently; a span matching two classes counts twice (detection
+    semantics: every class wants review)."""
+    c = F.col(col) if isinstance(col, str) else col
+    names = list(classes or PII_PATTERNS)
+    total = F.lit(0)
+    for name in names:
+        total = total + F.regexp_count(c, F.lit(PII_PATTERNS[name]))
+    return total.cast("long")
+
+
+def pii_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document PII detection counts: one row per doc with a count
+    per class plus the total — the audit table a curation pipeline
+    reviews before deciding to drop vs redact.  Zero shuffle: every
+    count is a map-side regexp_count.  `keep_cols` pass through
+    untouched (the extract_audio_features convention)."""
+    t = F.col(text_col)
+    cols = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *cols,
+        pii_count_expr(t).alias("n_pii"),
+        *[F.col(c) for c in (keep_cols or [])],
+    ).withColumn("has_pii", F.col("n_pii") > 0)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None,
+    replacement: str = "[PII]", classes: list[str] | None = None,
+) -> DataFrame:
+    """Mask PII-shaped spans with `replacement` — chained map-side
+    regexp_replace (global, all occurrences), applied in
+    _PII_REDACT_ORDER so broader classes never split a span a more
+    specific class would have masked whole.  Idempotent for the default
+    replacement (the mask contains no digits or '@').  No shuffle, no
+    UDF; the text column is rewritten in place unless `out_col` names a
+    new column."""
+    names = [n for n in _PII_REDACT_ORDER if classes is None or n in classes]
+    c: Column = F.col(text_col)
+    for name in names:
+        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    return df.withColumn(out_col or text_col, c)
+
+
 def curation_pipeline(
     df: DataFrame, id_col: str, text_col: str, lang: str = "en",
     min_tokens: int = 5, max_tokens: int = 1000,

@@ -1,0 +1,117 @@
+"""PII detection / redaction: planted-fixture counts recomputed with
+Python re, full-redaction and idempotence properties, the map-only plan
+pin, and the expectation's EVR semantics."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gx_spark import EngineOptions, ExpectationSuite, validate  # noqa: E402
+from gx_spark.ops import (  # noqa: E402
+    PII_PATTERNS,
+    pii_stats,
+    redact_pii,
+)
+
+ROWS = [
+    (0, "no pii here, just words and numbers like 12 or 999"),
+    (1, "mail me: a.b-c_d+e%f@sub.example.co and x@y.io thanks"),
+    (2, "call 415-555-0123 or 212.555.9876 x99"),
+    (3, "server at 10.0.0.1 and backup at 192.168.100.200"),
+    (4, "card 4111 1111 1111 1111 and 1234-5678-9012-345"),
+    (5, "combo: bob@corp.net from 8.8.8.8 dialed 650 555 0000"),
+    (6, ""),
+    (7, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def _py_counts(text):
+    if text is None:
+        return None
+    return {name: len(re.findall(pat, text))
+            for name, pat in PII_PATTERNS.items()}
+
+
+def test_pii_stats_matches_python_re(docs):
+    out = pii_stats(docs, "doc_id", "text")
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    assert len(got) == len(ROWS)
+    for doc_id, text in ROWS:
+        want = _py_counts(text)
+        row = got[doc_id]
+        if want is None:
+            assert row["n_pii"] is None and row["has_pii"] is None
+            continue
+        for name, n in want.items():
+            assert row[f"n_{name}"] == n, (doc_id, name)
+        assert row["n_pii"] == sum(want.values())
+        assert row["has_pii"] == (sum(want.values()) > 0)
+    # the planted fixtures exercise every class at least once
+    totals = {name: sum((_py_counts(t) or {}).get(name, 0)
+                        for _, t in ROWS) for name in PII_PATTERNS}
+    assert all(v > 0 for v in totals.values()), totals
+
+
+def test_pii_stats_is_map_only(docs):
+    plan = (pii_stats(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_redact_removes_all_and_is_idempotent(docs, spark):
+    red = redact_pii(docs, "text", out_col="clean")
+    rows = {r.doc_id: r for r in
+            pii_stats(red, "doc_id", "clean").collect()}
+    for doc_id, text in ROWS:
+        if text is None:
+            continue
+        assert rows[doc_id]["n_pii"] == 0, (doc_id, text)
+    # idempotent: redacting the redaction changes nothing
+    twice = redact_pii(red, "clean", out_col="clean2")
+    for r in twice.collect():
+        assert r.clean2 == r.clean
+    # non-PII text passes through verbatim
+    got0 = {r.doc_id: r.clean for r in red.collect()}
+    assert got0[0] == ROWS[0][1]
+    assert "[PII]" in got0[1] and "@" not in got0[1]
+
+
+def test_pii_expectation_evr(docs, spark):
+    suite = (
+        ExpectationSuite("pii")
+        .add("expect_column_pii_count_to_be_below", column="text")
+        .add("expect_column_pii_count_to_be_below", column="text",
+             max_count=10)
+        .add("expect_column_pii_count_to_be_below", column="text",
+             classes=["email"], mostly=0.7)
+    )
+    bundle = validate(spark, docs, suite,
+                      EngineOptions(collect_violations=True))
+    r0, r1, r2 = bundle.suite_result.results
+    n_pii_docs = sum(1 for _, t in ROWS
+                     if t and sum(_py_counts(t).values()) >= 1)
+    assert not r0.success and r0.result["unexpected_count"] == n_pii_docs
+    assert r1.success and r1.result["unexpected_count"] == 0
+    # 2 of 7 non-null docs carry email (<= 30% unexpected) -> mostly 0.7 ok
+    assert r2.success and r2.result["unexpected_count"] == 2
+    # unknown class -> planning error captured as an exception EVR
+    # (catch_exceptions contract), not a silent pass
+    bad = validate(spark, docs,
+                   ExpectationSuite("bad").add(
+                       "expect_column_pii_count_to_be_below",
+                       column="text", classes=["ssn"]),
+                   EngineOptions())
+    evr = bad.suite_result.results[0]
+    assert not evr.success
+    assert "unknown PII classes" in evr.exception_info["exception_message"]
