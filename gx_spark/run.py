@@ -22,6 +22,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _table_has_binary_column(table_path: str) -> bool:
+    """One-footer schema sniff (pyarrow, no SparkSession): does any data
+    file under `table_path` carry a binary column?  Works for both layouts
+    run.py accepts — a parquet dir and an Iceberg-lite location (whose
+    data files are parquet underneath).  Unreadable/empty paths return
+    False (the real read will produce the real error)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sample = None
+        for root, dirs, files in os.walk(table_path):
+            # skip Iceberg metadata (avro manifests, json)
+            dirs[:] = [d for d in dirs if d != "metadata"]
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    sample = os.path.join(root, fn)
+                    break
+            if sample:
+                break
+        if sample is None:
+            return False
+        schema = pq.ParquetFile(sample).schema_arrow
+        return any(
+            pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+            for f in schema
+        )
+    except Exception:  # noqa: BLE001 — sniffing must never block the run
+        return False
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table-path", required=True)
@@ -67,10 +98,22 @@ def main(argv: list[str] | None = None) -> int:
         builder = builder.master(args.master)
     if args.shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", args.shuffle_partitions)
-    from gx_spark.skew import session_defaults
+    from gx_spark.skew import (apply_binary_scan_confs,
+                               binary_scan_session_defaults,
+                               session_defaults)
 
     builder = session_defaults(builder)
+    # Binary-bearing suites (the north-rule audio table) get the measured
+    # scan/GC tuning (BENCH/BASELINE.md) — sniffed from one parquet footer
+    # via pyarrow BEFORE the JVM exists so the GC flag can still apply.
+    binary_table = _table_has_binary_column(args.table_path)
+    if binary_table:
+        builder = binary_scan_session_defaults(builder)
     spark = builder.getOrCreate()
+    if binary_table:
+        # covers the pre-existing-session path (spark-submit on a cluster
+        # re-running in one JVM): the SQL/hadoop confs are per-query
+        apply_binary_scan_confs(spark)
 
     from gx_spark.checkpoint import CheckpointRunner
     from gx_spark.iceberg import IcebergLiteTable

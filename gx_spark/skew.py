@@ -66,6 +66,49 @@ def session_defaults(builder):
     return builder
 
 
+#: Measured binary-scan tuning (BENCH/BASELINE.md: 254 s -> 5.5 s on the
+#: multi-MB-byte[]-row scan probe).  Small columnar batches keep a 128-row
+#: slice of multi-MB binary rows resident instead of 4096 of them; vectored
+#: parquet IO is a pessimization for huge cells; modest Arrow batches bound
+#: the per-python-worker transfer.  These tax NARROW scans (~10% on TPC-H
+#: columns), so they are applied only when the table being validated
+#: actually carries a BinaryType column.
+BINARY_SCAN_CONFS: dict[str, str] = {
+    "spark.sql.parquet.columnarReaderBatchSize": "128",
+    "spark.hadoop.parquet.hadoop.vectored.io.enabled": "false",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+}
+
+#: Paired JVM flag: byte[]-heavy scans thrash G1's region accounting;
+#: ParallelGC measured far better on this workload.  Only effective at JVM
+#: launch — builder.config when the session is being created here, or
+#: spark.{driver,executor}.extraJavaOptions on a real spark-submit.
+BINARY_SCAN_JVM_OPTS = "-XX:+UseParallelGC"
+
+
+def binary_scan_session_defaults(builder):
+    """Apply BINARY_SCAN_CONFS + the GC flag to a SparkSession.Builder
+    (before the JVM exists)."""
+    for k, v in BINARY_SCAN_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.config(
+        "spark.driver.extraJavaOptions", BINARY_SCAN_JVM_OPTS)
+
+
+def apply_binary_scan_confs(spark) -> list[str]:
+    """Set the runtime-settable subset on an EXISTING session (the
+    hadoop/SQL confs take effect per-query; the GC flag cannot be changed
+    post-launch).  Returns the keys applied."""
+    applied = []
+    for k, v in BINARY_SCAN_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+            applied.append(k)
+        except Exception:  # noqa: BLE001 — statically-locked conf on some builds
+            pass
+    return applied
+
+
 def _salt_expr(keys: Sequence[str], buckets: int) -> Column:
     # xxhash64 over the key columns plus a per-row uid spreads a hot key
     # uniformly over the salt domain; deterministic given partitioning is

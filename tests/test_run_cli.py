@@ -123,3 +123,46 @@ def test_cli_curate_iceberg_incremental(spark, audio_dir, tmp_path, capsys):
     ).parquet(os.path.join(results, "_features"))
     assert feats.count() == n1 + 8
     assert feats.select("snapshot_id").distinct().count() == 2
+
+
+def test_binary_scan_conf_sniff_and_apply(spark, audio_dir, tmp_path,
+                                          capsys):
+    """Binary-bearing tables get the measured scan confs (BENCH/
+    BASELINE.md): the pyarrow footer sniff finds the bytes column with no
+    SparkSession, and a run over such a table applies the runtime-settable
+    confs to the (pre-existing) session."""
+    from gx_spark.run import _table_has_binary_column
+    from gx_spark.skew import BINARY_SCAN_CONFS
+
+    assert _table_has_binary_column(audio_dir)
+    assert not _table_has_binary_column("/root/testdata/sf0.001")
+    assert not _table_has_binary_column(str(tmp_path / "nope"))
+
+    def snapshot():
+        out = {}
+        for k in BINARY_SCAN_CONFS:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snapshot()
+    try:
+        loc = str(tmp_path / "audio_ice_conf")
+        IcebergLiteTable.create_from_parquet(
+            loc, f"{audio_dir}/audio_clips.parquet")
+        rc, _ = _run(capsys, "--table-path", loc, "--suite", "audio",
+                     "--results-dir", str(tmp_path / "out_conf"))
+        assert rc == 0
+        after = snapshot()
+        for k, v in BINARY_SCAN_CONFS.items():
+            assert after[k] == v, k
+    finally:
+        # the test session is shared; narrow-scan tests should not inherit
+        # the 128-row columnar batches
+        for k, v in before.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
