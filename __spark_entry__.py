@@ -1542,27 +1542,25 @@ def q_streaming_windowed_events(spark, sf_dir):
 
 def q_expectation_diagnostics(spark, sf_dir):
     """Gallery self-check harness (gx_spark/diagnostics.py — the GE
-    run_diagnostics/examples machinery): run the example suites attached
-    to four built-in expectations through the REAL validate() path and
-    report per-type example pass counts.  The oracle pins the exact
-    expected table — any engine regression in the underlying expectations
-    (null denominator, set membership, bounds strictness, mean agg) or in
-    the harness itself breaks the hash."""
-    from gx_spark import run_diagnostics
+    run_diagnostics/examples machinery): run EVERY registered
+    expectation type's example suite (r5: all 69 types are
+    example-covered, including the binary audio/image/video ones and the
+    two-table referential ones) through the REAL validate() path.  The
+    oracle pins per type that at least one example ran, every example
+    passed, and the full checklist succeeded — any engine regression in
+    any expectation, or a new type registered without gallery coverage,
+    breaks the hash."""
+    from gx_spark import run_diagnostics_all
 
-    rows = []
-    for name in ("expect_column_mean_to_be_between",
-                 "expect_column_values_to_be_between",
-                 "expect_column_values_to_be_in_set",
-                 "expect_column_values_to_not_be_null"):
-        r = run_diagnostics(spark, name)
-        rows.append((name, r["examples_run"], r["examples_passed"],
-                     bool(r["success"])))
+    rows = [
+        (r["expectation_type"],
+         bool(r["examples_run"] >= 1
+              and r["examples_passed"] == r["examples_run"]),
+         bool(r["success"]))
+        for r in run_diagnostics_all(spark)
+    ]
     return spark.createDataFrame(
-        rows,
-        "expectation_type string, examples_run int, examples_passed int, "
-        "success boolean",
-    )
+        rows, "expectation_type string, examples_ok boolean, success boolean")
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -1829,6 +1827,21 @@ SELECT d.doc_id, COALESCE(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
        TRUE AS reconstruction_ok
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 """
+
+def _diagnostics_oracle_sql() -> str:
+    """Expected gallery table: every type in the registry (the name list
+    is the only shared input — a static sorted snapshot of what is
+    registered) must report examples_ok=TRUE and success=TRUE.  The Spark
+    side re-derives both flags by EXECUTING each type's example suites
+    through validate(), so a regression in any expectation — or a type
+    registered without gallery coverage — breaks the hash."""
+    from gx_spark.registry import list_expectations
+
+    values = ", ".join(
+        f"('{name}', true, true)" for name in list_expectations())
+    return (f"SELECT * FROM (VALUES {values}) "
+            "AS t(expectation_type, examples_ok, success)")
+
 
 def _pii_oracle_sql() -> str:
     """DuckDB oracle for pii_documents: the identical deterministic plant,
@@ -2196,18 +2209,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
         ),
-        "expectation_diagnostics": (
-            # fixed expected table: the diagnostics harness re-derives
-            # these counts by EXECUTING each expectation's example suites
-            # through validate() — a regression anywhere under those four
-            # expectations flips a success flag and breaks the hash
-            "SELECT * FROM (VALUES "
-            "('expect_column_mean_to_be_between', 2, 2, true), "
-            "('expect_column_values_to_be_between', 2, 2, true), "
-            "('expect_column_values_to_be_in_set', 2, 2, true), "
-            "('expect_column_values_to_not_be_null', 2, 2, true)) "
-            "AS t(expectation_type, examples_run, examples_passed, success)"
-        ),
+        "expectation_diagnostics": _diagnostics_oracle_sql(),
         "curation_pipeline_documents": (
             "WITH d AS ("
             "  SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS c"

@@ -17,6 +17,10 @@ Example shape (a direct translation of the public GE gallery schema):
     examples = [{
         "data": {"a": [1, 2, None]},            # column -> values
         "schema": "a int",                       # optional explicit DDL
+        "tables": {                              # optional named side
+            "dim": {"data": {"k": [1, 2]},       # tables for referential /
+                    "schema": "k int"},          # other-table expectations
+        },
         "tests": [
             {"title": "positive",
              "exact_match_out": False,
@@ -27,6 +31,12 @@ Example shape (a direct translation of the public GE gallery schema):
 
 Supported `out` keys: `success` (required), `observed_value`,
 `unexpected_count` — compared exactly (floats to 9 places).
+
+Media expectations (audio/image/video) need binary payloads built from
+the in-repo codecs, so their gallery entries live in
+GALLERY_EXAMPLE_BUILDERS as lazy zero-arg callables — resolved only when
+diagnostics actually run (importing this module stays cheap and
+Spark-free).
 """
 
 from __future__ import annotations
@@ -144,6 +154,431 @@ GALLERY_EXAMPLES: dict[str, list[dict]] = {
         "tests": [{"title": "one row off-total",
                    "in": {"column_list": ["a", "b"], "sum_total": 10},
                    "out": {"success": False, "unexpected_count": 1}}]}],
+    # -- r5 gallery completion: every registered type example-covered ----
+    "expect_column_to_exist": [{
+        "data": {"a": [1], "b": [2]}, "schema": "a int, b int",
+        "tests": [{"title": "present at the right index",
+                   "in": {"column": "b", "column_index": 1},
+                   "out": {"success": True}},
+                  {"title": "missing column fails",
+                   "in": {"column": "zzz"},
+                   "out": {"success": False}}]}],
+    "expect_table_column_count_to_be_between": [{
+        "data": {"a": [1], "b": [2]}, "schema": "a int, b int",
+        "tests": [{"title": "2 columns in [1,3]",
+                   "in": {"min_value": 1, "max_value": 3},
+                   "out": {"success": True, "observed_value": 2}}]}],
+    "expect_table_column_count_to_equal": [{
+        "data": {"a": [1], "b": [2]}, "schema": "a int, b int",
+        "tests": [{"title": "wrong count fails",
+                   "in": {"value": 3},
+                   "out": {"success": False, "observed_value": 2}}]}],
+    "expect_table_columns_to_match_ordered_list": [{
+        "data": {"a": [1], "b": [2]}, "schema": "a int, b int",
+        "tests": [{"title": "order matters",
+                   "in": {"column_list": ["b", "a"]},
+                   "out": {"success": False}},
+                  {"title": "exact order passes",
+                   "in": {"column_list": ["a", "b"]},
+                   "out": {"success": True}}]}],
+    "expect_table_columns_to_match_set": [{
+        "data": {"a": [1], "b": [2]}, "schema": "a int, b int",
+        "tests": [{"title": "set ignores order",
+                   "in": {"column_set": ["b", "a"]},
+                   "out": {"success": True}},
+                  {"title": "subset ok when exact_match off",
+                   "in": {"column_set": ["a"], "exact_match": False},
+                   "out": {"success": True}}]}],
+    "expect_table_row_count_to_equal_other_table": [{
+        "data": {"a": [1, 2, 3]}, "schema": "a int",
+        "tables": {"other": {"data": {"x": [10, 20, 30]},
+                             "schema": "x int"}},
+        "tests": [{"title": "equal counts",
+                   "in": {"other_table_name": "other"},
+                   "out": {"success": True}}]}],
+    "expect_column_values_to_exist_in_table": [{
+        "data": {"k": [1, 2, 9]}, "schema": "k int",
+        "tables": {"dim": {"data": {"k": [1, 2, 3]}, "schema": "k int"}},
+        "tests": [{"title": "orphan key flagged",
+                   "in": {"column": "k", "other_table_name": "dim"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_query_to_return_no_rows": [{
+        "data": {"x": [1, -2, 3]}, "schema": "x int",
+        "tests": [{"title": "violating rows returned",
+                   "in": {"query": "SELECT * FROM batch WHERE x < 0"},
+                   "out": {"success": False, "observed_value": 1}}]}],
+    "expect_column_values_to_be_of_type": [{
+        "data": {"a": [1]}, "schema": "a int",
+        "tests": [{"title": "schema-resolved match",
+                   "in": {"column": "a", "type_": "IntegerType"},
+                   "out": {"success": True, "observed_value": "IntegerType"}},
+                  {"title": "wrong type fails",
+                   "in": {"column": "a", "type_": "StringType"},
+                   "out": {"success": False}}]}],
+    "expect_column_values_to_be_in_type_list": [{
+        "data": {"a": [1]}, "schema": "a bigint",
+        "tests": [{"title": "alias accepted",
+                   "in": {"column": "a", "type_list": ["int", "bigint"]},
+                   "out": {"success": True}}]}],
+    "expect_column_values_to_be_dateutil_parseable": [{
+        "data": {"d": ["2021-01-02", "2021-01-02 03:04:05", "not a date"]},
+        "schema": "d string",
+        "tests": [{"title": "unparseable flagged",
+                   "in": {"column": "d"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_match_strftime_format": [{
+        "data": {"d": ["2021-01-02", "2021-13-40"]}, "schema": "d string",
+        "tests": [{"title": "impossible date flagged",
+                   "in": {"column": "d", "strftime_format": "%Y-%m-%d"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_match_json_schema": [{
+        "data": {"j": ['{"a": 1}', '{"a": "nope"}', "{broken"]},
+        "schema": "j string",
+        "tests": [{"title": "type violation + malformed flagged",
+                   "in": {"column": "j",
+                          "json_schema": {
+                              "type": "object",
+                              "properties": {"a": {"type": "integer"}},
+                              "required": ["a"]}},
+                   "out": {"success": False, "unexpected_count": 2}}]}],
+    "expect_column_values_to_match_like_pattern": [{
+        "data": {"s": ["abc", "abx", "zzz"]}, "schema": "s string",
+        "tests": [{"title": "SQL LIKE, one miss",
+                   "in": {"column": "s", "like_pattern": "ab%"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_not_match_like_pattern": [{
+        "data": {"s": ["ok", "bad_x"]}, "schema": "s string",
+        "tests": [{"title": "forbidden pattern flagged",
+                   "in": {"column": "s", "like_pattern": "%x"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_match_like_pattern_list": [{
+        "data": {"s": ["ax", "bx", "cx"]}, "schema": "s string",
+        "tests": [{"title": "any-of list, one miss",
+                   "in": {"column": "s",
+                          "like_pattern_list": ["a%", "b%"]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_not_match_like_pattern_list": [{
+        "data": {"s": ["a1", "a3"]}, "schema": "s string",
+        "tests": [{"title": "one forbidden match",
+                   "in": {"column": "s",
+                          "like_pattern_list": ["%1", "%2"]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_match_regex_list": [{
+        "data": {"s": ["ax", "bx", "cx"]}, "schema": "s string",
+        "tests": [{"title": "match_on=any, one miss",
+                   "in": {"column": "s", "regex_list": ["^a", "^b"]},
+                   "out": {"success": False, "unexpected_count": 1}},
+                  {"title": "match_on=all",
+                   "in": {"column": "s", "regex_list": ["^a", "x$"],
+                          "match_on": "all"},
+                   "out": {"success": False, "unexpected_count": 2}}]}],
+    "expect_column_values_to_not_match_regex_list": [{
+        "data": {"s": ["a1", "b"]}, "schema": "s string",
+        "tests": [{"title": "digit anywhere flagged",
+                   "in": {"column": "s", "regex_list": ["\\d"]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_be_increasing": [{
+        "data": {"v": [1, 2, 3, 2, 5]}, "schema": "v int",
+        "tests": [{"title": "one inversion in batch order",
+                   "in": {"column": "v"},
+                   "out": {"success": False, "unexpected_count": 1}},
+                  {"title": "strictly flags the plateau",
+                   "in": {"column": "v", "order_by": "v",
+                          "strictly": True},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_values_to_be_decreasing": [{
+        "data": {"v": [5, 4, 4, 1]}, "schema": "v int",
+        "tests": [{"title": "non-strict tolerates the tie",
+                   "in": {"column": "v"},
+                   "out": {"success": True, "unexpected_count": 0}},
+                  {"title": "strictly flags it",
+                   "in": {"column": "v", "strictly": True},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_value_z_scores_to_be_less_than": [{
+        "data": {"v": [0.0] * 9 + [20.0]}, "schema": "v double",
+        "tests": [{"title": "outlier beyond 2 sigma flagged",
+                   "in": {"column": "v", "threshold": 2,
+                          "double_sided": True},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_distinct_values_to_be_in_set": [{
+        "data": {"c": ["x", "y", "z"]}, "schema": "c string",
+        "tests": [{"title": "stray member fails",
+                   "in": {"column": "c", "value_set": ["x", "y"]},
+                   "out": {"success": False}},
+                  {"title": "subset passes",
+                   "in": {"column": "c", "value_set": ["x", "y", "z", "w"]},
+                   "out": {"success": True}}]}],
+    "expect_column_distinct_values_to_equal_set": [{
+        "data": {"c": ["x", "y", "y"]}, "schema": "c string",
+        "tests": [{"title": "exact distinct set",
+                   "in": {"column": "c", "value_set": ["y", "x"]},
+                   "out": {"success": True}},
+                  {"title": "missing member fails",
+                   "in": {"column": "c", "value_set": ["x", "y", "z"]},
+                   "out": {"success": False}}]}],
+    "expect_column_most_common_value_to_be_in_set": [{
+        "data": {"c": ["a", "a", "b"]}, "schema": "c string",
+        "tests": [{"title": "mode membership",
+                   "in": {"column": "c", "value_set": ["a"]},
+                   "out": {"success": True}},
+                  {"title": "mode outside set fails",
+                   "in": {"column": "c", "value_set": ["b"]},
+                   "out": {"success": False}}]}],
+    "expect_column_proportion_of_unique_values_to_be_between": [{
+        "data": {"v": [1, 2, 2, 3]}, "schema": "v int",
+        "tests": [{"title": "3 distinct of 4 nonnull",
+                   "in": {"column": "v", "min_value": 0.7,
+                          "max_value": 0.8},
+                   "out": {"success": True, "observed_value": 0.75}}]}],
+    "expect_column_quantile_values_to_be_between": [{
+        "data": {"v": [float(i) for i in range(1, 10)]},
+        "schema": "v double",
+        "tests": [{"title": "median in band (PERCENTILE_CONT)",
+                   "in": {"column": "v",
+                          "quantile_ranges": {
+                              "quantiles": [0.5],
+                              "value_ranges": [[4, 6]]}},
+                   "out": {"success": True}},
+                  {"title": "band miss fails",
+                   "in": {"column": "v",
+                          "quantile_ranges": {
+                              "quantiles": [0.5],
+                              "value_ranges": [[6, 7]]}},
+                   "out": {"success": False}}]}],
+    "expect_column_kl_divergence_to_be_less_than": [{
+        "data": {"v": [0.5, 0.5, 1.5, 1.5]}, "schema": "v double",
+        "tests": [{"title": "matching histogram, zero divergence",
+                   "in": {"column": "v", "threshold": 0.1,
+                          "partition_object": {"bins": [0, 1, 2],
+                                               "weights": [0.5, 0.5]}},
+                   "out": {"success": True, "observed_value": 0.0}},
+                  {"title": "skewed histogram fails",
+                   "in": {"column": "v", "threshold": 0.1,
+                          "partition_object": {"bins": [0, 1, 2],
+                                               "weights": [0.95, 0.05]}},
+                   "out": {"success": False}}]}],
+    "expect_column_psi_to_be_less_than": [{
+        "data": {"v": [0.5, 0.5, 1.5, 1.5]}, "schema": "v double",
+        "tests": [{"title": "matching histogram, zero PSI",
+                   "in": {"column": "v", "threshold": 0.1,
+                          "partition_object": {"bins": [0, 1, 2],
+                                               "weights": [0.5, 0.5]}},
+                   "out": {"success": True, "observed_value": 0.0}}]}],
+    "expect_column_chisquare_test_p_value_to_be_greater_than": [{
+        "data": {"c": ["a"] * 20 + ["b"] * 20}, "schema": "c string",
+        "tests": [{"title": "uniform categories match 50/50",
+                   "in": {"column": "c",
+                          "partition_object": {"values": ["a", "b"],
+                                               "weights": [0.5, 0.5]}},
+                   "out": {"success": True}},
+                  {"title": "95/5 expectation rejected",
+                   "in": {"column": "c",
+                          "partition_object": {"values": ["a", "b"],
+                                               "weights": [0.95, 0.05]}},
+                   "out": {"success": False}}]}],
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than": [{
+        "data": {"v": [i / 10 + 0.05 for i in range(40)]},
+        "schema": "v double",
+        "tests": [{"title": "seeded bootstrap accepts matching uniform",
+                   "in": {"column": "v",
+                          "partition_object": {"bins": [0, 2, 4],
+                                               "weights": [0.5, 0.5]},
+                          "bootstrap_samples": 100, "seed": 7},
+                   "out": {"success": True}}]}],
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than": [{
+        "data": {"v": [(i + 0.5) / 50 for i in range(50)]},
+        "schema": "v double",
+        "tests": [{"title": "uniform(0,1) accepted",
+                   "in": {"column": "v", "distribution": "uniform",
+                          "params": {"loc": 0.0, "scale": 1.0}},
+                   "out": {"success": True}},
+                  {"title": "uniform(0,10) rejected",
+                   "in": {"column": "v", "distribution": "uniform",
+                          "params": {"loc": 0.0, "scale": 10.0}},
+                   "out": {"success": False}}]}],
+    "expect_column_pair_values_to_be_equal": [{
+        "data": {"a": [1, 1], "b": [1, 2]}, "schema": "a int, b int",
+        "tests": [{"title": "one unequal pair",
+                   "in": {"column_A": "a", "column_B": "b"},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_column_pair_values_to_be_in_set": [{
+        "data": {"a": [1, 1], "b": [1, 2]}, "schema": "a int, b int",
+        "tests": [{"title": "pair outside allowed set",
+                   "in": {"column_A": "a", "column_B": "b",
+                          "value_pairs_set": [[1, 1], [2, 2]]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_select_column_values_to_be_unique_within_record": [{
+        "data": {"a": [1, 3], "b": [2, 3]}, "schema": "a int, b int",
+        "tests": [{"title": "intra-row duplicate flagged",
+                   "in": {"column_list": ["a", "b"]},
+                   "out": {"success": False, "unexpected_count": 1}}]}],
+    "expect_compound_columns_to_be_unique": [{
+        "data": {"a": [1, 1, 1], "b": [1, 1, 2]}, "schema": "a int, b int",
+        "tests": [{"title": "both members of the dup pair count",
+                   "in": {"column_list": ["a", "b"]},
+                   "out": {"success": False, "unexpected_count": 2}}]}],
+    "expect_multicolumn_values_to_be_unique": [{
+        "data": {"a": [1, 1, 2], "b": [1, 1, 2]}, "schema": "a int, b int",
+        "tests": [{"title": "duplicated tuple flagged",
+                   "in": {"column_list": ["a", "b"]},
+                   "out": {"success": False, "unexpected_count": 2}}]}],
+}
+
+
+_AUDIO_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                 "codec string, transcript string")
+_IMAGE_SCHEMA = ("img_id string, bytes binary, width int, height int, "
+                 "channels int, format string")
+_VIDEO_SCHEMA = ("vid_id string, bytes binary, n_frames int, fps double, "
+                 "width int, height int, format string")
+
+
+def _rows_to_data(rows: list[dict]) -> dict:
+    return {k: [r[k] for r in rows] for k in rows[0]}
+
+
+def _audio_rows():
+    """Gallery clips from the in-repo codecs: payloads encoded from the
+    SAME deterministic synthesis the SNR check re-derives, so a clean row
+    passes every audio expectation and each violation is planted
+    surgically."""
+    import numpy as np
+
+    from .audio import encode_payload, ref_transcript, synth_pcm
+
+    sr, dur = 8000, 100
+
+    def clip(cid: str, **over) -> dict:
+        pcm = synth_pcm(cid, sr, dur)
+        row = dict(clip_id=cid, bytes=encode_payload(pcm, sr, "pcm_s16le"),
+                   sr_hz=sr, dur_ms=dur, codec="pcm_s16le",
+                   transcript=ref_transcript(cid))
+        row.update(over)
+        return row
+
+    good = clip("diag_good")
+    bad_sr = clip("diag_badsr", sr_hz=16000)  # header says 8000
+    noise = clip("diag_noise", bytes=encode_payload(
+        synth_pcm("some_other_clip", sr, dur), sr, "pcm_s16le"))
+    bad_tr = clip("diag_badtr", transcript="wrong words entirely")
+    hot = clip("diag_hot", bytes=encode_payload(
+        np.clip(synth_pcm("diag_hot", sr, dur).astype(np.int32) * 12,
+                -32768, 32767).astype(np.int16), sr, "pcm_s16le"))
+    silent = clip("diag_silent", bytes=encode_payload(
+        np.zeros(sr * dur // 1000, dtype=np.int16), sr, "pcm_s16le"))
+    return dict(good=good, bad_sr=bad_sr, noise=noise, bad_tr=bad_tr,
+                hot=hot, silent=silent)
+
+
+def _audio_example(rows: list[dict], test: dict) -> list[dict]:
+    return [{"data": _rows_to_data(rows), "schema": _AUDIO_SCHEMA,
+             "tests": [test]}]
+
+
+def _gallery_audio_metadata():
+    r = _audio_rows()
+    return _audio_example(
+        [r["good"], r["bad_sr"]],
+        {"title": "column sr disagrees with header",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_audio_snr():
+    r = _audio_rows()
+    return _audio_example(
+        [r["good"], r["noise"]],
+        {"title": "wrong content fails the 30 dB reference SNR",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_audio_transcript():
+    r = _audio_rows()
+    return _audio_example(
+        [r["good"], r["bad_tr"]],
+        {"title": "transcript != deterministic reference",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_audio_clipping():
+    r = _audio_rows()
+    return _audio_example(
+        [r["good"], r["hot"]],
+        {"title": "12x-gain clip exceeds the 1% rail ratio",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_audio_silence():
+    r = _audio_rows()
+    return _audio_example(
+        [r["good"], r["silent"]],
+        {"title": "all-zero payload is all silence frames",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_image_metadata():
+    from .image import raw_encode, synth_image
+
+    def row(iid: str, **over) -> dict:
+        r = dict(img_id=iid, bytes=raw_encode(synth_image(iid, 8, 8, 3)),
+                 width=8, height=8, channels=3, format="gxraw")
+        r.update(over)
+        return r
+
+    rows = [row("i_good"), row("i_dims", width=16),
+            dict(img_id="i_corrupt", bytes=b"not an image", width=8,
+                 height=8, channels=3, format="gxraw")]
+    return [{"data": _rows_to_data(rows), "schema": _IMAGE_SCHEMA,
+             "tests": [{"title": "dims mismatch + corrupt payload flagged",
+                        "in": {},
+                        "out": {"success": False, "unexpected_count": 2}}]}]
+
+
+def _gallery_image_intensity():
+    from .image import raw_encode, synth_image
+
+    px = synth_image("i_mean", 8, 8, 3)
+    mean = float(px.mean())
+    rows = [dict(img_id="i_mean", bytes=raw_encode(px), width=8, height=8,
+                 channels=3, format="gxraw")]
+    return [{"data": _rows_to_data(rows), "schema": _IMAGE_SCHEMA,
+             "tests": [
+                 {"title": "decoded mean inside band",
+                  "in": {"min_value": mean - 1, "max_value": mean + 1},
+                  "out": {"success": True, "unexpected_count": 0}},
+                 {"title": "band above the mean flags the row",
+                  "in": {"min_value": mean + 50},
+                  "out": {"success": False, "unexpected_count": 1}}]}]
+
+
+def _gallery_video_metadata():
+    from .image import raw_encode, synth_image
+
+    frames = [raw_encode(synth_image(f"vf{i}", 8, 8, 3)) for i in range(5)]
+    payload = b"".join(frames)
+    rows = [
+        dict(vid_id="v_good", bytes=payload, n_frames=5, fps=10.0,
+             width=8, height=8, format="gxraw_frames"),
+        dict(vid_id="v_count", bytes=payload, n_frames=7, fps=10.0,
+             width=8, height=8, format="gxraw_frames"),
+    ]
+    return [{"data": _rows_to_data(rows), "schema": _VIDEO_SCHEMA,
+             "tests": [{"title": "frame-count mismatch flagged",
+                        "in": {},
+                        "out": {"success": False,
+                                "unexpected_count": 1}}]}]
+
+
+#: Lazy builders for examples whose payloads come from the in-repo codecs
+#: (numpy work happens only when diagnostics run).
+GALLERY_EXAMPLE_BUILDERS: dict = {
+    "expect_audio_metadata_to_be_consistent": _gallery_audio_metadata,
+    "expect_audio_snr_to_be_at_least": _gallery_audio_snr,
+    "expect_transcript_to_match_reference": _gallery_audio_transcript,
+    "expect_audio_clipping_ratio_to_be_below": _gallery_audio_clipping,
+    "expect_audio_silence_ratio_to_be_below": _gallery_audio_silence,
+    "expect_image_metadata_to_be_consistent": _gallery_image_metadata,
+    "expect_image_mean_intensity_to_be_between": _gallery_image_intensity,
+    "expect_video_metadata_to_be_consistent": _gallery_video_metadata,
 }
 
 
@@ -188,8 +623,12 @@ def run_diagnostics(spark: SparkSession, expectation_type: str) -> dict:
         # protocol class (ColumnMapExpectation etc.) counts as documented
         doc = (inspect.getdoc(type(handler)) or "").strip()
         checklist.append(_check("docstring", bool(doc)))
-    examples = list(getattr(handler, "examples", None)
-                    or GALLERY_EXAMPLES.get(expectation_type) or [])
+    examples = (getattr(handler, "examples", None)
+                or GALLERY_EXAMPLES.get(expectation_type))
+    if not examples:
+        builder = GALLERY_EXAMPLE_BUILDERS.get(expectation_type)
+        examples = builder() if builder else []
+    examples = list(examples)
     checklist.append(_check(
         "examples provided", bool(examples),
         "" if examples else "attach `examples` to the handler class"))
@@ -198,6 +637,11 @@ def run_diagnostics(spark: SparkSession, expectation_type: str) -> dict:
     for ei, ex in enumerate(examples):
         try:
             df = _build_df(spark, ex.get("data", {}), ex.get("schema"))
+            tables = {
+                name: _build_df(spark, spec.get("data", {}),
+                                spec.get("schema"))
+                for name, spec in (ex.get("tables") or {}).items()
+            } or None
         except Exception as e:  # noqa: BLE001 — reported, not raised
             checklist.append(_check(f"example[{ei}] data builds", False,
                                     repr(e)))
@@ -210,7 +654,8 @@ def run_diagnostics(spark: SparkSession, expectation_type: str) -> dict:
                     expectation_type, **t.get("in", {}))
                 bundle = validate(
                     spark, df, suite,
-                    EngineOptions(collect_violations=False))
+                    EngineOptions(collect_violations=False),
+                    tables=tables)
                 evr = bundle.suite_result.results[0]
             except Exception as e:  # noqa: BLE001
                 checklist.append(_check(title, False, f"raised {e!r}"))

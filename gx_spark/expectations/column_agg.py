@@ -373,7 +373,13 @@ _SPARK_TYPE_ALIASES = {
 
 
 def _type_matches(actual_type_name: str, expected: str) -> bool:
-    aliases = _SPARK_TYPE_ALIASES.get(expected, {expected})
+    aliases = _SPARK_TYPE_ALIASES.get(expected)
+    if aliases is None:
+        # expected given as a DDL alias ('bigint') rather than the
+        # DataType class name — resolve through the same table
+        aliases = next(
+            (s for s in _SPARK_TYPE_ALIASES.values() if expected in s),
+            {expected})
     return actual_type_name in aliases or actual_type_name == expected
 
 

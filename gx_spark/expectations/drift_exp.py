@@ -139,10 +139,16 @@ class _DivergenceBase:
 
 @register_expectation("expect_column_kl_divergence_to_be_less_than")
 class KLDivergence(_DivergenceBase):
+    """KL(observed || expected) over the partition_object histogram
+    (continuous bins or categorical values) vs `threshold`; histogram
+    counts come from the fused stage-1 aggregate (SURVEY.md 2.9)."""
+
     kind = "kl"
 
 
 @register_expectation("expect_column_psi_to_be_less_than")
 class PSI(_DivergenceBase):
-    # sibling drift metric on the same histogram machinery (SURVEY.md §2.9)
+    """Population Stability Index on the same histogram machinery as KL
+    (sibling drift metric, SURVEY.md 2.9) vs `threshold`."""
+
     kind = "psi"

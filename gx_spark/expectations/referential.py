@@ -41,6 +41,10 @@ _MISSING_VALUE_CAP = 100_000
 
 @register_expectation("expect_column_values_to_exist_in_table")
 class ExistInTable:
+    """Referential integrity: every (non-null) value of `column` exists in
+    `other_table_name`.`other_column` — broadcast left_anti with a theta
+    prefilter, or a salted-dim shuffle join via dim_strategy (skew.py)."""
+
     metric_name = "column_values.exist_in_table"
 
     def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:

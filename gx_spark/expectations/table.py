@@ -74,6 +74,9 @@ class RowCountEqualOtherTable:
 
 @register_expectation("expect_column_to_exist")
 class ColumnExists:
+    """Schema-only check: the column is present (optionally at
+    `column_index`).  No job — resolved from df.columns at plan time."""
+
     def plan(self, ctx, cfg, index):
         column = cfg.kwargs["column"]
         cols = list(ctx.df.columns)
@@ -90,6 +93,9 @@ class ColumnExists:
 
 @register_expectation("expect_table_columns_to_match_ordered_list")
 class ColumnsMatchOrderedList:
+    """Schema-only check: df.columns equals `column_list` exactly,
+    order included."""
+
     def plan(self, ctx, cfg, index):
         expected = list(cfg.kwargs["column_list"])
         actual = list(ctx.df.columns)
@@ -103,6 +109,9 @@ class ColumnsMatchOrderedList:
 
 @register_expectation("expect_table_columns_to_match_set")
 class ColumnsMatchSet:
+    """Schema-only check: df.columns equals (or, with exact_match=False,
+    is a superset of) `column_set`, order-insensitive."""
+
     def plan(self, ctx, cfg, index):
         expected = set(cfg.kwargs["column_set"])
         exact = bool(cfg.kwargs.get("exact_match", True))
@@ -118,6 +127,9 @@ class ColumnsMatchSet:
 
 @register_expectation("expect_table_column_count_to_be_between")
 class ColumnCountBetween:
+    """Schema-only check: len(df.columns) within [min_value, max_value]
+    (either bound open-ended)."""
+
     def plan(self, ctx, cfg, index):
         n = len(ctx.df.columns)
         k = cfg.kwargs
@@ -132,6 +144,8 @@ class ColumnCountBetween:
 
 @register_expectation("expect_table_column_count_to_equal")
 class ColumnCountEqual:
+    """Schema-only check: len(df.columns) == value."""
+
     def plan(self, ctx, cfg, index):
         n = len(ctx.df.columns)
         rf = result_format_of(cfg, ctx.options)

@@ -114,9 +114,21 @@ def test_run_diagnostics_unregistered_and_no_examples(spark):
     assert rep["success"] is False
     assert rep["checklist"][0] == {
         "check": "registered", "passed": False, "details": "not in registry"}
-    # a real built-in without examples: healthy protocol, examples check
-    # fails (maturity gating) so the overall report is not success
-    rep2 = run_diagnostics(spark, "expect_column_values_to_be_increasing")
+    # a registered type without examples: healthy protocol, examples
+    # check fails (maturity gating) so the overall report is not success.
+    # r5 made every BUILT-IN example-covered, so register a bare
+    # throwaway handler to exercise the gating path.
+    from gx_spark.expectations.column_map import ColumnMapExpectation
+    from gx_spark.registry import register_expectation
+
+    @register_expectation("expect_diag_exampleless")
+    class _Exampleless(ColumnMapExpectation):
+        """Throwaway: protocol-complete but example-free."""
+
+        def unexpected_condition(self, cfg, ctx):
+            return F.lit(False)
+
+    rep2 = run_diagnostics(spark, "expect_diag_exampleless")
     by = {c["check"]: c["passed"] for c in rep2["checklist"]}
     assert by["registered"] and by["plan protocol"]
     assert by["examples provided"] is False
@@ -124,19 +136,37 @@ def test_run_diagnostics_unregistered_and_no_examples(spark):
 
 
 def test_run_diagnostics_all_sweeps_registry(spark):
+    """r5: EVERY registered type is example-covered and green — media
+    (audio/image/video binary payloads from the in-repo codecs),
+    two-table referential (the examples `tables` extension), query, and
+    schema-only types included.  A new type registered without gallery
+    coverage fails this test (and breaks the expectation_diagnostics
+    driver hash)."""
     reports = run_diagnostics_all(spark)
     names = [r["expectation_type"] for r in reports]
     assert names == sorted(names) and len(names) >= 60
-    covered = [r for r in reports if r["examples_run"] > 0
-               # earlier tests register throwaway plugin types (including
-               # one with an intentionally wrong example) in this session
-               and "be_even" not in r["expectation_type"]]
-    assert len(covered) >= 20  # 4 class-attached + the central gallery
-    assert all(r["success"] for r in covered), [
-        r["expectation_type"] for r in covered if not r["success"]]
-    assert all(r["success"] for r in covered
-               if r["expectation_type"].endswith(("not_be_null", "be_in_set",
-                                                  "be_between")))
+    # earlier tests register throwaway plugin types (including one with
+    # an intentionally wrong example and one example-free) in this
+    # session — exclude them
+    builtin = [r for r in reports
+               if "be_even" not in r["expectation_type"]
+               and "diag_exampleless" not in r["expectation_type"]]
+    uncovered = [r["expectation_type"] for r in builtin
+                 if r["examples_run"] == 0]
+    assert not uncovered, uncovered
+    failing = [r["expectation_type"] for r in builtin if not r["success"]]
+    assert not failing, failing
+    # the media + two-table + query types specifically ran real examples
+    for needle in ("expect_audio_snr_to_be_at_least",
+                   "expect_transcript_to_match_reference",
+                   "expect_image_mean_intensity_to_be_between",
+                   "expect_video_metadata_to_be_consistent",
+                   "expect_column_values_to_exist_in_table",
+                   "expect_table_row_count_to_equal_other_table",
+                   "expect_query_to_return_no_rows",
+                   "expect_column_pii_count_to_be_below"):
+        rep = next(r for r in builtin if r["expectation_type"] == needle)
+        assert rep["examples_run"] >= 1 and rep["success"], rep
 
 
 def test_checkpoint_actions_fire_and_isolate(tmp_path, spark):
