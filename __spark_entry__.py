@@ -363,12 +363,19 @@ def q_ann_lsh_embeddings(spark, sf_dir):
 
 
 def q_image_metadata_violations(spark, sf_dir):
-    """Multimodal image layer: deterministic gxraw images synthesized from
-    documents.doc_id (width lies when doc_id%10==7, payload truncated when
-    doc_id%10==9); the engine's decode-backed metadata expectation must
-    flag exactly those rows — the oracle recomputes the count from the
-    corruption arithmetic."""
+    """Multimodal image layer: deterministic images synthesized from
+    documents.doc_id — doc_id%4==1 rows are REAL progressive JPEGs
+    (gx_spark/jpeg.py jpeg_encode_progressive, SOF2 spectral selection +
+    successive approximation, pixel-decoded since r5), the rest gxraw.
+    Corruption classes: width lies when doc_id%10==7, payload truncated
+    when doc_id%10==9, dark (0.15x) pixels when doc_id%10==5.  The
+    decode-backed metadata expectation must flag exactly the 7s and 9s,
+    and the mean-intensity expectation (min_value=60 — normal synth
+    means are >=73, dark <=17, measured) exactly the 5s — the intensity
+    check RUNS on the progressive rows' decoded pixels.  The oracle
+    recomputes both counts from the corruption arithmetic."""
     from gx_spark import image as gim
+    from gx_spark.jpeg import jpeg_encode_progressive
 
     docs = _load(spark, sf_dir, "documents").select("doc_id").limit(500)
     ids = [int(r.doc_id) for r in docs.collect()]
@@ -376,21 +383,34 @@ def q_image_metadata_violations(spark, sf_dir):
     for i in ids:
         img_id = f"img_{i}"
         w, h = 16 + (i % 3) * 8, 16
-        b = gim.raw_encode(gim.synth_image(img_id, w, h))
+        px = gim.synth_image(img_id, w, h)
+        if i % 10 == 5:
+            px = (px * 0.15).astype("uint8")
+        if i % 4 == 1:
+            b, fmt = jpeg_encode_progressive(px, 85), "jpeg"
+        else:
+            b, fmt = gim.raw_encode(px), "gxraw"
         width = w + 1 if i % 10 == 7 else w
         if i % 10 == 9:
             b = b[: len(b) // 2]
-        rows.append((i, img_id, bytearray(b), width, h, 3, "gxraw"))
+        rows.append((i, img_id, bytearray(b), width, h, 3, fmt))
     df = spark.createDataFrame(
         rows,
         "doc_id long, img_id string, bytes binary, width int, height int, "
         "channels int, format string",
     )
-    r = _evr(spark, df,
-             ExpectationSuite("q").add("expect_image_metadata_to_be_consistent"))
-    res = r[0].result
-    return _row(spark, "element_count long, unexpected_count long",
-                [res["element_count"], res["unexpected_count"]])
+    r = _evr(
+        spark, df,
+        ExpectationSuite("q")
+        .add("expect_image_metadata_to_be_consistent")
+        .add("expect_image_mean_intensity_to_be_between", min_value=60),
+    )
+    return _row(
+        spark,
+        "element_count long, meta_unexpected long, intensity_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"],
+         r[1].result["unexpected_count"]],
+    )
 
 
 def q_image_png_violations(spark, sf_dir):
@@ -2070,10 +2090,15 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC LIMIT 10"
         ),
         "image_metadata_violations": (
+            # meta = width lies (7) + truncated (9); intensity = dark (5)
+            # — every 5-row decodes (incl. the progressive-JPEG quarter)
+            # and its mean lands below the 60 threshold
             "WITH d AS (SELECT doc_id FROM documents LIMIT 500) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
-            "AS unexpected_count FROM d"
+            "AS meta_unexpected, "
+            "SUM(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END)::BIGINT "
+            "AS intensity_unexpected FROM d"
         ),
         "image_png_violations": (
             "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "

@@ -111,12 +111,13 @@ def compute_image_flags_row(b, width, height, channels, fmt):
     except ValueError:
         return out  # malformed payload: decodable=False → violation
     except NotImplementedError:
-        # valid-but-unsupported coding process (e.g. progressive JPEG with
-        # only the baseline decoder in-sandbox).  NOT corrupt: validate the
-        # container structurally instead — decodable=NULL means "undecoded
-        # but container-consistent" (excluded from the decode check), while
-        # header dims still verify the metadata columns.  Garbage behind a
-        # JPEG magic fails the structural scan → stays decodable=False.
+        # valid-but-unsupported coding process (arithmetic/12-bit/lossless
+        # JPEG — progressive decodes for real as of r5).  NOT corrupt:
+        # validate the container structurally instead — decodable=NULL
+        # means "undecoded but container-consistent" (excluded from the
+        # decode check), while header dims still verify the metadata
+        # columns.  Garbage behind a JPEG magic fails the structural scan
+        # → stays decodable=False.
         if fmt == "jpeg":
             from .jpeg import jpeg_header_scan
 

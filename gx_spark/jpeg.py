@@ -1,13 +1,23 @@
-"""Baseline JPEG codec from the public spec (ITU-T T.81 / JFIF), stdlib +
-numpy only — no libjpeg in this sandbox.
+"""Baseline + progressive JPEG codec from the public spec (ITU-T T.81 /
+JFIF), stdlib + numpy only — no libjpeg in this sandbox.
 
 Scope:
 - decoder: baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
   3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers,
   standard or custom Huffman/quant tables.  Returns (h, w, c) uint8.
+  r5: progressive DCT (SOF2, T.81 Annex G) — spectral selection AND
+  successive approximation: interleaved DC first/refine scans,
+  non-interleaved AC band scans with EOB-run coding, AC refinement with
+  correction bits; restart markers reset DC predictors and EOB runs.
 - encoder: baseline 4:4:4 (or grayscale), Annex K quantization tables
   scaled by a quality factor (IJG curve) and Annex K typical Huffman
-  tables.  Output decodes in any standard viewer.
+  tables.  Output decodes in any standard viewer.  r5:
+  jpeg_encode_progressive emits a real multi-scan SOF2 stream (DC
+  first+refine, per-component spectral AC bands at Al=1, AC refinement
+  scans to Al=0 with buffered correction bits — the full Annex G
+  encoding surface), coefficient-identical to the baseline encoding of
+  the same pixels, so progressive-decode(progressive-encode(x)) ==
+  baseline-decode(baseline-encode(x)) exactly (pinned in tests).
 
 The Huffman bitstream is inherently serial, so entropy decode is a Python
 loop per coefficient; the block transforms (IDCT/FDCT, dequantize, color
@@ -187,11 +197,12 @@ def jpeg_header_scan(b: bytes) -> tuple[int, int, int]:
     reachability.  Returns (h, w, n_components) from the SOF header.
 
     This is the honesty boundary for coding processes the in-sandbox
-    decoder does not implement (progressive/arithmetic/12-bit): a VALID
-    such stream passes the scan — its container must not be called
-    corrupt just because we cannot decode the pixels — while garbage
-    behind a JPEG magic, a truncated stream, or a malformed marker walk
-    raises ValueError exactly as jpeg_decode would."""
+    decoder does not implement (arithmetic/12-bit/lossless — progressive
+    decodes for real as of r5): a VALID such stream passes the scan —
+    its container must not be called corrupt just because we cannot
+    decode the pixels — while garbage behind a JPEG magic, a truncated
+    stream, or a malformed marker walk raises ValueError exactly as
+    jpeg_decode would."""
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
@@ -240,9 +251,9 @@ def jpeg_header_scan(b: bytes) -> tuple[int, int, int]:
 
 
 def jpeg_decode(b: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, c) uint8 (c = 1 or 3, RGB for 3).
-    Raises ValueError on malformed input, NotImplementedError on
-    progressive (SOF2) / arithmetic / 12-bit streams."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (h, w, c) uint8
+    (c = 1 or 3, RGB for 3).  Raises ValueError on malformed input,
+    NotImplementedError on arithmetic / 12-bit / lossless streams."""
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
@@ -250,6 +261,7 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    prog = None  # progressive state: per-component zigzag coef grids
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -291,7 +303,7 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                     raise ValueError("short DHT")
                 p += nval
                 htables[(tc, th)] = _HuffDecoder(bits, huffval)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -302,10 +314,12 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+            raise NotImplementedError(
+                "non-DCT/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -316,23 +330,28 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            if not frame.get("progressive"):
+                pos += seglen
+                return _decode_scan(b, pos, frame, scan, qtables, htables,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(frame)
             pos += seglen
-            return _decode_scan(b, pos, frame, scan, qtables, htables,
-                                restart_interval)
+            pos = prog.decode_scan(b, pos, scan, ss, se, ahal >> 4,
+                                   ahal & 0x0F, htables, restart_interval)
+            continue
         pos += seglen
+    if prog is not None:
+        return prog.reconstruct(qtables)
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
-    comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors above 2 unsupported")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # split the entropy stream at restart markers, strip 0xFF00 stuffing
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data starting at `pos`: strip 0xFF00 stuffing, split
+    at restart markers.  Returns (segments, position of the terminating
+    marker's 0xFF)."""
     segments = []
     cur = bytearray()
     p = pos
@@ -353,6 +372,59 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
         cur.append(byte)
         p += 1
     segments.append(bytes(cur))
+    return segments, p
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 unsupported")
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _reconstruct(frame, blocks, qtables, hmax, vmax, mcux, mcuy):
+    """Per-component natural-order coefficient grids -> (h, w, c) uint8
+    (dequantize, batched IDCT, upsample, color convert)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        deq = blocks[ci].astype(np.float32) * q.astype(np.float32)
+        spatial = np.einsum("ij,bjk,kl->bil", _T.T, deq, _T) + 128.0
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full MCU grid resolution
+        if c["h"] < hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
+    img = np.stack(planes, axis=2)[:h, :w, :]
+    if len(comps) == 3:  # JFIF YCbCr -> RGB
+        y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+        img = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    segments, _ = _split_entropy(b, pos)
     scan_by_cs = {s["cs"]: s for s in scan}
     # per-component coefficient block grids
     blocks = []
@@ -410,35 +482,201 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                         g.flat[_ZIGZAG] = coef
                         blocks[ci][row] = g
             mcu_in_seg += 1
-    # batched dequantize + IDCT + reassemble per component
-    planes = []
-    for ci, c in enumerate(comps):
-        q = qtables.get(c["tq"])
-        if q is None:
-            raise ValueError("missing quant table")
-        deq = blocks[ci].astype(np.float32) * q.astype(np.float32)
-        spatial = np.einsum("ij,bjk,kl->bil", _T.T, deq, _T) + 128.0
-        bw = mcux * c["h"]
-        bh = mcuy * c["v"]
-        plane = (
-            spatial.reshape(bh, bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
-        )
-        # upsample to full MCU grid resolution
-        if c["h"] < hmax:
-            plane = np.repeat(plane, hmax // c["h"], axis=1)
-        if c["v"] < vmax:
-            plane = np.repeat(plane, vmax // c["v"], axis=0)
-        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
-    img = np.stack(planes, axis=2)[:h, :w, :]
-    if len(comps) == 3:  # JFIF YCbCr -> RGB
-        y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
-        img = np.stack(
-            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-            axis=2,
-        )
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return _reconstruct(frame, blocks, qtables, hmax, vmax, mcux, mcuy)
+
+
+class _ProgressiveState:
+    """SOF2 multi-scan decoder state (T.81 Annex G.2).
+
+    Coefficients accumulate per component in ZIGZAG order across scans:
+    interleaved DC scans (first: Huffman diff << Al; refinement: one
+    appended bit), then non-interleaved AC band scans (spectral selection
+    Ss..Se) — first scans use EOB-run coding, refinement scans emit one
+    correction bit per already-nonzero coefficient while inserting
+    newly-nonzero ±(1<<Al) values.  Restart markers reset the DC
+    predictors, the EOB run, and the bit phase, exactly as in sequential
+    mode.  reconstruct() feeds the finished grids through the shared
+    dequant/IDCT path, so progressive and baseline pixels are produced by
+    the same math."""
+
+    def __init__(self, frame) -> None:
+        self.frame = frame
+        self.hmax, self.vmax, self.mcux, self.mcuy = _frame_geometry(frame)
+        self.coefs = []  # per component: (nblocks, 64) int32, zigzag order
+        self.grid_w = []
+        for c in frame["comps"]:
+            gw, gh = self.mcux * c["h"], self.mcuy * c["v"]
+            self.coefs.append(np.zeros((gh * gw, 64), dtype=np.int64))
+            self.grid_w.append(gw)
+
+    # -- scan dispatch ----------------------------------------------------
+
+    def decode_scan(self, b, pos, scan, ss, se, ah, al, htables,
+                    restart_interval) -> int:
+        segments, end = _split_entropy(b, pos)
+        comps = self.frame["comps"]
+        ids = {c["id"]: ci for ci, c in enumerate(comps)}
+        members = []
+        for s in scan:
+            if s["cs"] not in ids:
+                raise ValueError("scan component not in frame")
+            members.append((ids[s["cs"]], s))
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            self._dc_scan(segments, members, ah, al, htables,
+                          restart_interval)
+        else:
+            if len(members) != 1:
+                raise ValueError("AC scans must be non-interleaved")
+            if not (0 < ss <= se <= 63):
+                raise ValueError("bad spectral band")
+            self._ac_scan(segments, members[0], ss, se, ah, al, htables,
+                          restart_interval)
+        return end
+
+    def _dc_scan(self, segments, members, ah, al, htables, restart_interval):
+        comps = self.frame["comps"]
+        dc_pred = [0] * len(comps)
+        seg_idx, mcu_in_seg = 0, 0
+        br = _BitReader(segments[0])
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segments[seg_idx])
+                    dc_pred = [0] * len(comps)
+                    mcu_in_seg = 0
+                for ci, sc in members:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = (my * c["v"] + by) * self.grid_w[ci] \
+                                + (mx * c["h"] + bx)
+                            coef = self.coefs[ci][row]
+                            if ah == 0:
+                                dc_t = htables.get((0, sc["td"]))
+                                if dc_t is None:
+                                    raise ValueError("missing DC table")
+                                s = dc_t.decode(br)
+                                if s > 11:
+                                    raise ValueError("invalid DC category")
+                                diff = _extend(br.read_bits(s), s) if s else 0
+                                dc_pred[ci] += diff
+                                coef[0] = dc_pred[ci] << al
+                            else:
+                                if br.read_bit():
+                                    coef[0] |= 1 << al
+                mcu_in_seg += 1
+
+    def _ac_scan(self, segments, member, ss, se, ah, al, htables,
+                 restart_interval):
+        ci, sc = member
+        c = self.frame["comps"][ci]
+        ac_t = htables.get((1, sc["ta"]))
+        if ac_t is None:
+            raise ValueError("missing AC table")
+        # nominal (unpadded) block dims of this component (T.81 A.1.1)
+        cw = -(-self.frame["w"] * c["h"] // self.hmax)
+        chh = -(-self.frame["h"] * c["v"] // self.vmax)
+        cbw, cbh = -(-cw // 8), -(-chh // 8)
+        seg_idx, unit_in_seg, eobrun = 0, 0, 0
+        br = _BitReader(segments[0])
+        for by in range(cbh):
+            for bx in range(cbw):
+                if restart_interval and unit_in_seg == restart_interval:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segments[seg_idx])
+                    eobrun = 0
+                    unit_in_seg = 0
+                coef = self.coefs[ci][by * self.grid_w[ci] + bx]
+                if ah == 0:
+                    eobrun = self._ac_first(br, ac_t, coef, ss, se, al,
+                                            eobrun)
+                else:
+                    eobrun = self._ac_refine(br, ac_t, coef, ss, se, al,
+                                             eobrun)
+                unit_in_seg += 1
+
+    @staticmethod
+    def _ac_first(br, ac_t, coef, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+bits blocks ends here
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(br, ac_t, coef, ss, se, al, eobrun) -> int:
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_t.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn: current block continues below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # r == 15: run of 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if br.read_bit() else m1
+                # advance over nonzero-history coefficients (each carries
+                # a correction bit), counting down r zero-history slots
+                while k <= se:
+                    if coef[k] != 0:
+                        if br.read_bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eobrun > 0:
+            # rest of this block's band: correction bits only
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def reconstruct(self, qtables) -> np.ndarray:
+        blocks = []
+        for zz in self.coefs:
+            nat = np.zeros_like(zz)
+            nat[:, _ZIGZAG] = zz
+            blocks.append(nat.reshape(-1, 8, 8).astype(np.int32))
+        return _reconstruct(self.frame, blocks, qtables, self.hmax,
+                            self.vmax, self.mcux, self.mcuy)
 
 
 # ---------------------------------------------------------------------------
@@ -480,11 +718,12 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def jpeg_encode(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
-) -> bytes:
-    """(h, w, c) uint8 (c = 1 or 3) -> baseline JFIF JPEG bytes.
-    subsample=True emits 4:2:0 (2x2 luma sampling, box-filtered chroma)."""
+def _prepare_encode(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color convert, subsample, FDCT,
+    quantize.  Returns (h, w, nc, samp, q_raster, all_zz, grid_w, mcux,
+    mcuy) where all_zz[ci] is the (nblocks, 64) ZIGZAG-ordered quantized
+    coefficient grid — the identical coefficients baseline and
+    progressive emission then serialize."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -516,13 +755,9 @@ def jpeg_encode(
     if nc == 3:
         q_raster.append(_quality_scale(_Q_CHROMA_RASTER, quality))
     q_mats = [q.reshape(8, 8) for q in q_raster]
-    dc_code = [dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0]))),
-               dict(zip(_DC_CHROMA[1], _canonical_codes(_DC_CHROMA[0])))]
-    ac_code = [dict(zip(_AC_LUMA[1], _canonical_codes(_AC_LUMA[0]))),
-               dict(zip(_AC_CHROMA[1], _canonical_codes(_AC_CHROMA[0])))]
 
     # per-component quantized coefficient blocks on the MCU-aligned grid
-    all_coefs = []
+    all_zz = []
     grid_w = []
     for ci, plane in enumerate(planes):
         ch, cv = samp[ci]
@@ -537,15 +772,48 @@ def jpeg_encode(
         )
         coefs = np.einsum("ij,bjk,kl->bil", _T, blocks, _T.T)
         qi = q_mats[min(ci, len(q_mats) - 1)].astype(np.float32)
-        all_coefs.append(np.round(coefs / qi).astype(np.int32))
+        quant = np.round(coefs / qi).astype(np.int32)
+        all_zz.append(quant.reshape(-1, 64)[:, _ZIGZAG])
         grid_w.append(gw)
+    return h, w, nc, samp, q_raster, all_zz, grid_w, mcux, mcuy
+
+
+def _frame_headers(h, w, nc, samp, q_raster, sof_marker: bytes) -> bytearray:
+    """SOI + APP0 + DQT + SOF segments shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
+    for tq, q in enumerate(q_raster):  # DQT (zigzag byte order)
+        zz = q.reshape(8, 8).flatten()[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(x) for x in zz
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        ch, cv = samp[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, min(ci, len(q_raster) - 1)])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, c) uint8 (c = 1 or 3) -> baseline JFIF JPEG bytes.
+    subsample=True emits 4:2:0 (2x2 luma sampling, box-filtered chroma)."""
+    h, w, nc, samp, q_raster, all_zz, grid_w, mcux, mcuy = _prepare_encode(
+        pixels, quality, subsample)
+    dc_code = [dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0]))),
+               dict(zip(_DC_CHROMA[1], _canonical_codes(_DC_CHROMA[0])))]
+    ac_code = [dict(zip(_AC_LUMA[1], _canonical_codes(_AC_LUMA[0]))),
+               dict(zip(_AC_CHROMA[1], _canonical_codes(_AC_CHROMA[0])))]
 
     bwr = _BitWriter()
     dc_pred = [0] * nc
 
     def emit_block(ci: int, bi: int) -> None:
         t = min(ci, 1)
-        zz = all_coefs[ci][bi].flatten()[_ZIGZAG]
+        zz = all_zz[ci][bi]
         diff = int(zz[0]) - dc_pred[ci]
         dc_pred[ci] = int(zz[0])
         s = _category(diff)
@@ -586,19 +854,7 @@ def jpeg_encode(
                         )
     entropy = bwr.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
-    for tq, q in enumerate(q_raster):  # DQT (zigzag byte order)
-        zz = q.reshape(8, 8).flatten()[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
-            int(x) for x in zz
-        )
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        ch, cv = samp[ci]
-        sof += bytes([ci + 1, (ch << 4) | cv, min(ci, len(q_raster) - 1)])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out = _frame_headers(h, w, nc, samp, q_raster, b"\xff\xc0")
     for tc, tables in ((0, (_DC_LUMA, _DC_CHROMA)), (1, (_AC_LUMA, _AC_CHROMA))):
         for th in range(2 if nc == 3 else 1):
             bits, vals = tables[th]
@@ -610,3 +866,232 @@ def jpeg_encode(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy + b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2, T.81 Annex G.1): DC first + refine, spectral
+# AC bands at Al=1, AC refinement scans to Al=0 with buffered correction
+# bits — same quantized coefficients as the baseline encoder.
+# ---------------------------------------------------------------------------
+
+# Near-flat Huffman table covering every (RRRR,SSSS) byte: progressive AC
+# scans need EOBn symbols (0x10..0xE0) that Annex K's sequential tables
+# lack; 128 codes at length 8 + 128 at length 9 is a valid canonical
+# table per T.81 C.2 (DHT length counts are single bytes, so one flat
+# length cannot hold all 256) and keeps the encoder static.  Larger
+# output than optimized per-image tables — fixtures and validation
+# probes, not archival.
+_AC_FLAT = ([0] * 7 + [128, 128] + [0] * 7, list(range(256)))
+
+
+def _nominal_blocks(w, h, ch, cv, hmax, vmax):
+    cw = -(-w * ch // hmax)
+    chh = -(-h * cv // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def jpeg_encode_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, c) uint8 -> progressive (SOF2) JFIF JPEG.  Scan script:
+    interleaved DC first (Al=1) + DC refine; per-component spectral AC
+    bands (luma split 1-5 / 6-63) at Al=1; per-component AC refinement to
+    Al=0.  Coefficient-identical to jpeg_encode at the same quality."""
+    h, w, nc, samp, q_raster, all_zz, grid_w, mcux, mcuy = _prepare_encode(
+        pixels, quality, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_code = [dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0]))),
+               dict(zip(_DC_CHROMA[1], _canonical_codes(_DC_CHROMA[0])))]
+    ac_code = dict(zip(_AC_FLAT[1], _canonical_codes(_AC_FLAT[0])))
+
+    out = _frame_headers(h, w, nc, samp, q_raster, b"\xff\xc2")
+    for th in range(2 if nc == 3 else 1):  # DC tables (Annex K)
+        bits, vals = (_DC_LUMA, _DC_CHROMA)[th]
+        body = bytes([th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = bytes([0x10]) + bytes(_AC_FLAT[0]) + bytes(_AC_FLAT[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(members, ss, se, ah, al, entropy):
+        nonlocal out
+        hdr = bytes([len(members)])
+        for ci, td, ta in members:
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+        out += entropy
+
+    # -- scan 1: DC first, interleaved, Al=1 --
+    al = 1
+    bw = _BitWriter()
+    dc_pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * grid_w[ci] + mx * ch + bx
+                        v = int(all_zz[ci][bi][0]) >> al  # arithmetic shift
+                        diff = v - dc_pred[ci]
+                        dc_pred[ci] = v
+                        s = _category(diff)
+                        ln, code = dc_code[min(ci, 1)][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s)
+    sos([(ci, min(ci, 1), 0) for ci in range(nc)], 0, 0, 0, al, bw.flush())
+
+    # -- scan 2: DC refine to Al=0, interleaved (one bit per block) --
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * grid_w[ci] + mx * ch + bx
+                        bw.write(int(all_zz[ci][bi][0]) & 1, 1)
+    sos([(ci, 0, 0) for ci in range(nc)], 0, 0, 1, 0, bw.flush())
+
+    # -- AC first scans, Al=1 (luma spectrally split, chroma full band) --
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(nc):
+        for ss, se in bands.get(ci, [(1, 63)]):
+            bw = _BitWriter()
+            _emit_ac_first(bw, ac_code, all_zz[ci], grid_w[ci],
+                           *_nominal_blocks(w, h, *samp[ci], hmax, vmax),
+                           ss, se, 1)
+            sos([(ci, 0, 0)], ss, se, 0, 1, bw.flush())
+
+    # -- AC refinement scans to Al=0 --
+    for ci in range(nc):
+        bw = _BitWriter()
+        _emit_ac_refine(bw, ac_code, all_zz[ci], grid_w[ci],
+                        *_nominal_blocks(w, h, *samp[ci], hmax, vmax),
+                        1, 63, 0)
+        sos([(ci, 0, 0)], 1, 63, 1, 0, bw.flush())
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: v / 2^Al truncated toward zero (T.81 G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        ln, code = ac_code[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            coef = zz[by * gw + bx]
+            run = 0
+            for k in range(ss, se + 1):
+                t = _trunc_shift(int(coef[k]), al)
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    ln, code = ac_code[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(t)
+                ln, code = ac_code[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+                run = 0
+            if run > 0:  # band ends in zeros -> block joins the EOB run
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
+    """T.81 G.1.2.3 refinement emission (the shape libjpeg's jcphuff
+    documents): newly-nonzero coefficients (|v|>>Al == 1) emit
+    (run-of-zero-HISTORY, size=1) + a sign bit; already-nonzero ones
+    contribute one correction bit.  TWO bit buffers reproduce the
+    decoder's interleaved read order: `cur` holds the current block's
+    bits since its last emitted symbol (flushed right after each symbol —
+    the decoder reads them while advancing to the symbol's position);
+    `eob_bits` holds completed EOB-run blocks' bits (flushed with the
+    EOBn symbol — the decoder reads them while draining the run)."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, eob_bits
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        ln, code = ac_code[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        for bit in eob_bits:
+            bw.write(bit, 1)
+        eobrun = 0
+        eob_bits = []
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            coef = zz[by * gw + bx]
+            # span since the last emitted symbol, in k order:
+            # None = zero-history slot, int = a history correction bit
+            span: list = []
+            for k in range(ss, se + 1):
+                t = _trunc_shift(int(coef[k]), al)
+                a = -t if t < 0 else t
+                if a == 0:
+                    span.append(None)
+                    continue
+                if a > 1:  # history coefficient: one correction bit
+                    span.append(a & 1)
+                    continue
+                # newly nonzero at this precision
+                flush_eob()
+                nzero = sum(1 for x in span if x is None)
+                while nzero > 15:
+                    # ZRL window: the decoder consumes exactly 16
+                    # zero-history slots, reading the correction bits it
+                    # passes — emit ONLY that window's bits after the ZRL
+                    ln, code = ac_code[0xF0]
+                    bw.write(code, ln)
+                    consumed = 0
+                    while consumed < 16:
+                        x = span.pop(0)
+                        if x is None:
+                            consumed += 1
+                        else:
+                            bw.write(x, 1)
+                    nzero -= 16
+                ln, code = ac_code[(nzero << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if t > 0 else 0, 1)
+                for x in span:  # remaining bits up to this coefficient
+                    if x is not None:
+                        bw.write(x, 1)
+                span = []
+            if span:  # block tail joins the EOB run
+                eobrun += 1
+                eob_bits.extend(x for x in span if x is not None)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
