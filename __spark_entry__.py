@@ -1623,95 +1623,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness run checks the FIRST 50
-    # entries of this dict against oracle_sql() at sf0.01 (CORRECTNESS_r03
-    # stopped at entry #50 exactly).  Entries are therefore ordered by
-    # verification need, not by theme:
-    #   1. queries that have never been driver-oracled (round 3's newest 17
-    #      plus anything added this round) come first, including the ann_*
-    #      and bpe entries that gained real oracles this round;
-    #   2. previously hash-green queries exercising distinct heavy code
-    #      paths keep window slots;
-    #   3. queries hash-green in BOTH r02 and r03 (or subsumed by an
-    #      in-window query) plus the two remaining no-oracle rows-only
-    #      entries (minhash/simhash — pinned by pytest recall/determinism
-    #      tests) sit past the window.
+    # entries of this dict against oracle_sql() at sf0.01.  Entries are
+    # ordered by verification need, not by theme (r5 rotation):
+    #   1. queries NEW or with CHANGED implementation/output this round
+    #      (pii, the all-69-types diagnostics sweep, the progressive-JPEG
+    #      + intensity image query, zero-shuffle decontaminate, salted
+    #      audio dedup) come first;
+    #   2. the 10 OLDEST past-window entries (last driver evidence r02/
+    #      r03: the simple map/agg family) rotate back inside so every
+    #      query's driver evidence stays <= 2 rounds old;
+    #   3. round-4-verified queries exercising distinct heavy code paths
+    #      keep the remaining window slots;
+    #   4. past the window: r4-verified entries sitting out ONE round
+    #      (they rotate back in r6), entries subsumed by an in-window
+    #      query (the ann_* oracles embed cosine_topk's exact top-10;
+    #      kl/psi/ks share the drift/stat-test paths covered by
+    #      kl_vs_profiled_baseline + chisquare; referential_custkey is
+    #      the unsalted variant of referential_salted_custkey), and the
+    #      two rows-only-by-design entries (minhash/simhash — xxhash64
+    #      seeds not SQL-expressible; pinned by pytest recall/
+    #      determinism tests).
     return {
-        # -- tier 1: never externally oracled (r03 entries #51-#67) --
-        "audio_flac_violations": q_audio_flac_violations,
-        "audio_opus_container_violations": q_audio_opus_container_violations,
-        "video_mp4_container_violations": q_video_mp4_container_violations,
-        "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
-        "iceberg_add_files": q_iceberg_add_files,
-        "iceberg_position_deletes": q_iceberg_position_deletes,
-        "iceberg_schema_evolution": q_iceberg_schema_evolution,
-        "iceberg_compaction": q_iceberg_compaction,
-        "iceberg_equality_deletes": q_iceberg_equality_deletes,
-        "curation_pipeline_documents": q_curation_pipeline,
-        "bpe_token_stats_documents": q_bpe_token_stats,
-        "winnowing_fingerprints_documents": q_winnowing_fingerprints,
-        "audio_features_banded": q_audio_features_banded,
-        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
-        "audio_quality_violations": q_audio_quality_violations,
-        "audio_trim_bounds": q_audio_trim_bounds,
-        "iceberg_data_skipping": q_iceberg_data_skipping,
-        "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
-        "streaming_windowed_events": q_streaming_windowed_events,
-        "expectation_diagnostics": q_expectation_diagnostics,
-        "video_h264_sps_violations": q_video_h264_sps_violations,
-        "decontaminate_documents": q_decontaminate_documents,
+        # -- tier 1: new or changed in r5 --
         "pii_documents": q_pii_documents,
-        "repetition_stats_documents": q_repetition_stats_documents,
-        # -- tier 1b: newly oracle-ified this round (were rows-only in
-        #    r03; now emit exact top-10 + recall_ok so the driver can
-        #    hash-match them) --
-        "ann_lsh_embeddings": q_ann_lsh_embeddings,
-        "ann_ivf_embeddings": q_ann_ivf_embeddings,
-        "ann_pq_embeddings": q_ann_pq_embeddings,
-        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
-        # -- tier 2: previously hash-green, distinct heavy code paths --
-        "row_count_lineitem": q_row_count_lineitem,
-        "unique_orderkey_orders": q_unique_orderkey_orders,
-        "quantiles_totalprice": q_quantiles_totalprice,
-        "histogram_quantity": q_histogram_quantity,
-        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
-        "chisquare_mktsegment": q_chisquare_mktsegment,
-        "json_props_parseable": q_json_props_parseable,
-        "row_condition_filtered_mean": q_row_condition_filtered_mean,
-        "referential_salted_custkey": q_referential_salted_custkey,
-        "compound_unique_lineitem": q_compound_unique_lineitem,
-        "pair_ship_after_order": q_pair_ship_after_order,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "token_stats_documents": q_token_stats_documents,
-        "quality_documents": q_quality_documents,
-        "lang_distribution_documents": q_lang_distribution_documents,
-        "bpe_tokenize_documents": q_bpe_tokenize_documents,
+        "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
-        "image_png_violations": q_image_png_violations,
-        "word_jaccard_documents": q_word_jaccard_documents,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "group_cap_documents": q_group_cap_documents,
-        # -- tier 3: past the driver window — hash-green in r02 AND r03
-        #    (token_shards and hash_split moved here when the round-4
-        #    decontaminate/repetition queries took their window slots;
-        #    oracles + plan pins stay in the repo; group_cap stays IN the
-        #    window because its impl gained the salted pre-cap this round)
-        #    (simple scalar aggs, or subsumed by an in-window query: the
-        #    ann_* oracles embed cosine_topk's exact top-10; kl/psi/ks
-        #    share the drift/stat-test code paths still covered by
-        #    kl_vs_profiled_baseline + chisquare; referential_custkey is
-        #    the unsalted variant of referential_salted_custkey) or
-        #    rows-only by design (no SQL oracle) --
-        "token_shards_documents": q_token_shards_documents,
-        "hash_split_documents": q_hash_split_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "kl_quantity_uniform": q_kl_quantity_uniform,
-        "psi_quantity_uniform": q_psi_quantity_uniform,
-        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
-        "referential_custkey": q_referential_custkey,
-        "fingerprint_documents": q_fingerprint_documents,
-        "mixture_sample_documents": q_mixture_sample_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        # -- tier 2: rotated back in (oldest driver evidence first) --
         "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
@@ -1722,8 +1661,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_sum_tax": q_minmax_sum_tax,
         "distinct_count_mktsegment": q_distinct_count_mktsegment,
         "value_counts_linestatus": q_value_counts_linestatus,
+        # -- tier 3: r4-verified, distinct heavy code paths keep slots --
+        "audio_flac_violations": q_audio_flac_violations,
+        "audio_opus_container_violations": q_audio_opus_container_violations,
+        "video_mp4_container_violations": q_video_mp4_container_violations,
+        "video_h264_sps_violations": q_video_h264_sps_violations,
+        "iceberg_snapshot_reads": q_iceberg_snapshot_reads,
+        "iceberg_add_files": q_iceberg_add_files,
+        "iceberg_position_deletes": q_iceberg_position_deletes,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_equality_deletes": q_iceberg_equality_deletes,
+        "iceberg_data_skipping": q_iceberg_data_skipping,
+        "curation_pipeline_documents": q_curation_pipeline,
+        "bpe_token_stats_documents": q_bpe_token_stats,
+        "winnowing_fingerprints_documents": q_winnowing_fingerprints,
+        "audio_features_banded": q_audio_features_banded,
+        "audio_quality_violations": q_audio_quality_violations,
+        "audio_trim_bounds": q_audio_trim_bounds,
+        "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
+        "streaming_windowed_events": q_streaming_windowed_events,
+        "repetition_stats_documents": q_repetition_stats_documents,
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_pq_embeddings": q_ann_pq_embeddings,
+        "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
+        "unique_orderkey_orders": q_unique_orderkey_orders,
+        "quantiles_totalprice": q_quantiles_totalprice,
+        "histogram_quantity": q_histogram_quantity,
+        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
+        "chisquare_mktsegment": q_chisquare_mktsegment,
+        "json_props_parseable": q_json_props_parseable,
+        "row_condition_filtered_mean": q_row_condition_filtered_mean,
+        "referential_salted_custkey": q_referential_salted_custkey,
+        "image_png_violations": q_image_png_violations,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "group_cap_documents": q_group_cap_documents,
+        # ---- driver window ends here (entry #50) ----
+        # -- tier 4: past the window --
+        # r4-verified, sitting out one round (rotate back in r6):
+        "row_count_lineitem": q_row_count_lineitem,
+        "compound_unique_lineitem": q_compound_unique_lineitem,
+        "pair_ship_after_order": q_pair_ship_after_order,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "quality_documents": q_quality_documents,
+        "lang_distribution_documents": q_lang_distribution_documents,
+        "bpe_tokenize_documents": q_bpe_tokenize_documents,
+        "word_jaccard_documents": q_word_jaccard_documents,
+        "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        # r02/r03-verified, subsumed or shared-code-path (see note):
+        "token_shards_documents": q_token_shards_documents,
+        "hash_split_documents": q_hash_split_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "kl_quantity_uniform": q_kl_quantity_uniform,
+        "psi_quantity_uniform": q_psi_quantity_uniform,
+        "ks_stat_uniform_quantity": q_ks_stat_uniform_quantity,
+        "referential_custkey": q_referential_custkey,
+        "fingerprint_documents": q_fingerprint_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "most_common_linestatus": q_most_common_linestatus,
         "multicol_sum_10": q_multicol_sum_10,
+        # rows-only by design (no SQL oracle):
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
     }
