@@ -346,6 +346,24 @@ def main() -> None:
         ops.decontaminate(
             train_slice, bench_slice, "doc_id", "text", n=5
         ).where("contaminated").count()
+        # r5 PII pass: detection counts + full redaction residue, all
+        # map-side regexp folds (planted spans so the redact leg does work)
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 3,
+                       F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
+                                F.lit("@example.com"))).otherwise(F.lit("")),
+            ),
+        )
+        red = ops.redact_pii(planted, "text", out_col="clean")
+        stats = ops.pii_stats(red, "doc_id", "text", keep_cols=["clean"])
+        row = stats.agg(
+            F.sum("n_pii"),
+            F.sum(ops.pii_count_expr(F.col("clean"))).alias("resid"),
+        ).collect()[0]
+        assert row[0] > 0 and row[1] == 0
 
     @bench("embeddings_similarity")
     def _():

@@ -17,7 +17,12 @@ Scope, from the public spec (ISO/IEC 14496-10 / ITU-T H.264):
 So a bare-'h264' video row is now verified at the BITSTREAM level:
 header syntax, SPS-declared dimensions vs the metadata columns, VUI
 frame rate and frame count vs n_frames/fps — only the slice macroblock
-data itself stays un-decoded.
+data itself stays un-decoded.  Decided r5 (SURVEY.md §2.5): slice
+decode is OUT OF SCOPE permanently, same rationale as the Opus
+CELT/SILK stance — the in-sandbox fixtures carry deterministic opaque
+slice payloads (no AVC encoder exists here to produce real CAVLC/CABAC
+residuals), so a from-scratch slice decoder could never be exercised
+against real content and would add no validation power.
 
 No upstream analog (reference mount empty; SURVEY.md §0).
 """
