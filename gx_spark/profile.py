@@ -297,6 +297,10 @@ def suggest_suite(
       (_suggest_multimodal).  Binary columns are otherwise exempt from the
       distinct/unique/in_set rules — payload bytes must never be shuffled
       or collected by a profiler.
+    - long-text columns (observed max length >= 80): a PII screen
+      (`expect_column_pii_count_to_be_below`), with `mostly` backed off
+      to the observed flagged fraction when the batch already carries
+      PII-shaped spans (r5; one extra map-side regexp probe, no shuffle).
     """
     from .model import ExpectationSuite
 
@@ -374,8 +378,44 @@ def suggest_suite(
             if len(vals) <= low_cardinality_max:
                 suite.add("expect_column_values_to_be_in_set", column=c,
                           value_set=sorted(vals))
+    _suggest_pii(df, suite, row, stringy, n)
     _suggest_multimodal(df, suite, {f.name for f in fields}, binary)
     return suite
+
+
+def _suggest_pii(df: DataFrame, suite, row, stringy: set, n: int) -> None:
+    """PII screen for free-text columns (observed max length >= 80 —
+    shorter columns are codes/names where the phone/card classes only
+    false-positive).  One map-side probe counts rows with any PII-shaped
+    span per candidate; zero -> the strict expectation, some -> `mostly`
+    backed off below the observed clean fraction (same floor rule as
+    not_be_null) so the emitted suite passes its own batch; majority
+    flagged -> not emitted (no passing form exists)."""
+    import math
+
+    from .ops import pii_count_expr
+
+    cands = [c for c in stringy
+             if int(row[f"{c}__nn"]) > 0 and int(row[f"{c}__lmx"] or 0) >= 80]
+    if not cands:
+        return
+    probe = df.agg(*[
+        F.sum((pii_count_expr(F.col(c)) >= 1).cast("int")).alias(c)
+        for c in cands
+    ]).collect()[0]
+    for c in cands:
+        viol = int(probe[c] or 0)
+        nn = int(row[f"{c}__nn"])
+        if viol == 0:
+            suite.add("expect_column_pii_count_to_be_below", column=c)
+            continue
+        frac = viol / nn
+        if frac >= 0.5:
+            continue
+        backoff = math.floor((1 - 1.2 * frac) * 1000) / 1000
+        observed = math.floor((1 - frac) * 1000) / 1000
+        suite.add("expect_column_pii_count_to_be_below", column=c,
+                  mostly=max(0.001, min(backoff, observed)))
 
 
 _AUDIO_META = frozenset({"sr_hz", "dur_ms", "codec", "transcript"})

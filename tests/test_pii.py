@@ -115,3 +115,40 @@ def test_pii_expectation_evr(docs, spark):
     evr = bad.suite_result.results[0]
     assert not evr.success
     assert "unknown PII classes" in evr.exception_info["exception_message"]
+
+
+def test_suggest_suite_emits_pii_screen(docs, spark):
+    """Profiler PII rule: long-text columns get the screen; a batch with
+    planted PII gets a backed-off `mostly` and the emitted suite still
+    passes on its own profiling batch; a clean long-text batch gets the
+    strict form; short-string columns are never screened."""
+    from gx_spark.profile import suggest_suite
+
+    pad = "x" * 90  # force the long-text threshold
+    filler = spark.createDataFrame(
+        [(100 + i, f"clean filler prose number {i} {pad}")
+         for i in range(13)], "doc_id long, text string")
+    # 5 PII docs of 20 rows -> flagged fraction 0.25 (< the 0.5 cutoff)
+    dirty = docs.filter("text is not null").selectExpr(
+        "doc_id", f"concat(text, ' {pad}') as text").union(filler)
+    suite = suggest_suite(dirty)
+    pii_cfgs = [e for e in suite.expectations
+                if e.expectation_type == "expect_column_pii_count_to_be_below"]
+    assert len(pii_cfgs) == 1 and pii_cfgs[0].kwargs["column"] == "text"
+    assert 0 < pii_cfgs[0].kwargs["mostly"] < 1
+    bundle = validate(spark, dirty, suite, EngineOptions())
+    assert all(r.success for r in bundle.suite_result.results), [
+        (r.expectation_config.expectation_type, r.result)
+        for r in bundle.suite_result.results if not r.success]
+
+    clean = spark.createDataFrame(
+        [(i, f"just ordinary prose with no sensitive spans at all {pad}")
+         for i in range(4)], "doc_id long, text string")
+    suite2 = suggest_suite(clean)
+    cfg = next(e for e in suite2.expectations
+               if e.expectation_type == "expect_column_pii_count_to_be_below")
+    assert "mostly" not in cfg.kwargs
+    short = spark.createDataFrame([(1, "a@b.io")], "doc_id long, s string")
+    suite3 = suggest_suite(short)
+    assert not [e for e in suite3.expectations
+                if e.expectation_type == "expect_column_pii_count_to_be_below"]
