@@ -707,6 +707,31 @@ class _BitWriter:
         return bytes(self.out)
 
 
+class _EntropyAssembler:
+    """A _BitWriter that can be split at restart boundaries: restart()
+    byte-aligns (1-fill pad per spec) and inserts the next RSTn marker
+    (m cycles 0..7, T.81 B.2.1.2); finish() returns the assembled
+    entropy-coded data for one scan."""
+
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+        self.bw = _BitWriter()
+        self.n_rst = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.bw.write(value, length)
+
+    def restart(self) -> None:
+        self.parts.append(self.bw.flush())
+        self.parts.append(bytes([0xFF, 0xD0 + self.n_rst % 8]))
+        self.n_rst += 1
+        self.bw = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.parts.append(self.bw.flush())
+        return b"".join(self.parts)
+
+
 def _quality_scale(q_base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -891,14 +916,20 @@ def _nominal_blocks(w, h, ch, cv, hmax, vmax):
 
 
 def jpeg_encode_progressive(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, c) uint8 -> progressive (SOF2) JFIF JPEG.  Scan script:
     interleaved DC first (Al=1) + DC refine; per-component spectral AC
     bands (luma split 1-5 / 6-63) at Al=1; per-component AC refinement to
-    Al=0.  Coefficient-identical to jpeg_encode at the same quality."""
+    Al=0.  Coefficient-identical to jpeg_encode at the same quality.
+    `restart_interval` > 0 emits DRI + RSTn markers every that-many MCUs
+    (interleaved scans) / blocks (AC scans), flushing the EOB run and
+    resetting DC predictors at each boundary per T.81 — exercises the
+    decoder's restart path."""
     h, w, nc, samp, q_raster, all_zz, grid_w, mcux, mcuy = _prepare_encode(
         pixels, quality, subsample)
+    ri = max(0, int(restart_interval))
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     dc_code = [dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0]))),
@@ -912,6 +943,8 @@ def jpeg_encode_progressive(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     body = bytes([0x10]) + bytes(_AC_FLAT[0]) + bytes(_AC_FLAT[1])
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     def sos(members, ss, se, ah, al, entropy):
         nonlocal out
@@ -924,10 +957,15 @@ def jpeg_encode_progressive(
 
     # -- scan 1: DC first, interleaved, Al=1 --
     al = 1
-    bw = _BitWriter()
+    bw = _EntropyAssembler()
     dc_pred = [0] * nc
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_i and mcu_i % ri == 0:
+                bw.restart()
+                dc_pred = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 ch, cv = samp[ci]
                 for by in range(cv):
@@ -942,37 +980,41 @@ def jpeg_encode_progressive(
                         if s:
                             bw.write(
                                 diff if diff >= 0 else diff + (1 << s) - 1, s)
-    sos([(ci, min(ci, 1), 0) for ci in range(nc)], 0, 0, 0, al, bw.flush())
+    sos([(ci, min(ci, 1), 0) for ci in range(nc)], 0, 0, 0, al, bw.finish())
 
     # -- scan 2: DC refine to Al=0, interleaved (one bit per block) --
-    bw = _BitWriter()
+    bw = _EntropyAssembler()
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_i and mcu_i % ri == 0:
+                bw.restart()
+            mcu_i += 1
             for ci in range(nc):
                 ch, cv = samp[ci]
                 for by in range(cv):
                     for bx in range(ch):
                         bi = (my * cv + by) * grid_w[ci] + mx * ch + bx
                         bw.write(int(all_zz[ci][bi][0]) & 1, 1)
-    sos([(ci, 0, 0) for ci in range(nc)], 0, 0, 1, 0, bw.flush())
+    sos([(ci, 0, 0) for ci in range(nc)], 0, 0, 1, 0, bw.finish())
 
     # -- AC first scans, Al=1 (luma spectrally split, chroma full band) --
     bands = {0: [(1, 5), (6, 63)]}
     for ci in range(nc):
         for ss, se in bands.get(ci, [(1, 63)]):
-            bw = _BitWriter()
+            bw = _EntropyAssembler()
             _emit_ac_first(bw, ac_code, all_zz[ci], grid_w[ci],
                            *_nominal_blocks(w, h, *samp[ci], hmax, vmax),
-                           ss, se, 1)
-            sos([(ci, 0, 0)], ss, se, 0, 1, bw.flush())
+                           ss, se, 1, ri)
+            sos([(ci, 0, 0)], ss, se, 0, 1, bw.finish())
 
     # -- AC refinement scans to Al=0 --
     for ci in range(nc):
-        bw = _BitWriter()
+        bw = _EntropyAssembler()
         _emit_ac_refine(bw, ac_code, all_zz[ci], grid_w[ci],
                         *_nominal_blocks(w, h, *samp[ci], hmax, vmax),
-                        1, 63, 0)
-        sos([(ci, 0, 0)], 1, 63, 1, 0, bw.flush())
+                        1, 63, 0, ri)
+        sos([(ci, 0, 0)], 1, 63, 1, 0, bw.finish())
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -983,8 +1025,10 @@ def _trunc_shift(v: int, al: int) -> int:
     return (v >> al) if v >= 0 else -((-v) >> al)
 
 
-def _emit_ac_first(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
+def _emit_ac_first(bw, ac_code, zz, gw, cbw, cbh, ss, se, al,
+                   restart_interval: int = 0) -> None:
     eobrun = 0
+    unit = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -999,6 +1043,10 @@ def _emit_ac_first(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
 
     for by in range(cbh):
         for bx in range(cbw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush_eob()
+                bw.restart()
+            unit += 1
             coef = zz[by * gw + bx]
             run = 0
             for k in range(ss, se + 1):
@@ -1023,7 +1071,8 @@ def _emit_ac_first(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
     flush_eob()
 
 
-def _emit_ac_refine(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
+def _emit_ac_refine(bw, ac_code, zz, gw, cbw, cbh, ss, se, al,
+                    restart_interval: int = 0) -> None:
     """T.81 G.1.2.3 refinement emission (the shape libjpeg's jcphuff
     documents): newly-nonzero coefficients (|v|>>Al == 1) emit
     (run-of-zero-HISTORY, size=1) + a sign bit; already-nonzero ones
@@ -1050,8 +1099,13 @@ def _emit_ac_refine(bw, ac_code, zz, gw, cbw, cbh, ss, se, al) -> None:
         eobrun = 0
         eob_bits = []
 
+    unit = 0
     for by in range(cbh):
         for bx in range(cbw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush_eob()
+                bw.restart()
+            unit += 1
             coef = zz[by * gw + bx]
             # span since the last emitted symbol, in k order:
             # None = zero-history slot, int = a history correction bit

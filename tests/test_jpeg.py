@@ -190,3 +190,18 @@ def test_jpeg_magic_garbage_does_not_pass():
     b = _synth_progressive_jpeg(24, 16)
     assert compute_image_flags_row(b[: len(b) // 2], 24, 16, 3,
                                    "jpeg")["decodable"] is False
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_markers_identical(ri):
+    """DRI/RSTn in progressive scans: every restart byte-aligns, flushes
+    the EOB run, and resets DC predictors — decode must stay bit-identical
+    to baseline through the decoder's per-segment reset path."""
+    from gx_spark.jpeg import jpeg_encode_progressive
+
+    for h, w, sub in [(16, 24, False), (33, 31, True)]:
+        px = _smooth_rgb(h, w)
+        base = jpeg_decode(jpeg_encode(px, 75, sub))
+        b = jpeg_encode_progressive(px, 75, sub, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI present
+        assert np.array_equal(base, jpeg_decode(b))
