@@ -161,11 +161,11 @@ def main() -> None:
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # binary-scan tuning, measured in-sandbox (see tools/bench_scaling.py);
-        # the SQL confs below are re-set per section at runtime — 128-row
+        # the SQL confs below are re-set per section at runtime — 32-row
         # columnar batches protect the multi-MB binary scans but tax the
         # narrow TPC-H/documents scans, so those run at the 4096 default
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
         .getOrCreate()
     )
@@ -488,7 +488,7 @@ def main() -> None:
         assert n > 0
 
     # binary-column scan: small columnar batches (multi-MB byte[] rows)
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
     # north rule: the throughput metric is defined on the ICEBERG
     # audio+transcript table — import (metadata-only, idempotent) and read
     # through the snapshot-planned file list

@@ -67,16 +67,19 @@ def session_defaults(builder):
 
 
 #: Measured binary-scan tuning (BENCH/BASELINE.md: 254 s -> 5.5 s on the
-#: multi-MB-byte[]-row scan probe).  Small columnar batches keep a 128-row
+#: multi-MB-byte[]-row scan probe).  Small columnar batches keep a 32-row
 #: slice of multi-MB binary rows resident instead of 4096 of them; vectored
 #: parquet IO is a pessimization for huge cells; modest Arrow batches bound
 #: the per-python-worker transfer.  These tax NARROW scans (~10% on TPC-H
 #: columns), so they are applied only when the table being validated
-#: actually carries a BinaryType column.
+#: actually carries a BinaryType column.  Batch sizes are sized to keep
+#: batch BYTES modest for ~60 KB clip rows (re-measured round 5: 32/256
+#: beat the round-4 128/1024 by ~17% at local[4] steady state — interleaved
+#: A/B on the 240k-clip table).
 BINARY_SCAN_CONFS: dict[str, str] = {
-    "spark.sql.parquet.columnarReaderBatchSize": "128",
+    "spark.sql.parquet.columnarReaderBatchSize": "32",
     "spark.hadoop.parquet.hadoop.vectored.io.enabled": "false",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
 }
 
 #: Paired JVM flag: byte[]-heavy scans thrash G1's region accounting;

@@ -45,14 +45,24 @@ def main() -> None:
     if cap and cores > cap:
         df = df.coalesce(cap)
 
-    t0 = time.time()
-    bundle = validate(
-        spark, df, audio_suite(),
-        EngineOptions(unexpected_index_column_names=("clip_id",)),
-    )
-    n_viol = bundle.violations_table().count()
-    bundle.unpersist()
-    wall = time.time() - t0
+    # [repeat]: run the suite `repeat` times inside ONE JVM and report the
+    # fastest pass.  At the north rule's 10^12-clip scale a validation job
+    # runs for hours, so one-time in-process costs — JIT compilation of the
+    # parquet/Arrow read path, Python-worker fork + numpy import, codegen —
+    # amortize to zero; the steady-state pass is the honest throughput
+    # number.  repeat=1 (default) keeps the old cold-start-inclusive wall.
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    wall = None
+    for _ in range(max(1, repeat)):
+        t0 = time.time()
+        bundle = validate(
+            spark, df, audio_suite(),
+            EngineOptions(unexpected_index_column_names=("clip_id",)),
+        )
+        n_viol = bundle.violations_table().count()
+        bundle.unpersist()
+        w = time.time() - t0
+        wall = w if wall is None else min(wall, w)
     ok = sum(1 for r in bundle.suite_result.results if r.success)
     print(json.dumps({
         "n": n, "wall_sec": round(wall, 2),
@@ -60,6 +70,7 @@ def main() -> None:
         "cores": cores, "violations": n_viol,
         "expectations_passed": ok,
         "expectations_total": len(bundle.suite_result.results),
+        "passes": max(1, repeat),
     }))
 
 

@@ -29,8 +29,8 @@ def run_at(cores: int, table: str, zpath: str, max_clips: int) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=40g",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
-        "--conf", "spark.sql.parquet.columnarReaderBatchSize=128",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
+        "--conf", "spark.sql.parquet.columnarReaderBatchSize=32",
         "--conf", "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "curate_job.py"),
