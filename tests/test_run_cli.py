@@ -160,7 +160,7 @@ def test_binary_scan_conf_sniff_and_apply(spark, audio_dir, tmp_path,
             assert after[k] == v, k
     finally:
         # the test session is shared; narrow-scan tests should not inherit
-        # the 128-row columnar batches
+        # the small binary-scan columnar batches
         for k, v in before.items():
             if v is not None:
                 spark.conf.set(k, v)
