@@ -41,6 +41,7 @@ Spark-free).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -437,11 +438,14 @@ def _rows_to_data(rows: list[dict]) -> dict:
     return {k: [r[k] for r in rows] for k in rows[0]}
 
 
+@functools.lru_cache(maxsize=None)
 def _audio_rows():
     """Gallery clips from the in-repo codecs: payloads encoded from the
     SAME deterministic synthesis the SNR check re-derives, so a clean row
     passes every audio expectation and each violation is planted
-    surgically."""
+    surgically.  Deterministic, so cached — five gallery builders each
+    pull two rows from this six-clip set, and re-synthesizing per builder
+    would triple the encode work of a registry sweep."""
     import numpy as np
 
     from .audio import encode_payload, ref_transcript, synth_pcm

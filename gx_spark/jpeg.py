@@ -262,12 +262,17 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     prog = None  # progressive state: per-component zigzag coef grids
-    while pos + 4 <= len(b):
+    saw_eoi = False
+    # 2-byte lookahead: EOI and other standalone markers occupy exactly two
+    # bytes at the stream tail; requiring 4 here would skip the trailing
+    # EOI and make completeness undecidable for multi-scan streams.
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -344,6 +349,10 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             continue
         pos += seglen
     if prog is not None:
+        if not saw_eoi:
+            # a stream cut between the last scan's entropy data and EOI
+            # (or mid-marker) must not pass as a complete image
+            raise ValueError("truncated progressive stream (no EOI)")
         return prog.reconstruct(qtables)
     raise ValueError("no SOS marker found")
 
@@ -537,6 +546,44 @@ class _ProgressiveState:
 
     def _dc_scan(self, segments, members, ah, al, htables, restart_interval):
         comps = self.frame["comps"]
+        if len(members) == 1:
+            # Non-interleaved (T.81 A.2.3): a single-component scan's MCU
+            # is ONE data unit, traversing the component's nominal
+            # (unpadded) block grid in raster order — not the padded
+            # interleaved MCU grid.  Custom scan scripts (jpegtran/mozjpeg
+            # style "0: 0 0 0 0;") emit DC scans in this shape.
+            ci, sc = members[0]
+            c = comps[ci]
+            cbw, cbh = _nominal_blocks(self.frame["w"], self.frame["h"],
+                                       c["h"], c["v"], self.hmax, self.vmax)
+            dc_t = htables.get((0, sc["td"]))
+            if ah == 0 and dc_t is None:
+                raise ValueError("missing DC table")
+            pred = 0
+            seg_idx, unit_in_seg = 0, 0
+            br = _BitReader(segments[0])
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart_interval and unit_in_seg == restart_interval:
+                        seg_idx += 1
+                        if seg_idx >= len(segments):
+                            raise ValueError("missing restart segment")
+                        br = _BitReader(segments[seg_idx])
+                        pred = 0
+                        unit_in_seg = 0
+                    coef = self.coefs[ci][by * self.grid_w[ci] + bx]
+                    if ah == 0:
+                        s = dc_t.decode(br)
+                        if s > 11:
+                            raise ValueError("invalid DC category")
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred += diff
+                        coef[0] = pred << al
+                    else:
+                        if br.read_bit():
+                            coef[0] |= 1 << al
+                    unit_in_seg += 1
+            return
         dc_pred = [0] * len(comps)
         seg_idx, mcu_in_seg = 0, 0
         br = _BitReader(segments[0])
@@ -579,9 +626,8 @@ class _ProgressiveState:
         if ac_t is None:
             raise ValueError("missing AC table")
         # nominal (unpadded) block dims of this component (T.81 A.1.1)
-        cw = -(-self.frame["w"] * c["h"] // self.hmax)
-        chh = -(-self.frame["h"] * c["v"] // self.vmax)
-        cbw, cbh = -(-cw // 8), -(-chh // 8)
+        cbw, cbh = _nominal_blocks(self.frame["w"], self.frame["h"],
+                                   c["h"], c["v"], self.hmax, self.vmax)
         seg_idx, unit_in_seg, eobrun = 0, 0, 0
         br = _BitReader(segments[0])
         for by in range(cbh):

@@ -91,11 +91,19 @@ BINARY_SCAN_JVM_OPTS = "-XX:+UseParallelGC"
 
 def binary_scan_session_defaults(builder):
     """Apply BINARY_SCAN_CONFS + the GC flag to a SparkSession.Builder
-    (before the JVM exists)."""
+    (before the JVM exists).  The GC flag is APPENDED to any
+    driver.extraJavaOptions already set on the builder — overwriting
+    would silently drop user JVM flags (heap size, tmpdir, GC logging)
+    configured upstream."""
     for k, v in BINARY_SCAN_CONFS.items():
         builder = builder.config(k, v)
-    return builder.config(
-        "spark.driver.extraJavaOptions", BINARY_SCAN_JVM_OPTS)
+    existing = getattr(builder, "_options", {}).get(
+        "spark.driver.extraJavaOptions", "")
+    if BINARY_SCAN_JVM_OPTS in existing.split():
+        opts = existing
+    else:
+        opts = f"{existing} {BINARY_SCAN_JVM_OPTS}".strip()
+    return builder.config("spark.driver.extraJavaOptions", opts)
 
 
 def apply_binary_scan_confs(spark) -> list[str]:

@@ -205,3 +205,102 @@ def test_progressive_restart_markers_identical(ri):
         b = jpeg_encode_progressive(px, 75, sub, restart_interval=ri)
         assert b"\xff\xdd" in b  # DRI present
         assert np.array_equal(base, jpeg_decode(b))
+
+
+def test_progressive_every_truncation_raises():
+    """No strict prefix of a progressive stream may silently decode.  The
+    decoder requires the trailing EOI: before r5's review fix, a cut
+    leaving 1-3 bytes after a scan's entropy data slipped through the
+    marker loop's 4-byte lookahead and returned a partial image."""
+    from gx_spark.jpeg import jpeg_encode_progressive
+
+    px = _smooth_rgb(24, 24)
+    enc = jpeg_encode_progressive(px, 85, True)
+    assert jpeg_decode(enc).shape == (24, 24, 3)
+    for cut in range(len(enc) - 1):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg_decode(enc[:cut])
+
+
+def test_progressive_single_component_dc_scans():
+    """Spec-valid SOF2 whose DC coefficients arrive in three SINGLE-
+    component scans (the shape jpegtran/mozjpeg custom scan scripts like
+    '0: 0 0 0 0;' emit).  Per T.81 A.2.3 a one-component scan is
+    non-interleaved: blocks traverse the component's nominal (unpadded)
+    block grid in raster order — NOT the padded interleaved MCU grid.
+    On a 24x24 4:2:0 frame the two grids differ (luma 3x3 nominal vs 4x4
+    padded), so this pins the decoder's non-interleaved DC path.  Pixels
+    must match the library's own interleaved-DC progressive stream (same
+    quantized coefficients over the cropped area)."""
+    import struct
+
+    from gx_spark import jpeg as J
+
+    px = _smooth_rgb(24, 24)
+    quality, subsample = 85, True
+    h, w, nc, samp, q_raster, all_zz, grid_w, mcux, mcuy = J._prepare_encode(
+        px, quality, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_code = [dict(zip(J._DC_LUMA[1], J._canonical_codes(J._DC_LUMA[0]))),
+               dict(zip(J._DC_CHROMA[1], J._canonical_codes(J._DC_CHROMA[0])))]
+    ac_code = dict(zip(J._AC_FLAT[1], J._canonical_codes(J._AC_FLAT[0])))
+
+    out = J._frame_headers(h, w, nc, samp, q_raster, b"\xff\xc2")
+    for th in range(2):
+        bits, vals = (J._DC_LUMA, J._DC_CHROMA)[th]
+        body = bytes([th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = bytes([0x10]) + bytes(J._AC_FLAT[0]) + bytes(J._AC_FLAT[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(members, ss, se, ah, al, entropy):
+        nonlocal out
+        hdr = bytes([len(members)])
+        for ci, td, ta in members:
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+        out += entropy
+
+    al = 1
+    for ci in range(nc):  # DC first: one NON-interleaved scan per component
+        cbw, cbh = J._nominal_blocks(w, h, *samp[ci], hmax, vmax)
+        bw = J._EntropyAssembler()
+        pred = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                v = int(all_zz[ci][by * grid_w[ci] + bx][0]) >> al
+                diff = v - pred
+                pred = v
+                s = J._category(diff)
+                ln, code = dc_code[min(ci, 1)][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        sos([(ci, min(ci, 1), 0)], 0, 0, 0, al, bw.finish())
+    for ci in range(nc):  # DC refine to Al=0, still per component
+        cbw, cbh = J._nominal_blocks(w, h, *samp[ci], hmax, vmax)
+        bw = J._EntropyAssembler()
+        for by in range(cbh):
+            for bx in range(cbw):
+                bw.write(int(all_zz[ci][by * grid_w[ci] + bx][0]) & 1, 1)
+        sos([(ci, 0, 0)], 0, 0, 1, 0, bw.finish())
+    for ci in range(nc):  # AC bands: same emitters the library encoder uses
+        bw = J._EntropyAssembler()
+        J._emit_ac_first(bw, ac_code, all_zz[ci], grid_w[ci],
+                         *J._nominal_blocks(w, h, *samp[ci], hmax, vmax),
+                         1, 63, 1, 0)
+        sos([(ci, 0, 0)], 1, 63, 0, 1, bw.finish())
+    for ci in range(nc):
+        bw = J._EntropyAssembler()
+        J._emit_ac_refine(bw, ac_code, all_zz[ci], grid_w[ci],
+                          *J._nominal_blocks(w, h, *samp[ci], hmax, vmax),
+                          1, 63, 0, 0)
+        sos([(ci, 0, 0)], 1, 63, 1, 0, bw.finish())
+    out += b"\xff\xd9"
+
+    ref = jpeg_decode(J.jpeg_encode_progressive(px, quality, subsample))
+    got = jpeg_decode(bytes(out))
+    assert got.shape == ref.shape == (24, 24, 3)
+    assert np.array_equal(got, ref)

@@ -111,3 +111,24 @@ def test_referential_salted_matches_broadcast(spark):
 
 def test_aqe_confs_documented():
     assert skew.AQE_SKEW_CONFS["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+
+def test_binary_scan_defaults_append_existing_jvm_opts():
+    """binary_scan_session_defaults must APPEND the GC flag to
+    driver.extraJavaOptions already set on the builder, not overwrite them
+    (overwriting silently drops user heap/tmpdir/GC-logging flags)."""
+    from pyspark.sql import SparkSession
+
+    from gx_spark.skew import BINARY_SCAN_JVM_OPTS, binary_scan_session_defaults
+
+    b = SparkSession.builder.config(
+        "spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp/x -Xss4m")
+    b = binary_scan_session_defaults(b)
+    opts = b._options["spark.driver.extraJavaOptions"].split()
+    assert "-Djava.io.tmpdir=/tmp/x" in opts
+    assert "-Xss4m" in opts
+    assert BINARY_SCAN_JVM_OPTS in opts
+    # idempotent: applying twice must not duplicate the flag
+    b = binary_scan_session_defaults(b)
+    assert b._options["spark.driver.extraJavaOptions"].split().count(
+        BINARY_SCAN_JVM_OPTS) == 1
