@@ -377,7 +377,7 @@ def q_image_metadata_violations(spark, sf_dir):
     from gx_spark import image as gim
     from gx_spark.jpeg import jpeg_encode_progressive
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(500)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(500)
     ids = [int(r.doc_id) for r in docs.collect()]
     rows = []
     for i in ids:
@@ -423,7 +423,7 @@ def q_image_png_violations(spark, sf_dir):
     from gx_spark import image as gim
     from gx_spark.png import png_encode
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(400)
     ids = [int(r.doc_id) for r in docs.collect()]
     rows = []
     for i in ids:
@@ -677,7 +677,7 @@ def q_audio_flac_violations(spark, sf_dir):
     from gx_spark.audio import ref_transcript, synth_pcm
     from gx_spark.flac import flac_encode
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(400)
     ids = [int(r.doc_id) for r in docs.collect()]
     sr, dur = 8000, 250
     rows = []
@@ -731,7 +731,7 @@ def q_audio_opus_container_violations(spark, sf_dir):
     from gx_spark.audio import ref_transcript
     from gx_spark.oggopus import ogg_opus_encode
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(400)
     ids = [int(r.doc_id) for r in docs.collect()]
     sr, dur = 16000, 400
     rows = []
@@ -776,7 +776,7 @@ def q_video_mp4_container_violations(spark, sf_dir):
     recomputes the counts from the corruption arithmetic."""
     from gx_spark.isobmff import mp4_encode
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(400)
     ids = [int(r.doc_id) for r in docs.collect()]
     rows = []
     for i in ids:
@@ -818,7 +818,7 @@ def q_video_h264_sps_violations(spark, sf_dir):
     oracle recomputes the counts from the corruption arithmetic."""
     from gx_spark.h264 import annexb_encode
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(400)
     ids = [int(r.doc_id) for r in docs.collect()]
     rows = []
     for i in ids:
@@ -2093,7 +2093,7 @@ def oracle_sql() -> dict[str, str]:
             # meta = width lies (7) + truncated (9); intensity = dark (5)
             # — every 5-row decodes (incl. the progressive-JPEG quarter)
             # and its mean lands below the 60 threshold
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 500) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
             "AS meta_unexpected, "
@@ -2101,13 +2101,13 @@ def oracle_sql() -> dict[str, str]:
             "AS intensity_unexpected FROM d"
         ),
         "image_png_violations": (
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (3, 7, 9) THEN 1 ELSE 0 END)::BIGINT "
             "AS unexpected_count FROM d"
         ),
         "audio_flac_violations": (
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)::BIGINT "
             "AS meta_unexpected, "
@@ -2120,14 +2120,14 @@ def oracle_sql() -> dict[str, str]:
             # corruption arithmetic: classes 1/5/7/9 fail at the container
             # layer, class 3 fails ONLY at the RFC 6716 packet-framing
             # layer (pages/CRCs intact); SNR flags nothing (null for opus)
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (1, 3, 5, 7, 9) THEN 1 ELSE 0 "
             "END)::BIGINT AS meta_unexpected, "
             "0::BIGINT AS snr_unexpected FROM d"
         ),
         "video_mp4_container_violations": (
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
             "::BIGINT AS meta_unexpected FROM d"
@@ -2135,7 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "video_h264_sps_violations": (
             # same corruption arithmetic as the mp4 query: classes 1/5/7/9
             # (junk, frame-count lie, SPS-dims lie, truncation) violate
-            "WITH d AS (SELECT doc_id FROM documents LIMIT 400) "
+            "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 400) "
             "SELECT count(*)::BIGINT AS element_count, "
             "SUM(CASE WHEN doc_id % 10 IN (1, 5, 7, 9) THEN 1 ELSE 0 END)"
             "::BIGINT AS meta_unexpected FROM d"

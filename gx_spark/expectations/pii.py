@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..ops import PII_PATTERNS, pii_count_expr
+from ..ops import pii_count_expr
 from ..registry import register_expectation
 from .base import ColumnMapExpectation
 
@@ -49,12 +49,10 @@ class PiiCountBelow(ColumnMapExpectation):
     def unexpected_condition(self, cfg, ctx) -> Column:
         k = cfg.kwargs
         thr = int(k.get("max_count", 1))
-        classes = k.get("classes")
-        if classes:
-            unknown = set(classes) - set(PII_PATTERNS)
-            if unknown:
-                raise ValueError(f"unknown PII classes: {sorted(unknown)}")
-        return pii_count_expr(F.col(k["column"]), classes) >= F.lit(thr)
+        # pii_count_expr validates `classes` (unknown names and an empty
+        # list raise), so the same config errors surface identically here
+        # and in ops.pii_stats/redact_pii
+        return pii_count_expr(F.col(k["column"]), k.get("classes")) >= F.lit(thr)
 
     def observed_expr(self, cfg) -> Column:
         return pii_count_expr(

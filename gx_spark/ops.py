@@ -1526,6 +1526,12 @@ def decontaminate(
 
     Returns one row per train doc with >= n words:
     (id_col, n_ngrams, n_hits, contaminated).
+
+    PRECONDITION: `id_col` is unique per train row (it is the output
+    key).  The map-side totals are per ROW while the hits leg groups by
+    id, so duplicated ids would emit duplicated output rows each carrying
+    the id's COMBINED n_hits — dedup the train side first if its key can
+    repeat.
     """
     def gram_sets(df: DataFrame) -> DataFrame:
         w = df.select(
@@ -1597,15 +1603,33 @@ PII_PATTERNS: dict[str, str] = {
 _PII_REDACT_ORDER = ("email", "ccard", "ipv4", "phone")
 
 
+def _pii_classes(classes: list[str] | None) -> list[str]:
+    """Resolve a `classes` argument consistently across the PII APIs:
+    None means every class; anything else must be a non-empty subset of
+    PII_PATTERNS.  An empty list and unknown names both raise — a
+    silently-empty class set would make redact_pii a no-op that ships
+    the 'redacted' corpus verbatim."""
+    if classes is None:
+        return list(PII_PATTERNS)
+    names = list(classes)
+    if not names:
+        raise ValueError(
+            "classes must be None (= all classes) or a non-empty subset of "
+            f"{sorted(PII_PATTERNS)}")
+    unknown = set(names) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII classes: {sorted(unknown)}")
+    return names
+
+
 def pii_count_expr(col: Column | str, classes: list[str] | None = None) -> Column:
     """Total PII-shaped match count in a string column — a pure map-side
     regexp_count sum (JVM codegen, no UDF).  Classes are counted
     independently; a span matching two classes counts twice (detection
     semantics: every class wants review)."""
     c = F.col(col) if isinstance(col, str) else col
-    names = list(classes or PII_PATTERNS)
     total = F.lit(0)
-    for name in names:
+    for name in _pii_classes(classes):
         total = total + F.regexp_count(c, F.lit(PII_PATTERNS[name]))
     return total.cast("long")
 
@@ -1624,10 +1648,21 @@ def pii_stats(
         F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
     ]
-    return df.select(
+    scanned = df.select(
         F.col(id_col).alias("doc_id"),
         *cols,
-        pii_count_expr(t).alias("n_pii"),
+        *[F.col(c) for c in (keep_cols or [])],
+    )
+    # n_pii sums the per-class COLUMNS of the previous projection, so each
+    # regex scans the text exactly once even without subexpression
+    # elimination (pii_count_expr here would re-scan all four patterns)
+    total: Column = F.lit(0)
+    for name in PII_PATTERNS:
+        total = total + F.col(f"n_{name}")
+    return scanned.select(
+        "doc_id",
+        *[f"n_{name}" for name in PII_PATTERNS],
+        total.cast("long").alias("n_pii"),
         *[F.col(c) for c in (keep_cols or [])],
     ).withColumn("has_pii", F.col("n_pii") > 0)
 
@@ -1643,10 +1678,11 @@ def redact_pii(
     replacement (the mask contains no digits or '@').  No shuffle, no
     UDF; the text column is rewritten in place unless `out_col` names a
     new column."""
-    names = [n for n in _PII_REDACT_ORDER if classes is None or n in classes]
+    wanted = set(_pii_classes(classes))
     c: Column = F.col(text_col)
-    for name in names:
-        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    for name in _PII_REDACT_ORDER:
+        if name in wanted:
+            c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
     return df.withColumn(out_col or text_col, c)
 
 

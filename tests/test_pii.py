@@ -152,3 +152,31 @@ def test_suggest_suite_emits_pii_screen(docs, spark):
     suite3 = suggest_suite(short)
     assert not [e for e in suite3.expectations
                 if e.expectation_type == "expect_column_pii_count_to_be_below"]
+
+
+def test_pii_classes_validated_consistently(docs):
+    """classes=[] and unknown names raise in every PII API — an empty
+    class set must never silently no-op a redaction (review r5)."""
+    import pytest
+
+    from gx_spark.ops import pii_count_expr
+
+    for bad in ([], ["e-mail"]):
+        with pytest.raises(ValueError):
+            pii_count_expr("text", bad)
+        with pytest.raises(ValueError):
+            redact_pii(docs, "text", classes=bad)
+    # subset still works end to end
+    red = redact_pii(docs, "text", out_col="clean", classes=["email"])
+    assert red.filter("clean rlike '@'").count() == 0
+
+
+def test_pii_stats_counts_each_pattern_once(docs):
+    """n_pii is the sum of the per-class COLUMNS, not a second scan: the
+    analyzed plan must contain each pattern's regexp_count exactly once."""
+    plan = pii_stats(docs, "doc_id", "text")._jdf.queryExecution() \
+        .analyzed().toString()
+    from gx_spark.ops import PII_PATTERNS
+    for name in PII_PATTERNS:
+        assert plan.count(f"n_{name}") >= 1
+    assert plan.count("regexp_count") == len(PII_PATTERNS)
