@@ -151,6 +151,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from gx_spark.skew import BINARY_SCAN_CONFS, BINARY_SCAN_JVM_OPTS
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("gx-spark-bench")
@@ -160,13 +162,16 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary-scan tuning, measured in-sandbox (see tools/bench_scaling.py);
-        # the SQL confs below are re-set per section at runtime — 32-row
-        # columnar batches protect the multi-MB binary scans but tax the
-        # narrow TPC-H/documents scans, so those run at the 4096 default
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+        # binary-scan tuning from the single source of truth (skew.py,
+        # measured via tools/bench_scaling.py).  columnarReaderBatchSize is
+        # NOT set here: small columnar batches protect the multi-MB binary
+        # scans but tax the narrow TPC-H/documents sections, so those run
+        # at the 4096 default and the audio sections set it below.
+        .config("spark.driver.extraJavaOptions", BINARY_SCAN_JVM_OPTS)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                BINARY_SCAN_CONFS["spark.sql.execution.arrow.maxRecordsPerBatch"])
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled",
+                BINARY_SCAN_CONFS["spark.hadoop.parquet.hadoop.vectored.io.enabled"])
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -488,7 +493,9 @@ def main() -> None:
         assert n > 0
 
     # binary-column scan: small columnar batches (multi-MB byte[] rows)
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize",
+        BINARY_SCAN_CONFS["spark.sql.parquet.columnarReaderBatchSize"])
     # north rule: the throughput metric is defined on the ICEBERG
     # audio+transcript table — import (metadata-only, idempotent) and read
     # through the snapshot-planned file list

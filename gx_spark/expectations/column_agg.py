@@ -359,26 +359,31 @@ class MostCommonInSet(ColumnAggregateExpectation):
 
 
 _SPARK_TYPE_ALIASES = {
-    "IntegerType": {"IntegerType", "int"},
-    "LongType": {"LongType", "bigint"},
+    "ByteType": {"ByteType", "byte", "tinyint"},
+    "ShortType": {"ShortType", "short", "smallint"},
+    "IntegerType": {"IntegerType", "int", "integer"},
+    "LongType": {"LongType", "bigint", "long"},
     "DoubleType": {"DoubleType", "double"},
-    "FloatType": {"FloatType", "float"},
+    "FloatType": {"FloatType", "float", "real"},
     "StringType": {"StringType", "string"},
-    "BooleanType": {"BooleanType", "boolean"},
+    "BooleanType": {"BooleanType", "boolean", "bool"},
     "TimestampType": {"TimestampType", "timestamp"},
     "DateType": {"DateType", "date"},
     "BinaryType": {"BinaryType", "binary"},
-    "DecimalType": {"DecimalType"},
+    "DecimalType": {"DecimalType", "decimal", "dec", "numeric"},
 }
 
 
 def _type_matches(actual_type_name: str, expected: str) -> bool:
-    aliases = _SPARK_TYPE_ALIASES.get(expected)
+    # parameterized DDL forms ('decimal(10,2)') match on the base name
+    base = expected.split("(", 1)[0].strip() if "(" in expected else expected
+    aliases = _SPARK_TYPE_ALIASES.get(base)
     if aliases is None:
         # expected given as a DDL alias ('bigint') rather than the
         # DataType class name — resolve through the same table
         aliases = next(
-            (s for s in _SPARK_TYPE_ALIASES.values() if expected in s),
+            (s for s in _SPARK_TYPE_ALIASES.values()
+             if base.lower() in s),
             {expected})
     return actual_type_name in aliases or actual_type_name == expected
 

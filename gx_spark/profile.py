@@ -18,12 +18,26 @@ core/evaluation_parameters.py) in Spark-native, 10^12-row-safe form:
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _mostly_backoff(frac: float) -> float:
+    """`mostly` for a suggested expectation, given the observed violation
+    fraction of the profiling batch: 1.2x headroom below the clean
+    fraction, with BOTH terms floored to 3 decimals (rounding up would
+    fail the suite on its own batch for fractions under ~4e-4), clamped
+    into (0, 1] — mostly=0.0 is outside the documented domain.  The one
+    rule every suggester shares, so the emitted suite always passes the
+    batch it was profiled from."""
+    backoff = math.floor((1 - 1.2 * frac) * 1000) / 1000
+    observed = math.floor((1 - frac) * 1000) / 1000
+    return max(0.001, min(backoff, observed))
 
 
 # ---------------------------------------------------------------------------
@@ -79,8 +93,6 @@ def build_continuous_partition_object(
     Two Spark jobs total; only O(n_bins) values reach the driver."""
     c = F.col(column).cast("double")
     if bins == "auto" or n_bins is None:
-        import math
-
         cnt = df.where(c.isNotNull()).count()
         sturges = max(1, int(math.ceil(math.log2(max(cnt, 2)))) + 1)
         n_bins = n_bins or (sturges if bins == "auto" else 10)
@@ -342,17 +354,8 @@ def suggest_suite(
         if nn == n:
             suite.add("expect_column_values_to_not_be_null", column=c)
         elif n > 0 and nn > 0:
-            import math
-
-            # backoff must never exceed the OBSERVED non-null fraction
-            # (rounding up would fail the suite on its own profiling batch
-            # for null fractions below ~4e-4), so both terms round DOWN;
-            # clamp into (0, 1] — mostly=0.0 is outside the documented domain
-            observed_null_frac = 1 - nn / n
-            backoff = math.floor((1 - 1.2 * observed_null_frac) * 1000) / 1000
-            observed = math.floor((nn / n) * 1000) / 1000
             suite.add("expect_column_values_to_not_be_null", column=c,
-                      mostly=max(0.001, min(backoff, observed)))
+                      mostly=_mostly_backoff(1 - nn / n))
         if c in numeric and nn > 0:
             suite.add("expect_column_values_to_be_between", column=c,
                       min_value=float(row[f"{c}__mn"]),
@@ -378,12 +381,12 @@ def suggest_suite(
             if len(vals) <= low_cardinality_max:
                 suite.add("expect_column_values_to_be_in_set", column=c,
                           value_set=sorted(vals))
-    _suggest_pii(df, suite, row, stringy, n)
+    _suggest_pii(df, suite, row, stringy)
     _suggest_multimodal(df, suite, {f.name for f in fields}, binary)
     return suite
 
 
-def _suggest_pii(df: DataFrame, suite, row, stringy: set, n: int) -> None:
+def _suggest_pii(df: DataFrame, suite, row, stringy: set) -> None:
     """PII screen for free-text columns (observed max length >= 80 —
     shorter columns are codes/names where the phone/card classes only
     false-positive).  One map-side probe counts rows with any PII-shaped
@@ -391,8 +394,6 @@ def _suggest_pii(df: DataFrame, suite, row, stringy: set, n: int) -> None:
     backed off below the observed clean fraction (same floor rule as
     not_be_null) so the emitted suite passes its own batch; majority
     flagged -> not emitted (no passing form exists)."""
-    import math
-
     from .ops import pii_count_expr
 
     cands = [c for c in stringy
@@ -412,10 +413,8 @@ def _suggest_pii(df: DataFrame, suite, row, stringy: set, n: int) -> None:
         frac = viol / nn
         if frac >= 0.5:
             continue
-        backoff = math.floor((1 - 1.2 * frac) * 1000) / 1000
-        observed = math.floor((1 - frac) * 1000) / 1000
         suite.add("expect_column_pii_count_to_be_below", column=c,
-                  mostly=max(0.001, min(backoff, observed)))
+                  mostly=_mostly_backoff(frac))
 
 
 _AUDIO_META = frozenset({"sr_hz", "dur_ms", "codec", "transcript"})
@@ -455,8 +454,6 @@ def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
         ]
     else:
         return
-    import math
-
     from .executor import validate as _validate
     from .model import EngineOptions
     from .model import ExpectationSuite as _Suite
@@ -478,7 +475,5 @@ def _suggest_multimodal(df: DataFrame, suite, cols: set, binary: set) -> None:
         if uc == 0:
             suite.add(t, **kw)
         elif frac < 0.999:
-            backoff = math.floor((1 - 1.2 * frac) * 1000) / 1000
-            observed = math.floor((1 - frac) * 1000) / 1000
-            suite.add(t, mostly=max(0.001, min(backoff, observed)), **kw)
+            suite.add(t, mostly=_mostly_backoff(frac), **kw)
     bundle.unpersist()

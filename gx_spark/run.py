@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", default=None)
+    ap.add_argument("--binary-scan", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="measured binary-scan/GC tuning: 'auto' sniffs one "
+                         "parquet footer (local paths only), 'on' forces it "
+                         "pre-launch (use for s3a://hdfs:// tables, where "
+                         "the sniff cannot see a footer), 'off' disables")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="pin an Iceberg snapshot (default: current)")
     ap.add_argument("--incremental-from", type=int, default=None,
@@ -106,7 +112,15 @@ def main(argv: list[str] | None = None) -> int:
     # Binary-bearing suites (the north-rule audio table) get the measured
     # scan/GC tuning (BENCH/BASELINE.md) — sniffed from one parquet footer
     # via pyarrow BEFORE the JVM exists so the GC flag can still apply.
-    binary_table = _table_has_binary_column(args.table_path)
+    # The sniff only sees LOCAL paths; for s3a://hdfs:// tables pass
+    # --binary-scan on (a post-launch schema check below still rescues the
+    # runtime-settable confs in auto mode).
+    if args.binary_scan == "off":
+        binary_table = False
+    elif args.binary_scan == "on":
+        binary_table = True
+    else:
+        binary_table = _table_has_binary_column(args.table_path)
     if binary_table:
         builder = binary_scan_session_defaults(builder)
     spark = builder.getOrCreate()
@@ -153,6 +167,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.snapshot_id is not None or args.incremental_from is not None:
             ap.error("--snapshot-id/--incremental-from require an Iceberg table")
         provider = ParquetDirTableProvider(args.table_path, args.partition_column)
+    if args.binary_scan == "auto" and not binary_table:
+        # the pyarrow sniff cannot see non-local paths (s3a://, hdfs://):
+        # rescue the runtime-settable scan confs from the real schema.
+        # Only the launch-only GC flag is lost — say so instead of
+        # silently scanning 4096-row batches of multi-MB byte[] rows.
+        from pyspark.sql.types import BinaryType
+
+        if any(isinstance(f.dataType, BinaryType)
+               for f in provider.load(spark).schema.fields):
+            apply_binary_scan_confs(spark)
+            print("note: binary column detected post-launch; scan confs "
+                  "applied, but the JVM GC flag needs --binary-scan on "
+                  "(or spark-submit --conf) at launch", file=sys.stderr)
     transform = None
     extra_outputs = None
     if args.curate:

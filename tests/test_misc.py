@@ -140,3 +140,42 @@ def test_sparkdf_dataset_v2_api(spark):
     import pytest as _pytest
     with _pytest.raises(AttributeError):
         ds.not_an_expectation
+
+
+def test_type_matches_accepts_all_ddl_aliases():
+    """Every Spark DDL alias must resolve to its DataType class — 'integer',
+    'long', 'smallint', 'tinyint', and parameterized 'decimal(10,2)' used
+    to fail against correctly-typed columns (review r5)."""
+    from gx_spark.expectations.column_agg import _type_matches
+
+    for actual, goods in {
+        "IntegerType": ["int", "integer", "IntegerType"],
+        "LongType": ["bigint", "long", "LongType"],
+        "ShortType": ["smallint", "short"],
+        "ByteType": ["tinyint", "byte"],
+        "FloatType": ["float", "real"],
+        "DecimalType": ["decimal", "decimal(10,2)", "numeric", "DecimalType"],
+        "BooleanType": ["boolean", "bool"],
+    }.items():
+        for e in goods:
+            assert _type_matches(actual, e), (actual, e)
+    assert not _type_matches("IntegerType", "bigint")
+    assert not _type_matches("LongType", "int")
+    assert not _type_matches("StringType", "decimal(10,2)")
+
+
+def test_be_of_type_ddl_alias_end_to_end(spark):
+    from gx_spark import validate, EngineOptions, ExpectationSuite, ExpectationConfiguration
+
+    df = spark.createDataFrame([(1, 2)], "a int, b bigint")
+    suite = ExpectationSuite("t", [
+        ExpectationConfiguration("expect_column_values_to_be_of_type",
+                                 {"column": "a", "type_": "integer"}),
+        ExpectationConfiguration("expect_column_values_to_be_of_type",
+                                 {"column": "b", "type_": "long"}),
+        ExpectationConfiguration("expect_column_values_to_be_of_type",
+                                 {"column": "a", "type_": "long"}),
+    ])
+    b = validate(spark, df, suite, EngineOptions())
+    assert [r.success for r in b.suite_result.results] == [True, True, False]
+    b.unpersist()

@@ -166,3 +166,26 @@ def test_binary_scan_conf_sniff_and_apply(spark, audio_dir, tmp_path,
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_binary_scan_off_flag(tmp_path, capsys, spark, audio_dir):
+    """--binary-scan off must skip the measured scan confs even on a
+    binary-bearing table (the auto sniff would apply them)."""
+    from gx_spark.skew import BINARY_SCAN_CONFS
+
+    def snapshot():
+        return {k: spark.conf.get(k, None) for k in BINARY_SCAN_CONFS}
+
+    before = snapshot()
+    try:
+        rc, _ = _run(capsys, "--table-path", f"{audio_dir}/audio_clips.parquet",
+                     "--suite", "audio", "--binary-scan", "off",
+                     "--results-dir", str(tmp_path / "out_noconf"))
+        assert rc == 0
+        assert snapshot() == before
+    finally:
+        for k, v in before.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
