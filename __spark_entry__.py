@@ -877,6 +877,34 @@ def q_repetition_stats_documents(spark, sf_dir):
     return ops.repetition_stats(docs, "doc_id", "text")
 
 
+def q_line_dedup_documents(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4 §2.2 / Dolma / RefinedWeb,
+    gx_spark/ops.py line_dedup): every distinct line is kept only at its
+    first (doc_id, line_no) occurrence corpus-wide and dropped everywhere
+    else, then documents are reassembled in original line order.  The
+    driver corpus has no newlines, so lines are manufactured by the
+    deterministic 8-words-per-line reflow (ops.reflow_lines) that the
+    oracle replicates with stepped 1-based list slices; the corpus's
+    planted near-dup docs share aligned word runs, so real cross-doc line
+    collisions occur.  Output: per doc, line counts before/after + the
+    deduplicated text."""
+    docs = _load(spark, sf_dir, "documents")
+    reflowed = ops.reflow_lines(docs, "doc_id", "text", words_per_line=8)
+    return ops.line_dedup(reflowed, "doc_id", "text")
+
+
+def q_unigram_logprob_documents(spark, sf_dir):
+    """CCNet-style LM quality score (Wenzek et al. 2020,
+    gx_spark/ops.py unigram_logprob): mean natural-log token probability
+    per doc under the corpus's own Lidstone-smoothed (alpha=0.5) unigram
+    LM — the distributable stand-in for KenLM perplexity filtering.
+    Frequency table built with one map-side-combined exchange, scoring
+    pass broadcast-joins it; oracle recomputes the identical smoothed
+    probabilities relationally."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.unigram_logprob(docs, "doc_id", "text", alpha=0.5)
+
+
 def q_pii_documents(spark, sf_dir):
     """PII detection + redaction (gx_spark/ops.py pii_stats/redact_pii;
     pattern classes in the spirit of public scrubbers — Presidio, ROOTS).
@@ -1645,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "line_dedup_documents": q_line_dedup_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "pii_documents": q_pii_documents,
         "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
@@ -1695,11 +1725,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_condition_filtered_mean": q_row_condition_filtered_mean,
         "referential_salted_custkey": q_referential_salted_custkey,
         "image_png_violations": q_image_png_violations,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "group_cap_documents": q_group_cap_documents,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window --
-        # r4-verified, sitting out one round (rotate back in r6):
+        # r4-verified, sitting out one round (rotate back in r6);
+        # dedup_clusters/group_cap slid out when the two line/LM queries
+        # entered tier 1 (both r4 hash-green, evidence <= 1 round old):
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "group_cap_documents": q_group_cap_documents,
         "row_count_lineitem": q_row_count_lineitem,
         "compound_unique_lineitem": q_compound_unique_lineitem,
         "pair_ship_after_order": q_pair_ship_after_order,
@@ -2403,6 +2435,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "line_dedup_documents": (
+            # reflow: stepped 1-based inclusive slices (i = 1, 9, 17, ...)
+            # == the engine's sequence(1, size, 8) + slice(_w, i, 8);
+            # line_no = (i-1)//8; winners keyed by min(doc_id, line_no)
+            # encoded as doc_id*1e9+line_no (line_no < 1e9); reassembly
+            # preserves original order and keeps all-dropped docs as ''
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "l AS (SELECT doc_id, "
+            "CAST((len(ws) - 1) // 8 + 1 AS BIGINT) AS n_lines, "
+            "CAST((i - 1) // 8 AS BIGINT) AS line_no, "
+            "array_to_string(ws[i:i+7], ' ') AS line "
+            "FROM w, unnest(range(1, len(ws) + 1, 8)) t(i)), "
+            "win AS (SELECT line, min(doc_id * 1000000000 + line_no) AS fk "
+            "FROM l WHERE len(trim(line)) >= 1 GROUP BY line), "
+            "m AS (SELECT l.doc_id, l.n_lines, l.line_no, l.line, "
+            "(win.fk IS NULL OR l.doc_id * 1000000000 + l.line_no = win.fk) "
+            "AS kept FROM l LEFT JOIN win USING (line)) "
+            "SELECT doc_id, max(n_lines) AS n_lines, "
+            "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "coalesce(string_agg(line, chr(10) ORDER BY line_no) "
+            "FILTER (WHERE kept), '') AS text "
+            "FROM m GROUP BY doc_id"
+        ),
+        "unigram_logprob_documents": (
+            # Lidstone alpha=0.5 unigram LM over the whole corpus;
+            # tokens = lower+trim+\s+ split, empties dropped; empty docs
+            # preserved with n_tokens=0 / NULL score
+            "WITH t AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "f AS (SELECT w, count(*) AS cnt FROM t GROUP BY w), "
+            "c AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, "
+            "CAST(count(*) AS DOUBLE) AS v FROM f), "
+            "s AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(ln((cnt + 0.5) / (n + 0.5 * v))) AS lp "
+            "FROM t JOIN f USING (w) CROSS JOIN c GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, ROUND(s.lp / s.n_tokens, 6) AS logprob_per_token "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "pii_documents": _pii_oracle_sql(),
         "repetition_stats_documents": (

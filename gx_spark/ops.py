@@ -1421,6 +1421,172 @@ def lang_distribution(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def reflow_lines(
+    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 8
+) -> DataFrame:
+    """Deterministically reflow a single-line document into newline-separated
+    lines of `words_per_line` raw-split words (last line may be shorter).
+
+    The driver's synthetic `documents` corpus carries no newlines, so the
+    line-granular ops (line_dedup) are demonstrated over this reflow — a
+    pure restructuring of the existing word stream that the DuckDB oracle
+    replicates exactly (1-based list slices stepped by `words_per_line`).
+    Zero shuffle: the split is staged once per row (the repetition_stats
+    technique) and each line is a slice+join over the doc's own array.
+
+    Returns (doc_id, text) with text newline-joined.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_w), 1), {words_per_line}), "
+                f"i -> array_join(slice(_w, i, {words_per_line}), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 §2.2 three-sentence-span
+    dedup's line-granular cousin, as run by Dolma / RefinedWeb): every
+    distinct line whose trimmed length is >= `min_len` is kept only at its
+    FIRST occurrence — lowest (doc_id, line_no) across the whole corpus —
+    and dropped from every later document; shorter lines (blank separators,
+    stray fragments) are never dedup candidates and are always kept.
+    Documents are reassembled in original line order; a document whose
+    every line was dropped comes back with text '' (row count preserved).
+
+    `sep` must be a literal separator string (it is used both as the split
+    pattern and the re-join glue).
+
+    Returns (doc_id, n_lines, n_kept, text).
+
+    Scale shape (C4 itself was produced by exactly this Beam-pipeline
+    shape; here Catalyst picks the physical plan):
+      1. posexplode lines — map-side.
+      2. winners: groupBy(line).agg(min(struct(doc_id, line_no))) — keyed
+         by line text, and min() partial-aggregates map-side, so a line
+         duplicated 10^9 times ("Subscribe to our newsletter") crosses the
+         wire once per map task, not once per copy.
+      3. lines ⋈ winners on line: shuffle join; the join STREAMS the big
+         side (state is the one winner row per line), so the
+         mega-duplicate line never accumulates per-group state.
+      4. reassemble: groupBy(doc_id); the collect_list is bounded by one
+         document's own line count (documents are MB-scale, groups are
+         not), and the exchange carries one row per line — the heavy line
+         text crosses the wire twice total (join + reassembly).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+    winners = (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_len)
+        .groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("_first"))
+    )
+    marked = lines.join(winners, "line", "left").select(
+        "doc_id",
+        "n_lines",
+        "line_no",
+        "line",
+        (
+            F.col("_first").isNull()
+            | (F.struct("doc_id", "line_no") == F.col("_first"))
+        ).alias("kept"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.max("n_lines").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("line_no", "kept", "line"))),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020 filter
+    CommonCrawl by KenLM perplexity; the distributable, oracle-checkable
+    proxy here is the corpus' own unigram LM): score each document by the
+    mean natural-log probability of its tokens under token frequencies
+    estimated from the corpus itself, Lidstone-smoothed:
+
+        p(w) = (count(w) + alpha) / (N + alpha * V)
+
+    Templated/boilerplate documents score high (common words), lexically
+    anomalous documents score low — the standard split point for "keep the
+    head, resample the middle, drop the tail" curation.
+
+    Tokens are lower+trim+\\s+ normalized (the linguistic-op convention,
+    unlike repetition_stats' deliberate raw split); empty docs get
+    n_tokens=0 and NULL logprob_per_token.
+
+    Returns (doc_id, n_tokens, logprob_per_token)  [rounded to 6 dp].
+
+    Scale shape: one corpus exchange builds the frequency table (map-side
+    partial counts, so the wire carries ~vocab rows per map task); the
+    scoring pass broadcast-joins the frequency table (a web-scale vocab of
+    ~10^7 rows / ~100 MB still broadcasts; beyond that AQE falls back to a
+    shuffle join keyed by the token) and the final groupBy(doc_id)
+    partial-aggregates to exactly one row per document on the wire.  The
+    two scalar constants (N, V) are a driver-side scalar aggregate.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n, v = freq.agg(F.sum("cnt"), F.count(F.lit(1))).first()
+    logp = freq.select(
+        "w", F.log((F.col("cnt") + alpha) / F.lit(float(n) + alpha * v)).alias("_lp")
+    )
+    scored = (
+        toks.join(F.broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_lp").alias("_lp_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.col("_lp_sum") / F.col("n_tokens"), 6).alias(
+                "logprob_per_token"
+            ),
+        )
+    )
+
+
 def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint per document (hex md5 — portable across engines)."""
     return df.select(

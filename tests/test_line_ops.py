@@ -1,0 +1,125 @@
+"""Line-granular curation ops: corpus-wide exact line dedup (C4/Dolma
+shape), the deterministic reflow that manufactures lines from the
+single-line testdata, and the CCNet-style unigram-LM quality score.
+
+The DuckDB oracles live in __spark_entry__.oracle_sql()
+['line_dedup_documents' / 'unigram_logprob_documents']; these tests pin
+the semantics the oracle replicates plus engine-side invariants it can't
+see (partitioning independence, first-occurrence tie-breaks, reflow
+round-trip).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gx_spark import ops  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha bravo charlie\ndelta echo foxtrot\n\ngolf hotel india"),
+        (2, "delta echo foxtrot\njuliet kilo lima\n"),
+        (3, "alpha bravo charlie\nalpha bravo charlie"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_line_dedup_first_occurrence_wins(corpus):
+    out = _by_id(ops.line_dedup(corpus, "doc_id", "text"))
+    # doc 1 owns every one of its lines (lowest doc_id); blank line kept
+    assert out[1]["text"] == (
+        "alpha bravo charlie\ndelta echo foxtrot\n\ngolf hotel india"
+    )
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 4)
+    # doc 2 loses its first line to doc 1; trailing blank (from the
+    # trailing \n) survives the min_len guard
+    assert out[2]["text"] == "juliet kilo lima\n"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 2)
+    # doc 3: both copies are later occurrences of doc 1's line 0 —
+    # including the within-document repeat
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    # empty doc: one empty line, always kept; row count preserved
+    assert out[4]["text"] == ""
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_line_dedup_min_len_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "ok\nlong enough line"), (2, "ok\nlong enough line")],
+        "doc_id long, text string",
+    )
+    out = _by_id(ops.line_dedup(df, "doc_id", "text", min_len=5))
+    # 'ok' (len 2 < 5) is never a dedup candidate: kept in BOTH docs
+    assert out[1]["text"] == "ok\nlong enough line"
+    assert out[2]["text"] == "ok"
+    assert out[2]["n_kept"] == 1
+
+
+def test_line_dedup_partitioning_independent(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = ops.reflow_lines(docs, "doc_id", "text")
+    a = _by_id(ops.line_dedup(ref.coalesce(1), "doc_id", "text"))
+    b = _by_id(ops.line_dedup(ref.repartition(16), "doc_id", "text"))
+    assert a == b
+    # reassembly preserves row count
+    assert len(a) == docs.count()
+
+
+def test_reflow_round_trip(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = ops.reflow_lines(docs, "doc_id", "text", words_per_line=8)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in ref.collect():
+        lines = r["text"].split("\n")
+        assert all(len(ln.split(" ")) <= 8 for ln in lines)
+        assert r["text"].replace("\n", " ") == orig[r["doc_id"]]
+
+
+def test_reflow_empty_doc(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert ops.reflow_lines(df, "doc_id", "text").first()["text"] == ""
+
+
+def test_unigram_logprob_exact(spark):
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _by_id(ops.unigram_logprob(df, "doc_id", "text", alpha=0.5))
+    # corpus: a=2, b=2, c=1 -> N=5, V=3
+    n, v, al = 5, 3, 0.5
+    p = {w: (c + al) / (n + al * v) for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp2 = (math.log(p["b"]) + math.log(p["c"])) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logprob_per_token"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["logprob_per_token"] == pytest.approx(exp2, abs=1e-6)
+    # empty doc: row preserved, no score
+    assert out[3]["n_tokens"] == 0 and out[3]["logprob_per_token"] is None
+    # common-word doc scores higher than the rare-word doc
+    assert out[1]["logprob_per_token"] > out[2]["logprob_per_token"]
+
+
+def test_unigram_logprob_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  The   the\tTHE "), (2, "the the the")],
+        "doc_id long, text string",
+    )
+    out = _by_id(ops.unigram_logprob(df, "doc_id", "text"))
+    # lower + trim + \s+ collapse: both docs are three 'the' tokens
+    assert out[1] == {**out[2], "doc_id": 1}
