@@ -1103,6 +1103,41 @@ def q_audio_trim_bounds(spark, sf_dir):
     )
 
 
+def q_audio_segment_stats(spark, sf_dir):
+    """VAD utterance segmentation (gx_spark.audio_ops.segment_stats — the
+    measurement pass of segment_audio): clips built from documents
+    doc_id<300 as lead silence (doc_id%3)*100 ms, a 200 ms tone, a gap of
+    (doc_id%4)*100 ms, a second 200 ms tone, and 100 ms trail, all on the
+    25 ms frame grid.  With min_gap_ms=150: gap 0/100 ms clips merge into
+    ONE segment (span absorbs the sub-threshold gap), gap 200/300 ms clips
+    split into TWO with longest_gap = the gap.  The oracle recomputes all
+    three columns from the modular arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload, synth_pcm
+    from gx_spark.audio_ops import segment_stats
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        lead, gap = (i % 3) * 100, (i % 4) * 100
+        pcm = np.concatenate([
+            np.zeros(sr * lead // 1000, dtype=np.int16),
+            synth_pcm(f"sg_{i}", sr, 200),
+            np.zeros(sr * gap // 1000, dtype=np.int16),
+            synth_pcm(f"sh_{i}", sr, 200),
+            np.zeros(sr * 100 // 1000, dtype=np.int16),
+        ])
+        codec = codecs[i % 3]
+        rows.append((i, bytearray(encode_payload(pcm, sr, codec)), codec))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    return segment_stats(df, keep_cols=["doc_id"], min_gap_ms=150)
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Cross-codec audio content dedup (gx_spark.audio_ops.
     audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
@@ -1675,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: new or changed in r5 --
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "audio_segment_stats": q_audio_segment_stats,
         "pii_documents": q_pii_documents,
         "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
@@ -1724,12 +1760,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_parseable": q_json_props_parseable,
         "row_condition_filtered_mean": q_row_condition_filtered_mean,
         "referential_salted_custkey": q_referential_salted_custkey,
-        "image_png_violations": q_image_png_violations,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window --
         # r4-verified, sitting out one round (rotate back in r6);
-        # dedup_clusters/group_cap slid out when the two line/LM queries
-        # entered tier 1 (both r4 hash-green, evidence <= 1 round old):
+        # image_png/dedup_clusters/group_cap slid out when the three new
+        # r5 queries (line dedup, unigram LM, audio segmentation) entered
+        # tier 1 (all three r4 hash-green, evidence <= 1 round old):
+        "image_png_violations": q_image_png_violations,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "group_cap_documents": q_group_cap_documents,
         "row_count_lineitem": q_row_count_lineitem,
@@ -2435,6 +2472,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_segment_stats": (
+            # pure pad arithmetic: gap 0/100 ms merges (min_gap_ms=150,
+            # merged span absorbs the gap), gap 200/300 splits
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 4 >= 2 THEN 2 ELSE 1 END AS INT) "
+            "AS n_segments, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN 500 ELSE 400 END AS INT) "
+            "AS speech_ms, "
+            "CAST(CASE WHEN doc_id % 4 >= 2 THEN (doc_id % 4) * 100 "
+            "ELSE 0 END AS INT) AS longest_gap_ms "
+            "FROM documents WHERE doc_id < 300"
         ),
         "line_dedup_documents": (
             # reflow: stepped 1-based inclusive slices (i = 1, 9, 17, ...)

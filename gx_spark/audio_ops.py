@@ -528,6 +528,229 @@ def trim_silence(
 
 
 # ---------------------------------------------------------------------------
+# VAD segmentation (utterance splitting)
+# ---------------------------------------------------------------------------
+
+SEGMENT_STATS_SCHEMA = "n_segments int, speech_ms int, longest_gap_ms int"
+
+
+def _segments_from_pcm(
+    sr: int,
+    pcm: np.ndarray,
+    frame_ms: int,
+    silence_dbfs: float,
+    min_gap_ms: int,
+) -> list[tuple[int, int]] | None:
+    """Speech segments of one decoded clip as [(start_sample, end_sample)].
+
+    Energy VAD on the same frame_ms power grid as _bounds_from_pcm (a
+    trailing partial frame is one more frame); consecutive voiced frames
+    form runs, and runs separated by a silence gap SHORTER than
+    `min_gap_ms` are merged — the merged segment spans the absorbed gap,
+    matching how an ASR utterance splitter keeps intra-utterance pauses.
+    Gaps >= min_gap_ms split.  Returns [] for an all-silent clip, None
+    for an empty/invalid one.
+    """
+    n = len(pcm)
+    if n == 0 or sr <= 0:
+        return None
+    flen = max(1, sr * frame_ms // 1000)
+    thresh = 10.0 ** (silence_dbfs / 10.0)
+    x = pcm.astype(np.float64) / 32768.0
+    nf = n // flen
+    bounds: list[tuple[int, int]] = []
+    pows: list[float] = []
+    if nf:
+        fr = x[: nf * flen].reshape(nf, flen)
+        pows = [float(p) for p in np.mean(fr * fr, axis=1)]
+        bounds = [(i * flen, (i + 1) * flen) for i in range(nf)]
+    if n - nf * flen > 0:
+        tail = x[nf * flen:]
+        pows.append(float(np.mean(tail * tail)))
+        bounds.append((nf * flen, n))
+    runs: list[tuple[int, int]] = []
+    start: int | None = None
+    for i, p in enumerate(pows):
+        if p >= thresh and start is None:
+            start = i
+        elif p < thresh and start is not None:
+            runs.append((bounds[start][0], bounds[i - 1][1]))
+            start = None
+    if start is not None:
+        runs.append((bounds[start][0], bounds[-1][1]))
+    merged: list[tuple[int, int]] = []
+    for a, z in runs:
+        if merged and (a - merged[-1][1]) * 1000.0 / sr < min_gap_ms:
+            merged[-1] = (merged[-1][0], z)
+        else:
+            merged.append((a, z))
+    return merged
+
+
+def segment_stats_row(
+    b: bytes | None,
+    codec: str,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    min_gap_ms: int = 150,
+) -> tuple[int | None, int | None, int | None]:
+    """(n_segments, speech_ms, longest_gap_ms) of one clip payload.
+
+    speech_ms sums the merged segment spans (absorbed sub-threshold gaps
+    included); longest_gap_ms is the longest INTERNAL silence between
+    surviving segments (0 with fewer than two).  (None, None, None) on
+    decode failure."""
+    from .audio import decode_payload
+
+    if b is None:
+        return None, None, None
+    try:
+        sr, pcm = decode_payload(bytes(b), codec)
+    except (ValueError, NotImplementedError):
+        return None, None, None
+    segs = _segments_from_pcm(sr, pcm, frame_ms, silence_dbfs, min_gap_ms)
+    if segs is None:
+        return None, None, None
+
+    def _ms(samples: int) -> int:
+        return int(round(samples * 1000.0 / sr))
+
+    speech = sum(_ms(z - a) for a, z in segs)
+    gap = max(
+        (_ms(b2 - e1) for (_, e1), (b2, _) in zip(segs, segs[1:])),
+        default=0,
+    )
+    return len(segs), speech, gap
+
+
+def segment_stats(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    min_gap_ms: int = 150,
+) -> DataFrame:
+    """Per-clip VAD segmentation summary as flat columns — the measurement
+    pass of segment_audio.  Map-only, one decode per clip, binary pruned
+    in the same projection (the silence_bounds plan shape)."""
+    from pyspark.sql.functions import pandas_udf
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    repo_root = _REPO_ROOT
+
+    @pandas_udf(SEGMENT_STATS_SCHEMA)
+    def seg(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import segment_stats_row as _ssr
+
+        ns, sp, gp = [], [], []
+        for bb, cc in zip(b, codec):
+            a, s, g = _ssr(bb, cc, frame_ms=frame_ms,
+                           silence_dbfs=silence_dbfs, min_gap_ms=min_gap_ms)
+            ns.append(a)
+            sp.append(s)
+            gp.append(g)
+        return pd.DataFrame(
+            {"n_segments": ns, "speech_ms": sp, "longest_gap_ms": gp},
+            copy=False)
+
+    feat = seg(F.col(bytes_col), F.col(codec_col)).alias("_g")
+    return df.select(*keep, feat).select(
+        *keep,
+        F.col("_g.n_segments").alias("n_segments"),
+        F.col("_g.speech_ms").alias("speech_ms"),
+        F.col("_g.longest_gap_ms").alias("longest_gap_ms"),
+    )
+
+
+def segment_audio(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    frame_ms: int = 25,
+    silence_dbfs: float = -40.0,
+    min_gap_ms: int = 150,
+) -> DataFrame:
+    """Split each clip into speech segments at silence gaps >= min_gap_ms —
+    the ASR-pipeline utterance-splitting step (one long recording in, one
+    row per utterance out), each segment re-encoded as pcm_s16le WAV.
+
+    Output schema = input schema + `seg_idx int` (0-based within the
+    clip); sr_hz/dur_ms/codec columns are updated per segment when
+    present.  All-silent clips produce zero rows (nothing to train on);
+    undecodable payloads also produce zero rows — run the validation
+    suite first, which is where they are flagged (same division of labor
+    as trim_silence's null-bytes convention, but an exploding op has no
+    row to carry the null through).
+
+    mapInPandas keeps payload bytes inside Arrow batches end to end; the
+    explode happens map-side, so no shuffle is introduced and downstream
+    per-utterance ops see ordinary rows.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # fresh StructType — StructType.add() MUTATES the DataFrame's cached
+    # schema object, which corrupts df.columns for later operations
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("seg_idx", IntegerType())]
+    )
+    repo_root = _REPO_ROOT
+    cols = list(df.columns)
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import _segments_from_pcm as _sfp
+
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+            out["seg_idx"] = []
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(cols, row))
+                try:
+                    sr, pcm = decode_payload(bytes(d[bytes_col]),
+                                             d[codec_col])
+                except (ValueError, NotImplementedError, TypeError):
+                    continue
+                segs = _sfp(sr, pcm, frame_ms, silence_dbfs, min_gap_ms)
+                if not segs:
+                    continue
+                for k, (a, z) in enumerate(segs):
+                    d2 = dict(d)
+                    d2[bytes_col] = wav_encode(pcm[a:z], sr)
+                    if "sr_hz" in d2:
+                        d2["sr_hz"] = sr
+                    if "dur_ms" in d2:
+                        d2["dur_ms"] = int(round((z - a) * 1000.0 / sr))
+                    if codec_col in d2:
+                        d2[codec_col] = "pcm_s16le"
+                    d2["seg_idx"] = k
+                    for c in out:
+                        out[c].append(d2[c])
+            pdf_out = pd.DataFrame(out, copy=False)
+            if "sr_hz" in pdf_out.columns:
+                pdf_out["sr_hz"] = pd.array(pdf_out["sr_hz"], dtype="Int32")
+            if "dur_ms" in pdf_out.columns:
+                pdf_out["dur_ms"] = pd.array(pdf_out["dur_ms"], dtype="Int32")
+            pdf_out["seg_idx"] = pd.array(pdf_out["seg_idx"], dtype="Int32")
+            yield pdf_out
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # sample-rate conversion
 # ---------------------------------------------------------------------------
 
