@@ -370,6 +370,23 @@ def main() -> None:
         ).collect()[0]
         assert row[0] > 0 and row[1] == 0
 
+    @bench("documents_line_lm")
+    def _():
+        # r5 line/LM curation ops in their own section (keeps the older
+        # text sections comparable across rounds): corpus-wide exact line
+        # dedup over the deterministic 8-word reflow + CCNet-style
+        # unigram-LM quality scoring
+        docs = load("documents")
+        reflowed = ops.reflow_lines(docs, "doc_id", "text")
+        deduped = ops.line_dedup(reflowed, "doc_id", "text")
+        row = deduped.agg(
+            F.count(F.lit(1)), F.sum("n_lines"), F.sum("n_kept")
+        ).collect()[0]
+        assert row[2] <= row[1]
+        ops.unigram_logprob(docs, "doc_id", "text").agg(
+            F.avg("logprob_per_token"), F.sum("n_tokens")
+        ).collect()
+
     @bench("embeddings_similarity")
     def _():
         emb = load("embeddings")
@@ -637,6 +654,29 @@ def main() -> None:
     assert c_dups == dup_groups  # same dedup grouping as the features pass
     assert int(cstats["meta_bad"]) > 0  # verdicts genuinely computed
 
+    # r5: VAD utterance segmentation over the same quarter shard — one
+    # decode per clip, map-only (the segment_audio explode shares this
+    # decode path; the stats pass is the honest per-clip cost)
+    from gx_spark.audio_ops import segment_stats
+
+    segment_runs = []
+    section_ctrl["audio_segmentation"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_segmentation"].append(hw_control())
+        t0 = time.time()
+        seg = segment_stats(pipe_df, keep_cols=["clip_id"])
+        sstats = seg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_segments").alias("segs"),
+            F.sum("speech_ms").alias("speech_ms"),
+            F.max("longest_gap_ms").alias("max_gap_ms"),
+        ).collect()[0]
+        segment_runs.append(time.time() - t0)
+    segment_dt = min(segment_runs)
+    timings["audio_segmentation"] = round(segment_dt, 3)
+    assert int(sstats["n"]) == pipeline_n
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -656,6 +696,12 @@ def main() -> None:
         "pipeline_dup_groups": dup_groups,
         "combined_clips_per_sec": round(pipeline_n / combined_dt, 1),
         "combined_runs_sec": [round(x, 3) for x in combined_runs],
+        "segmentation_clips_per_sec": round(pipeline_n / segment_dt, 1),
+        "segmentation_totals": {
+            "segments": int(sstats["segs"] or 0),
+            "speech_ms": int(sstats["speech_ms"] or 0),
+            "max_gap_ms": int(sstats["max_gap_ms"] or 0),
+        },
         "combined_violations": {
             "meta": int(cstats["meta_bad"]), "snr": int(cstats["snr_bad"]),
             "transcript": int(cstats["tx_bad"]),
@@ -669,7 +715,8 @@ def main() -> None:
         "section_runs_sec": {**section_runs,
                              "audio_suite": [round(x, 3) for x in audio_runs],
                              "audio_pipeline": [round(x, 3) for x in pipeline_runs],
-                             "audio_validate_curate": [round(x, 3) for x in combined_runs]},
+                             "audio_validate_curate": [round(x, 3) for x in combined_runs],
+                             "audio_segmentation": [round(x, 3) for x in segment_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
             "unit": "Melem/s",

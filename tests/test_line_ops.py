@@ -115,6 +115,41 @@ def test_unigram_logprob_exact(spark):
     assert out[1]["logprob_per_token"] > out[2]["logprob_per_token"]
 
 
+def test_unigram_scoring_never_shuffles_token_rows(spark):
+    """Scale-shape pin: the exploded (doc_id, token) rows must NOT be
+    exchanged for the scoring join — the frequency table broadcasts, so
+    the only token-keyed exchange is the freq build itself, which carries
+    (w, cnt) and never doc_id.  The final groupBy(doc_id) exchange is one
+    row per doc (partial-aggregated)."""
+    from gx_spark.plancheck import exchange_sections, formatted_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ops.unigram_logprob(docs, "doc_id", "text")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    for ex in exchange_sections(plan):
+        if "hashpartitioning(w" in ex:
+            assert "doc_id" not in ex, (
+                f"exploded token rows entered a token-keyed shuffle:\n{ex}")
+
+
+def test_line_dedup_winners_aggregate_is_partial(spark):
+    """Scale-shape pin: the winners groupBy(line) must partial-aggregate
+    map-side (a mega-duplicate line crosses the wire once per map task,
+    not once per copy), and no exchange may carry the reassembled doc
+    text — only line-granular rows shuffle."""
+    from gx_spark.plancheck import exchange_sections, formatted_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ops.line_dedup(ops.reflow_lines(docs, "doc_id", "text"),
+                         "doc_id", "text")
+    plan = formatted_plan(out)
+    assert "partial_min(struct(doc_id" in plan, plan
+    for ex in exchange_sections(plan):
+        assert "array_join" not in ex, (
+            f"reassembled text entered a shuffle:\n{ex}")
+
+
 def test_unigram_logprob_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "  The   the\tTHE "), (2, "the the the")],
