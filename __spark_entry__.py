@@ -1138,6 +1138,44 @@ def q_audio_segment_stats(spark, sf_dir):
     return segment_stats(df, keep_cols=["doc_id"], min_gap_ms=150)
 
 
+def q_audio_gain_normalize(spark, sf_dir):
+    """Loudness normalization (gx_spark.audio_ops.normalize_gain): clips
+    built from documents doc_id<300 as 300 ms sines with amplitude
+    0.05 + (doc_id%5)*0.1 across three codecs, normalized to -20 dBFS
+    RMS, then re-measured by the features pass.  rms_ok pins the
+    post-normalize RMS within +/-0.5 dB of target (mu-law rows carry
+    ~0.2 dB companding noise); gain_sign pins the direction — only the
+    amp 0.05 class (RMS -29 dBFS) gains UP, the four louder classes gain
+    DOWN (the -20 dBFS boundary sits at amp 0.1414).  The oracle
+    recomputes both from the amplitude arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, normalize_gain
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 440.0 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.05 + (i % 5) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        codec = codecs[i % 3]
+        rows.append((i, bytearray(encode_payload(pcm, sr, codec)), codec))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    norm = normalize_gain(df, target_dbfs=-20.0)
+    feats = extract_audio_features(norm, keep_cols=["doc_id", "gain_db"])
+    return feats.select(
+        "doc_id",
+        (F.abs(F.col("rms_dbfs") + 20.0) <= 0.5).alias("rms_ok"),
+        F.signum("gain_db").cast("int").alias("gain_sign"),
+    )
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Cross-codec audio content dedup (gx_spark.audio_ops.
     audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
@@ -1711,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "audio_segment_stats": q_audio_segment_stats,
+        "audio_gain_normalize": q_audio_gain_normalize,
         "pii_documents": q_pii_documents,
         "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
@@ -1759,13 +1798,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisquare_mktsegment": q_chisquare_mktsegment,
         "json_props_parseable": q_json_props_parseable,
         "row_condition_filtered_mean": q_row_condition_filtered_mean,
-        "referential_salted_custkey": q_referential_salted_custkey,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window --
         # r4-verified, sitting out one round (rotate back in r6);
-        # image_png/dedup_clusters/group_cap slid out when the three new
-        # r5 queries (line dedup, unigram LM, audio segmentation) entered
-        # tier 1 (all three r4 hash-green, evidence <= 1 round old):
+        # referential_salted/image_png/dedup_clusters/group_cap slid out
+        # when the four new r5 queries (line dedup, unigram LM, audio
+        # segmentation, gain normalization) entered tier 1 (all four r4
+        # hash-green, evidence <= 1 round old):
+        "referential_salted_custkey": q_referential_salted_custkey,
         "image_png_violations": q_image_png_violations,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "group_cap_documents": q_group_cap_documents,
@@ -2472,6 +2512,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_gain_normalize": (
+            # amplitude arithmetic: every class normalizes within 0.5 dB;
+            # only amp 0.05 (doc_id%5==0, RMS -29 dBFS) is below the
+            # -20 dBFS target (boundary amp = 0.1414), so it alone gains up
+            "SELECT doc_id, true AS rms_ok, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE -1 END AS INT) "
+            "AS gain_sign FROM documents WHERE doc_id < 300"
         ),
         "audio_segment_stats": (
             # pure pad arithmetic: gap 0/100 ms merges (min_gap_ms=150,

@@ -751,6 +751,105 @@ def segment_audio(
 
 
 # ---------------------------------------------------------------------------
+# loudness normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_gain_pcm(
+    pcm: np.ndarray, target_dbfs: float, peak_limit: float
+) -> tuple[np.ndarray, float]:
+    """Scale one clip's PCM so its RMS (int16 full-scale grid, the
+    compute_features_row convention) hits target_dbfs, capping the gain so
+    the post-scale peak stays <= peak_limit — normalization must never
+    INTRODUCE clipping.  Returns (scaled int16 pcm, applied gain in dB).
+    All-silent input comes back unchanged with gain 0 (gain is undefined
+    on silence)."""
+    x = pcm.astype(np.float64) / 32768.0
+    ms = float(np.mean(x * x)) if len(x) else 0.0
+    if ms <= 0.0:
+        return pcm, 0.0
+    rms_dbfs = 10.0 * np.log10(ms)
+    gain = 10.0 ** ((target_dbfs - rms_dbfs) / 20.0)
+    peak = float(np.max(np.abs(x)))
+    if peak * gain > peak_limit:
+        gain = peak_limit / peak
+    y = np.clip(np.rint(pcm.astype(np.float64) * gain),
+                -32768, 32767).astype(np.int16)
+    return y, 20.0 * np.log10(gain)
+
+
+def normalize_gain(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    target_dbfs: float = -20.0,
+    peak_limit: float = 0.999,
+) -> DataFrame:
+    """Loudness normalization — the gain-staging step every speech corpus
+    runs before training (EBU R128 family; this is the RMS flavor on the
+    same int16 grid as the feature/validation passes, so a downstream
+    `rms_dbfs BETWEEN` expectation closes the loop).
+
+    Each clip is scaled so its RMS hits `target_dbfs`, with the gain
+    capped so the post-scale peak stays <= `peak_limit` (a quiet-but-peaky
+    clip gets the largest clipping-free gain instead of the target).
+    Output schema = input schema + `gain_db double` (the applied gain;
+    0.0 for all-silent clips which pass through unchanged, NULL for
+    undecodable rows which pass through with null bytes — the
+    trim_silence convention).  Re-encodes pcm_s16le WAV; sr_hz/dur_ms
+    are unchanged by a pure gain.
+
+    mapInPandas keeps payloads inside Arrow batches; map-only, no
+    shuffle.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("gain_db", DoubleType())]
+    )
+    repo_root = _REPO_ROOT
+    cols = list(df.columns)
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import normalize_gain_pcm as _ngp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            gains: list[float | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    gains.append(None)
+                    continue
+                y, gdb = _ngp(pcm, target_dbfs, peak_limit)
+                if gdb == 0.0 and y is pcm:  # all-silent passthrough
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                else:
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                gains.append(gdb)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            pdf["gain_db"] = pd.array(gains, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # sample-rate conversion
 # ---------------------------------------------------------------------------
 

@@ -1563,6 +1563,7 @@ def unigram_logprob(
     )
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     n, v = freq.agg(F.sum("cnt"), F.count(F.lit(1))).first()
+    n = n or 0  # empty corpus: scored is empty, every doc gets n_tokens=0
     logp = freq.select(
         "w", F.log((F.col("cnt") + alpha) / F.lit(float(n) + alpha * v)).alias("_lp")
     )

@@ -74,6 +74,68 @@ def test_segment_stats_spark_mixed_codecs(spark):
             assert (r.n_segments, r.speech_ms, r.longest_gap_ms) == (1, 600, 0), i
 
 
+def test_normalize_gain_closed_form():
+    from gx_spark.audio_ops import normalize_gain_pcm
+
+    def _amp_tone(amp: float, ms: int = 500) -> np.ndarray:
+        t = np.arange(SR * ms // 1000) / SR
+        return np.rint(amp * 32767 * np.sin(2 * np.pi * 440.0 * t)).astype(
+            np.int16)
+
+    def _rms_dbfs(pcm: np.ndarray) -> float:
+        x = pcm.astype(np.float64) / 32768.0
+        return 10.0 * np.log10(float(np.mean(x * x)))
+
+    # amp 0.1 sine: rms ~= -23.01 dBFS -> gain to -20 is ~+3.01 dB
+    y, g = normalize_gain_pcm(_amp_tone(0.1), -20.0, 0.999)
+    assert abs(_rms_dbfs(y) - (-20.0)) < 0.05
+    assert abs(g - 3.01) < 0.05
+    # loud clip normalized DOWN
+    y, g = normalize_gain_pcm(_amp_tone(0.45), -20.0, 0.999)
+    assert abs(_rms_dbfs(y) - (-20.0)) < 0.05 and g < 0
+    # peak cap: amp 0.9 to -3 dBFS wants gain 1.113 but peak would hit
+    # 1.002 -> capped at 0.999/0.9, never introducing clipping
+    tone = _amp_tone(0.9)
+    y, g = normalize_gain_pcm(tone, -3.0, 0.999)
+    peak = float(np.max(np.abs(y))) / 32768.0
+    assert peak <= 0.9995
+    assert abs(g - 20 * np.log10(0.999 / (np.max(np.abs(tone)) / 32768.0))) < 0.01
+    assert _rms_dbfs(y) < -3.0  # cap means the target is NOT reached
+    # all-silent: unchanged, gain 0
+    z = np.zeros(1000, dtype=np.int16)
+    y, g = normalize_gain_pcm(z, -20.0, 0.999)
+    assert y is z and g == 0.0
+
+
+def test_normalize_gain_spark_mixed(spark):
+    from gx_spark.audio_ops import compute_features_row, normalize_gain
+
+    rows = []
+    for i in range(9):
+        amp = 0.05 + (i % 5) * 0.1
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        t = np.arange(SR * 300 // 1000) / SR
+        pcm = np.rint(amp * 32767 * np.sin(2 * np.pi * 440.0 * t)).astype(
+            np.int16)
+        rows.append((f"g{i}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, 300, codec))
+    rows.append(("silent", bytearray(wav_encode(_sil(300), SR)), SR, 300,
+                 "pcm_s16le"))
+    rows.append(("junk", bytearray(b"zz"), SR, 300, "flac"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = {r.clip_id: r for r in normalize_gain(df, target_dbfs=-20.0).collect()}
+    for i in range(9):
+        r = out[f"g{i}"]
+        assert r.codec == "pcm_s16le" and (r.sr_hz, r.dur_ms) == (SR, 300)
+        feats = compute_features_row(bytes(r.bytes), "pcm_s16le")
+        tol = 0.2 if i % 3 == 2 else 0.05  # mu-law quantization noise
+        assert abs(feats["rms_dbfs"] - (-20.0)) < tol, (i, feats["rms_dbfs"])
+    assert out["silent"].gain_db == 0.0
+    assert bytes(out["silent"].bytes) == bytes(rows[9][1])
+    assert out["junk"].bytes is None and out["junk"].gain_db is None
+
+
 def test_segment_audio_explode(spark):
     pcm2 = np.concatenate([_sil(200), _tone(300), _sil(500), _tone(300)])
     rows = [
