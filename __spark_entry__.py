@@ -905,6 +905,16 @@ def q_unigram_logprob_documents(spark, sf_dir):
     return ops.unigram_logprob(docs, "doc_id", "text", alpha=0.5)
 
 
+def q_ngram_counts_documents(spark, sf_dir):
+    """Corpus-wide top-50 word bigram table (gx_spark/ops.py
+    ngram_counts): map-side HOF gram construction, one map-side-combined
+    count exchange, TakeOrderedAndProject top-k (plan-pinned — never a
+    global sort); ties at the cut break by ngram ascending on both
+    engines, so the row set is deterministic."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.ngram_counts(docs, "text", n=2, k=50)
+
+
 def q_pii_documents(spark, sf_dir):
     """PII detection + redaction (gx_spark/ops.py pii_stats/redact_pii;
     pattern classes in the spirit of public scrubbers — Presidio, ROOTS).
@@ -1173,6 +1183,47 @@ def q_audio_gain_normalize(spark, sf_dir):
         "doc_id",
         (F.abs(F.col("rms_dbfs") + 20.0) <= 0.5).alias("rms_ok"),
         F.signum("gain_db").cast("int").alias("gain_sign"),
+    )
+
+
+def q_audio_transcode_roundtrip(spark, sf_dir):
+    """Codec transcoding (gx_spark.audio_ops.transcode_audio): clips from
+    documents doc_id<300 (300 ms sines, three source codecs) are
+    transcoded to FLAC, then BOTH sides run the features pass —
+    lossless_ok pins that the transcoded decode carries the identical
+    sample count and bit-identical RMS (FLAC is lossless over whatever
+    the source decode produced, including the G.711-companded rows).
+    The oracle is the all-true invariant per doc."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, transcode_audio
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 523.25 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.1 + (i % 4) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("n_samples").alias("n0"), F.col("rms_dbfs").alias("r0"))
+    after = extract_audio_features(
+        transcode_audio(df, "flac"), keep_cols=["doc_id", "codec"]).select(
+        "doc_id", "codec", F.col("n_samples").alias("n1"),
+        F.col("rms_dbfs").alias("r1"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        ((F.col("n0") == F.col("n1")) & (F.col("r0") == F.col("r1"))).alias(
+            "lossless_ok"),
+        F.col("codec").alias("codec_out"),
     )
 
 
@@ -1750,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "audio_segment_stats": q_audio_segment_stats,
         "audio_gain_normalize": q_audio_gain_normalize,
+        "audio_transcode_roundtrip": q_audio_transcode_roundtrip,
+        "ngram_counts_documents": q_ngram_counts_documents,
         "pii_documents": q_pii_documents,
         "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
@@ -1796,15 +1849,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantity": q_histogram_quantity,
         "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
         "chisquare_mktsegment": q_chisquare_mktsegment,
-        "json_props_parseable": q_json_props_parseable,
-        "row_condition_filtered_mean": q_row_condition_filtered_mean,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window --
-        # r4-verified, sitting out one round (rotate back in r6);
-        # referential_salted/image_png/dedup_clusters/group_cap slid out
-        # when the four new r5 queries (line dedup, unigram LM, audio
-        # segmentation, gain normalization) entered tier 1 (all four r4
-        # hash-green, evidence <= 1 round old):
+        # r4-verified, sitting out one round (rotate back in r6); these
+        # six slid out as the six new r5 queries (line dedup, unigram LM,
+        # ngram counts, audio segmentation / gain / transcode) entered
+        # tier 1 (all six evicted entries r4 hash-green, evidence <= 1
+        # round old):
+        "json_props_parseable": q_json_props_parseable,
+        "row_condition_filtered_mean": q_row_condition_filtered_mean,
         "referential_salted_custkey": q_referential_salted_custkey,
         "image_png_violations": q_image_png_violations,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -2512,6 +2565,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_transcode_roundtrip": (
+            # FLAC is lossless over whatever the source decode produced
+            # (including the already-companded G.711 rows): identical
+            # sample count + bit-identical RMS is an invariant of every row
+            "SELECT doc_id, true AS lossless_ok, 'flac' AS codec_out "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "ngram_counts_documents": (
+            # same gram construction as the engine: lower+trim+\s+ split,
+            # empties dropped, 1-based inclusive 2-slices; ties at the
+            # k-th count break by ngram ascending on both engines
+            "WITH w AS (SELECT list_filter(string_split_regex("
+            "lower(trim(text)), '\\s+'), x -> x <> '') AS words "
+            "FROM documents), "
+            "g AS (SELECT array_to_string(words[i:i+1], ' ') AS ngram "
+            "FROM w, unnest(range(1, len(words))) t(i) "
+            "WHERE len(words) >= 2) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g "
+            "GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50"
         ),
         "audio_gain_normalize": (
             # amplitude arithmetic: every class normalizes within 0.5 dB;

@@ -850,6 +850,68 @@ def normalize_gain(
 
 
 # ---------------------------------------------------------------------------
+# codec transcoding
+# ---------------------------------------------------------------------------
+
+
+def transcode_audio(
+    df: DataFrame,
+    to_codec: str,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Re-encode every clip's payload in `to_codec` — the storage-format
+    unification step at the end of a curation pipeline (validate → trim →
+    segment → normalize → resample → TRANSCODE → shard).  `to_codec` must
+    be one of the in-sandbox encoders (pcm_s16le / pcm_mulaw / pcm_alaw
+    WAV, flac); flac is lossless (decode(transcode(x)) is bit-identical),
+    the G.711 companded codecs are lossy by design.
+
+    Schema preserved; codec column updated; undecodable rows pass through
+    with null bytes (the trim_silence convention).  Map-only mapInPandas,
+    payloads stay inside Arrow batches — at 100 TB this is the classic
+    embarrassingly-parallel rewrite, and the absence of any shuffle is
+    the whole design.
+    """
+    from .audio import DECODABLE_CODECS
+
+    if to_codec not in DECODABLE_CODECS:
+        raise ValueError(
+            f"to_codec must be one of {sorted(DECODABLE_CODECS)}, "
+            f"got {to_codec!r}")
+    out_schema = df.schema
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, encode_payload
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    continue
+                new_bytes.append(encode_payload(pcm, sr, to_codec))
+                new_codec.append(to_codec)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # sample-rate conversion
 # ---------------------------------------------------------------------------
 

@@ -1588,6 +1588,45 @@ def unigram_logprob(
     )
 
 
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 1, k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k word n-gram frequency table — the corpus-stats
+    pass behind vocabulary studies, boilerplate hunting, and the unigram
+    LM (unigram_logprob builds the n=1 table internally).
+
+    Tokens are lower+trim+\\s+ normalized (the linguistic-op convention);
+    grams are built map-side as HOF slices over each doc's own word array
+    (the repetition_stats technique), so the ONLY corpus exchange is the
+    map-side-combined count groupBy — the classic wordcount shape — and
+    the global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps, never a global sort).  Ties at the k-th count break by ngram
+    ascending, so the result set is deterministic.
+
+    Returns (ngram, cnt), at most k rows.
+    """
+    staged = df.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_w")
+    )
+    grams = F.when(
+        F.size("_w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {n} + 1), "
+            f"i -> array_join(slice(_w, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint per document (hex md5 — portable across engines)."""
     return df.select(

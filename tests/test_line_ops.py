@@ -181,6 +181,31 @@ def test_line_dedup_winners_aggregate_is_partial(spark):
             f"reassembled text entered a shuffle:\n{ex}")
 
 
+def test_ngram_counts_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, " The  the ")],
+        "doc_id long, text string",
+    )
+    top2 = [(r["ngram"], r["cnt"])
+            for r in ops.ngram_counts(df, "text", n=2, k=2).collect()]
+    # 'a b' x2; ties at cnt=1 break by ngram asc -> 'b a' beats 'b c'
+    assert top2 == [("a b", 2), ("b a", 1)]
+    uni = {r["ngram"]: r["cnt"]
+           for r in ops.ngram_counts(df, "text", n=1, k=10).collect()}
+    # normalization merges The/the; doc 3 contributes 'the' x2
+    assert uni == {"a": 2, "b": 3, "c": 1, "the": 2}
+
+
+def test_ngram_counts_topk_is_heap_not_global_sort(spark):
+    """Scale pin: orderBy+limit must compile to TakeOrderedAndProject
+    (per-partition heaps), never a single-partition global sort."""
+    from gx_spark.plancheck import formatted_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(ops.ngram_counts(docs, "text", n=2, k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_unigram_logprob_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "  The   the\tTHE "), (2, "the the the")],

@@ -136,6 +136,41 @@ def test_normalize_gain_spark_mixed(spark):
     assert out["junk"].bytes is None and out["junk"].gain_db is None
 
 
+def test_transcode_audio(spark):
+    import pytest
+
+    from gx_spark.audio_ops import transcode_audio
+
+    tone = _tone(300)
+    rows = [
+        ("wav", bytearray(wav_encode(tone, SR)), SR, 300, "pcm_s16le"),
+        ("flc", bytearray(encode_payload(tone, SR, "flac")), SR, 300, "flac"),
+        ("mul", bytearray(encode_payload(tone, SR, "pcm_mulaw")), SR, 300,
+         "pcm_mulaw"),
+        ("bad", bytearray(b"zz"), SR, 300, "flac"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    # to flac: lossless for the PCM sources — decode round-trips exactly
+    out = {r.clip_id: r for r in transcode_audio(df, "flac").collect()}
+    assert out["wav"].codec == "flac"
+    sr2, pcm2 = decode_payload(bytes(out["wav"].bytes), "flac")
+    np.testing.assert_array_equal(pcm2, tone)
+    # flac -> flac re-encode still round-trips
+    _, pcm3 = decode_payload(bytes(out["flc"].bytes), "flac")
+    np.testing.assert_array_equal(pcm3, tone)
+    # mu-law source: transcode preserves the (already companded) decode
+    _, mul_dec = decode_payload(bytes(rows[2][1]), "pcm_mulaw")
+    _, pcm4 = decode_payload(bytes(out["mul"].bytes), "flac")
+    np.testing.assert_array_equal(pcm4, mul_dec)
+    # undecodable passthrough: null bytes, codec untouched
+    assert out["bad"].bytes is None and out["bad"].codec == "flac"
+    # schema preserved
+    assert transcode_audio(df, "pcm_s16le").columns == df.columns
+    with pytest.raises(ValueError):
+        transcode_audio(df, "opus")
+
+
 def test_segment_audio_explode(spark):
     pcm2 = np.concatenate([_sil(200), _tone(300), _sil(500), _tone(300)])
     rows = [
