@@ -1186,6 +1186,53 @@ def q_audio_gain_normalize(spark, sf_dir):
     )
 
 
+def q_speaking_rate_violations(spark, sf_dir):
+    """Transcript/duration alignment screen (gx_spark.expectations.
+    audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
+    second check, pure JVM arithmetic, no payload decode).  Label-only
+    clips from documents: transcript = text, dur_ms planted by doc_id%9 —
+    class 4 = too fast (exactly 100 cps), class 7 = too slow (exactly
+    0.5 cps), class 2 = zero duration (rate undefined), others ~14.9 cps
+    (1000/67, length-independent).  The violating ROW SET comes from the
+    engine's violations_table(); cps_milli is the identical IEEE double
+    expression floor(len / (dur/1000) * 1000) on both engines (integer
+    output, no cross-engine float-rounding hazard)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    ln = F.length("text")
+    c = F.col("doc_id") % 9
+    dur = (
+        F.when(c == 4, ln * 10)
+        .when(c == 7, ln * 2000)
+        .when(c == 2, F.lit(0))
+        .otherwise(ln * 67)
+    ).cast("int")
+    clips = docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.col("text").alias("transcript"),
+        dur.alias("dur_ms"),
+    )
+    b = validate(
+        spark, clips,
+        ExpectationSuite("rate").add(
+            "expect_speaking_rate_to_be_between", min_cps=1.0, max_cps=50.0),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+    viol = b.violations_table().select(
+        F.col("clip_id").cast("long").alias("doc_id"), "expectation_type")
+    d = F.col("dur_ms").cast("double") / F.lit(1000.0)
+    arith = clips.select(
+        "doc_id",
+        F.when(
+            F.col("dur_ms") > 0,
+            F.floor(F.length("transcript").cast("double") / d * F.lit(1000.0))
+            .cast("long"),
+        ).alias("cps_milli"),
+    )
+    return viol.join(arith, "doc_id").select(
+        "doc_id", "expectation_type", "cps_milli")
+
+
 def q_audio_transcode_roundtrip(spark, sf_dir):
     """Codec transcoding (gx_spark.audio_ops.transcode_audio): clips from
     documents doc_id<300 (300 ms sines, three source codecs) are
@@ -1797,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "speaking_rate_violations": q_speaking_rate_violations,
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "audio_segment_stats": q_audio_segment_stats,
@@ -2565,6 +2613,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "speaking_rate_violations": (
+            # identical dur plant + the engine's exact violation predicate
+            # (dur<=0 OR cps outside [1,50]); cps mirrors the engine's IEEE
+            # expression len / (dur/1000.0) so floor(cps*1000) is exact
+            "WITH clips AS (SELECT doc_id, length(text) AS ln, "
+            "CASE WHEN doc_id % 9 = 4 THEN length(text) * 10 "
+            "WHEN doc_id % 9 = 7 THEN length(text) * 2000 "
+            "WHEN doc_id % 9 = 2 THEN 0 "
+            "ELSE length(text) * 67 END AS dur FROM documents) "
+            "SELECT doc_id, "
+            "'expect_speaking_rate_to_be_between' AS expectation_type, "
+            "CASE WHEN dur > 0 THEN "
+            "CAST(floor(ln / (dur / 1000.0) * 1000.0) AS BIGINT) "
+            "END AS cps_milli FROM clips "
+            "WHERE dur <= 0 OR ln / (dur / 1000.0) < 1.0 "
+            "OR ln / (dur / 1000.0) > 50.0"
         ),
         "audio_transcode_roundtrip": (
             # FLAC is lossless over whatever the source decode produced

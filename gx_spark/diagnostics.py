@@ -519,6 +519,19 @@ def _gallery_audio_silence():
          "in": {}, "out": {"success": False, "unexpected_count": 1}})
 
 
+def _gallery_speaking_rate():
+    # rate needs no payload decode, so plant the violation in the labels:
+    # good = 100 ms clip with its ~short reference transcript; bad = same
+    # transcript claimed to span 60 s -> cps far below min_cps.
+    r = _audio_rows()
+    slow = dict(r["good"], clip_id="diag_slow", dur_ms=120000)
+    return _audio_example(
+        [r["good"], slow],
+        {"title": "a <=90-char transcript over 120 s is below 1 cps",
+         "in": {"min_cps": 1.0, "max_cps": 1000.0},
+         "out": {"success": False, "unexpected_count": 1}})
+
+
 def _gallery_image_metadata():
     from .image import raw_encode, synth_image
 
@@ -580,6 +593,7 @@ GALLERY_EXAMPLE_BUILDERS: dict = {
     "expect_transcript_to_match_reference": _gallery_audio_transcript,
     "expect_audio_clipping_ratio_to_be_below": _gallery_audio_clipping,
     "expect_audio_silence_ratio_to_be_below": _gallery_audio_silence,
+    "expect_speaking_rate_to_be_between": _gallery_speaking_rate,
     "expect_image_metadata_to_be_consistent": _gallery_image_metadata,
     "expect_image_mean_intensity_to_be_between": _gallery_image_intensity,
     "expect_video_metadata_to_be_consistent": _gallery_video_metadata,

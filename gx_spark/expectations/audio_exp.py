@@ -145,6 +145,49 @@ class TranscriptMatchesReference(ColumnMapExpectation):
         return F.col(cfg.kwargs.get("column", "transcript"))
 
 
+@register_expectation("expect_speaking_rate_to_be_between")
+class SpeakingRateBetween(ColumnMapExpectation):
+    """Transcript chars-per-second vs the clip's labeled duration — the
+    standard ASR-curation screen for misaligned audio/transcript pairs (a
+    2 s clip cannot carry a 500-char transcript; a 30 s clip with 3 chars
+    is dead air or a dropped label).  Pure JVM column arithmetic over
+    (transcript, dur_ms): no payload decode, no UDF, so it rides the
+    stage-1 agg scan and Catalyst prunes the binary column entirely.
+
+    cps = length(transcript) / (dur_ms / 1000); unexpected when dur_ms is
+    null or <= 0 (rate undefined == misaligned pair) or cps falls outside
+    [min_cps, max_cps] (defaults 1.0 .. 50.0 — wide enough for slow read
+    speech through fast synthetic TTS; real English speech sits ~12-18).
+    Denominator = non-null transcripts; null transcripts are a
+    not_be_null concern, per the audio family's convention."""
+
+    metric_name = "audio.speaking_rate"
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("transcript_column", "transcript"))
+        require_columns(ctx, cfg.kwargs.get("dur_column", "dur_ms"))
+        return super().plan(ctx, cfg, index)
+
+    def _cps(self, cfg) -> Column:
+        # ANSI-safe: null (never a divide-by-zero error) when dur_ms <= 0
+        tr = cfg.kwargs.get("column", "transcript")
+        dur = F.col(cfg.kwargs.get("dur_column", "dur_ms")).cast("double")
+        safe = F.when(dur > 0, dur / F.lit(1000.0))
+        return F.length(tr).cast("double") / safe
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        lo = float(cfg.kwargs.get("min_cps", 1.0))
+        hi = float(cfg.kwargs.get("max_cps", 50.0))
+        dur = F.col(cfg.kwargs.get("dur_column", "dur_ms"))
+        bad_dur = dur.isNull() | (dur <= 0)
+        cps = self._cps(cfg)
+        return bad_dur | (cps < F.lit(lo)) | (cps > F.lit(hi))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(self._cps(cfg), 3)
+
+
 def _quality_params(cfg: ExpectationConfiguration) -> dict:
     k = cfg.kwargs
     return dict(

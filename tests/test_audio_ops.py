@@ -478,3 +478,78 @@ def test_silence_bounds_spark_and_trim_roundtrip(spark):
         assert sr2 == SR and len(pcm2) == SR * 400 // 1000
         feats = compute_features_row(bytes(r.bytes), "pcm_s16le")
         assert feats["silence_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# speaking-rate expectation (transcript chars/sec vs labeled duration)
+# ---------------------------------------------------------------------------
+
+
+def test_speaking_rate_counts_and_observed(spark):
+    from gx_spark import EngineOptions, ExpectationSuite, validate
+
+    # 40 label-only rows (no payload decode involved): dur 2000 ms, and a
+    # 30-char transcript => 15 cps nominal.  Planted classes:
+    #   i%8==0 too fast (30 chars / 200 ms = 150 cps)
+    #   i%8==1 too slow (3 chars / 30 s = 0.1 cps)
+    #   i%8==2 zero duration   -> unexpected (rate undefined)
+    #   i%8==3 null duration   -> unexpected
+    #   i%8==4 null transcript -> excluded from the denominator
+    rows = []
+    for i in range(40):
+        tr, dur = "x" * 30, 2000
+        if i % 8 == 0:
+            dur = 200
+        elif i % 8 == 1:
+            tr, dur = "abc", 30000
+        elif i % 8 == 2:
+            dur = 0
+        elif i % 8 == 3:
+            dur = None
+        elif i % 8 == 4:
+            tr = None
+        rows.append((f"c{i:02d}", dur, tr))
+    df = spark.createDataFrame(
+        rows, "clip_id string, dur_ms int, transcript string")
+    suite = ExpectationSuite("rate").add(
+        "expect_speaking_rate_to_be_between", min_cps=1.0, max_cps=50.0)
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("clip_id",)))
+    r = b.suite_result.results[0]
+    viol = {v["clip_id"]: v for v in b.violations_table().collect()}
+    b.unpersist()
+    assert r.result["element_count"] == 40
+    assert r.result["missing_count"] == 5         # null transcripts excluded
+    assert r.result["unexpected_count"] == 20     # classes 0..3, 5 each
+    assert not r.success
+    # observed value = rounded cps; null-duration rows observe null
+    assert viol["c08"]["observed_value"] == '{"v":150.0}'
+    assert viol["c09"]["observed_value"] == '{"v":0.1}'
+    assert viol["c11"]["observed_value"] in (None, "{}")
+    assert "c12" not in viol and "c04" not in viol  # null tr not violated
+
+
+def test_speaking_rate_is_pure_jvm(spark, tmp_path):
+    """No Python evaluation anywhere in the stage-1 pass: the check is
+    length/division arithmetic riding the agg scan, unlike the decode
+    family — and the parquet ReadSchema prunes the bytes column away."""
+    from gx_spark import EngineOptions, ExpectationSuite, validate
+    from gx_spark.plancheck import (
+        compile_suite, formatted_plan, read_schemas, stage1_df)
+
+    src = spark.createDataFrame(
+        [("a", bytearray(b"\x00\x01"), 1000, "twelve chars")],
+        "clip_id string, bytes binary, dur_ms int, transcript string")
+    path = str(tmp_path / "rate_clips")
+    src.write.parquet(path)
+    df = spark.read.parquet(path)
+    suite = ExpectationSuite("rate").add("expect_speaking_rate_to_be_between")
+    ctx = compile_suite(spark, df, suite)
+    plan = formatted_plan(stage1_df(ctx))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    schemas = read_schemas(plan)
+    assert schemas and all("bytes" not in s for s in schemas), schemas
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    ok = b.suite_result.results[0].success
+    b.unpersist()
+    assert ok
