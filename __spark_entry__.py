@@ -509,6 +509,21 @@ def q_word_jaccard_documents(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_edit_distance_documents(spark, sf_dir):
+    """Character-level fuzzy-dup verification (ops.edit_distance_pairs):
+    word-Jaccard 0.95 candidates confirmed by the BUILT-IN banded
+    levenshtein (3-arg form, O(len*k)) — pairs beyond the 150-edit band
+    report dist=-1/null sim, in-band pairs get floor-milli similarity
+    (integer output, no cross-engine float-rounding hazard).  Restricted
+    to ASCII-pure rows (octet_length == length) because Spark's
+    levenshtein counts codepoints while DuckDB's counts bytes; the op is
+    unicode-correct, the ORACLE comparison is ASCII-only."""
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text"))
+    return ops.edit_distance_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.95, max_dist=150)
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     # full near-dup CLUSTERING: exact word-Jaccard pairs -> large-star/
     # small-star connected components -> canonical-doc election (longest
@@ -1845,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 1: new or changed in r5 --
         "speaking_rate_violations": q_speaking_rate_violations,
+        "edit_distance_documents": q_edit_distance_documents,
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "audio_segment_stats": q_audio_segment_stats,
@@ -2613,6 +2629,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "edit_distance_documents": (
+            # same candidate construction as word_jaccard (distinct
+            # lower/trim/\s+ tokens, brute shared-token join — exact, the
+            # engine's prefix filter is a pruning of the same set), then
+            # full levenshtein with the band folded in as CASE > 150;
+            # ASCII-only rows so byte-lev == codepoint-lev
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE length(text) = strlen(text)), "
+            "toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+            "FROM d) WHERE w <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_int FROM toks a JOIN toks b "
+            "ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "cand AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE n_int * 1.0 / (sa.n + sb.n - n_int) >= 0.95), "
+            "lev AS (SELECT id_a, id_b, "
+            "CASE WHEN levenshtein(da.text, db.text) > 150 THEN -1 "
+            "ELSE levenshtein(da.text, db.text) END AS dist, "
+            "GREATEST(length(da.text), length(db.text)) AS mx "
+            "FROM cand JOIN d da ON da.doc_id = id_a "
+            "JOIN d db ON db.doc_id = id_b) "
+            "SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, "
+            "CASE WHEN dist >= 0 AND mx > 0 THEN CAST(floor(1000.0 * "
+            "(1.0 - dist / CAST(mx AS DOUBLE))) AS BIGINT) END AS sim_milli "
+            "FROM lev"
         ),
         "speaking_rate_violations": (
             # identical dur plant + the engine's exact violation predicate

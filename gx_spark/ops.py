@@ -253,6 +253,61 @@ def word_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, text_col: str, *,
+    jaccard_threshold: float = 0.7, max_dist: int | None = None,
+    sim_threshold: float | None = None,
+) -> DataFrame:
+    """Character-level edit-distance verification of word-level near-dup
+    candidates — the standard second stage of fuzzy dedup (cheap set
+    overlap proposes, exact Levenshtein confirms; e.g. transcript variants
+    that word-Jaccard can't separate: 'color'/'colour', dropped commas).
+
+    Candidates come from the exact prefix-filtered Jaccard join
+    (word_jaccard_pairs — AllPairs/PPJoin bound, no cross join), so the
+    O(len^2) DP runs only on pairs already sharing most of their
+    vocabulary.  The distance itself is the BUILT-IN `levenshtein`
+    (JVM codegen, codepoint-based); with `max_dist` set it becomes the
+    3-arg banded form — O(len * k) instead of O(len^2), returning -1 for
+    pairs beyond the band, which is the scale path: verification cost is
+    then linear in text length for the fixed k a dedup policy uses.
+
+    Returns (id_a, id_b, dist, sim_milli) where sim_milli =
+    floor(1000 * (1 - dist / greatest(len_a, len_b))) — integer output so
+    a cross-engine oracle never hash-flakes on float rounding; -1 dist
+    (beyond the band) yields null sim_milli.  `sim_threshold` keeps pairs
+    with sim_milli >= floor(1000 * sim_threshold).
+
+    Oracle caveat (tests + driver query): Spark's levenshtein counts
+    CODEPOINTS, DuckDB's counts BYTES — identical only on ASCII-pure
+    text, so the driver query restricts both engines to ASCII rows; the
+    op itself is unicode-correct."""
+    pairs = word_jaccard_pairs(df, id_col, text_col, jaccard_threshold)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ta = texts.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    tb = texts.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    joined = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    if max_dist is None:
+        dist = F.levenshtein("t_a", "t_b")
+    else:
+        dist = F.levenshtein("t_a", "t_b", int(max_dist))
+    mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    out = joined.select(
+        "id_a", "id_b", dist.cast("long").alias("dist"),
+        F.when(
+            (dist >= 0) & (mx > 0),
+            F.floor(
+                F.lit(1000.0)
+                * (F.lit(1.0) - dist.cast("double") / mx.cast("double"))
+            ).cast("long"),
+        ).alias("sim_milli"),
+    )
+    if sim_threshold is not None:
+        out = out.filter(
+            F.col("sim_milli") >= int(1000.0 * float(sim_threshold)))
+    return out
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     max_iter: int = 25,

@@ -110,3 +110,44 @@ def test_cosine_near_dups_empty_input(spark, emb):
     out = ops.cosine_near_dup_pairs(emb.limit(0), "vec_id", "embedding",
                                     threshold=0.9, mode="lsh")
     assert out.count() == 0
+
+
+def test_edit_distance_pairs_exact_small_case(spark):
+    """Known distances on hand-built near-dups; banded form returns -1 /
+    null sim beyond the band; unicode counted by CODEPOINTS (Spark
+    semantics — one substitution in 'café', not the 2-byte count a
+    byte-based engine reports)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # dist 3 to 1
+        (3, "the quick brown fox jumped over that lazy dog"),  # dist 4 to 1
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in ops.edit_distance_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)].dist == 3
+    assert (1, 3) in out and out[(1, 3)].dist == 4
+    assert all(4 not in k for k in out)
+    ln = len(rows[0][1])
+    assert out[(1, 2)].sim_milli == int(1000.0 * (1.0 - 3.0 / ln) // 1)
+    # banded: k=3 keeps (1,2) at 3, bands out (1,3) as dist=-1/null sim
+    banded = {(r.id_a, r.id_b): r for r in ops.edit_distance_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5, max_dist=3).collect()}
+    assert banded[(1, 2)].dist == 3 and banded[(1, 2)].sim_milli is not None
+    assert banded[(1, 3)].dist == -1 and banded[(1, 3)].sim_milli is None
+    # sim_threshold keeps only the tightest pair
+    kept = ops.edit_distance_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5,
+        sim_threshold=0.92).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2)}
+
+
+def test_edit_distance_codepoint_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "café au lait s'il vous plaît"),
+         (2, "cafe au lait s'il vous plaît")],
+        "doc_id long, text string")
+    out = ops.edit_distance_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5).collect()
+    assert len(out) == 1 and out[0].dist == 1
