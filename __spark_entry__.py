@@ -1248,6 +1248,57 @@ def q_speaking_rate_violations(spark, sf_dir):
         "doc_id", "expectation_type", "cps_milli")
 
 
+def q_audio_resample(spark, sf_dir):
+    """Sample-rate conversion (gx_spark.audio_ops.resample_audio —
+    windowed-sinc, anti-aliased): 300 ms 440 Hz tones at 16 kHz across
+    three codecs, resampled to 8 kHz, re-measured by the features pass.
+    Pinned invariants, all exact arithmetic: n_samples halves (4800 ->
+    2400), dur_ms stays 300, output codec is pcm_s16le; the tone is
+    437.5 Hz = bin 224 of the zero-padded dominant-frequency FFT grid
+    (16000/8192 = 8000/4096 = 1.953125 Hz at BOTH rates), so the
+    mainlobe peak sits exactly on-grid and dominant_hz is float-exact
+    437.5 before and after the resample; rms_ok pins
+    gain transparency within 0.5 dB (sinc passband ripple + mu-law
+    companding noise are well inside).  The oracle is the per-doc
+    invariant row."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, resample_audio
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.rint(0.3 * 32767 * np.sin(2 * np.pi * 437.5 * t)).astype(
+        np.int16)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, bytearray(encode_payload(base, sr, codecs[i % 3])),
+                     sr, 300, codecs[i % 3]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, sr_hz int, dur_ms int, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("rms_dbfs").alias("r0"),
+        F.col("dominant_hz").alias("d0"))
+    res = resample_audio(df, 8000)
+    after = extract_audio_features(
+        res, keep_cols=["doc_id", "sr_hz", "dur_ms", "codec"]).select(
+        "doc_id", "sr_hz", "dur_ms", "codec",
+        F.col("n_samples").alias("n1"), F.col("rms_dbfs").alias("r1"),
+        F.col("dominant_hz").alias("d1"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        F.col("n1").cast("int").alias("n_samples"),
+        "sr_hz", "dur_ms",
+        F.col("codec").alias("codec_out"),
+        (F.abs(F.col("r1") - F.col("r0")) <= 0.5).alias("rms_ok"),
+        ((F.col("d0") == 437.5) & (F.col("d1") == 437.5)).alias("dom_ok"),
+    )
+
+
 def q_audio_transcode_roundtrip(spark, sf_dir):
     """Codec transcoding (gx_spark.audio_ops.transcode_audio): clips from
     documents doc_id<300 (300 ms sines, three source codecs) are
@@ -1861,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: new or changed in r5 --
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
+        "audio_resample": q_audio_resample,
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "audio_segment_stats": q_audio_segment_stats,
@@ -2629,6 +2681,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_resample": (
+            # exact 2:1 decimation arithmetic + all-true invariants the
+            # Spark side computes from the real sinc resample: 4800
+            # samples halve, duration and on-bin dominant survive, RMS
+            # within 0.5 dB
+            "SELECT doc_id, CAST(2400 AS INT) AS n_samples, "
+            "CAST(8000 AS INT) AS sr_hz, CAST(300 AS INT) AS dur_ms, "
+            "'pcm_s16le' AS codec_out, true AS rms_ok, true AS dom_ok "
+            "FROM documents WHERE doc_id < 300"
         ),
         "edit_distance_documents": (
             # same candidate construction as word_jaccard (distinct
