@@ -1248,6 +1248,54 @@ def q_speaking_rate_violations(spark, sf_dir):
         "doc_id", "expectation_type", "cps_milli")
 
 
+def q_audio_augment_noise(spark, sf_dir):
+    """Additive-noise augmentation at 20 dB SNR (gx_spark.audio_ops.
+    augment_noise — per-row-seeded, bit-identical at any parallelism):
+    300 ms sines over four amplitude classes and three codecs, mixed,
+    then re-measured by the features pass.  Pins per doc: n_ok (sample
+    count preserved), floor_ok (the reported noise floor equals clean
+    RMS - 20 dB to 1e-6 — exact arithmetic, not an expectation over the
+    draw), power_ok (measured mix power equals clean power + noise power
+    within 0.05 dB — the random cross-term is O(1/sqrt(n)) ~ 0.013 dB at
+    4800 samples, quantization negligible).  All-true invariant oracle."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import augment_noise, extract_audio_features
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 392.0 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.1 + (i % 4) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("n_samples").alias("n0"),
+        F.col("rms_dbfs").alias("r0"))
+    mixed = augment_noise(df, 20.0, id_col="doc_id")
+    after = extract_audio_features(
+        mixed, keep_cols=["doc_id", "noise_rms_dbfs"]).select(
+        "doc_id", F.col("noise_rms_dbfs").alias("rn"),
+        F.col("n_samples").alias("n1"), F.col("rms_dbfs").alias("r1"))
+    expected_mix = 10.0 * F.log10(
+        F.pow(F.lit(10.0), F.col("r0") / 10.0)
+        + F.pow(F.lit(10.0), F.col("rn") / 10.0))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        (F.col("n0") == F.col("n1")).alias("n_ok"),
+        (F.abs(F.col("rn") - (F.col("r0") - 20.0)) < 1e-6).alias("floor_ok"),
+        (F.abs(F.col("r1") - expected_mix) <= 0.05).alias("power_ok"),
+    )
+
+
 def q_audio_resample(spark, sf_dir):
     """Sample-rate conversion (gx_spark.audio_ops.resample_audio —
     windowed-sinc, anti-aliased): 300 ms 440 Hz tones at 16 kHz across
@@ -1912,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: new or changed in r5 --
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
+        "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -2681,6 +2730,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_augment_noise": (
+            # all-true invariant: floor/power arithmetic is computed
+            # in-Spark from the real mix; the oracle pins it per doc
+            "SELECT doc_id, true AS n_ok, true AS floor_ok, "
+            "true AS power_ok FROM documents WHERE doc_id < 300"
         ),
         "audio_resample": (
             # exact 2:1 decimation arithmetic + all-true invariants the

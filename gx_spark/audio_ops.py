@@ -849,6 +849,103 @@ def normalize_gain(
     return df.mapInPandas(_batches, schema=out_schema)
 
 
+def augment_noise_pcm(
+    pcm: np.ndarray, snr_db: float, rng
+) -> tuple[np.ndarray, float | None]:
+    """Mix white noise into one clip at exactly `snr_db` below its own RMS
+    (pre-quantization).  The noise vector is drawn from `rng`, then scaled
+    by its own measured RMS so the applied clean/noise power ratio is
+    EXACT arithmetic, not an expectation over the draw.  Returns
+    (mixed int16 pcm, noise RMS in dBFS); an all-silent clip passes
+    through unchanged with None (SNR vs silence is undefined)."""
+    x = pcm.astype(np.float64) / 32768.0
+    n = len(x)
+    ms = float(np.mean(x * x)) if n else 0.0
+    if ms <= 0.0:
+        return pcm, None
+    clean_rms = ms ** 0.5
+    target_noise_rms = clean_rms * 10.0 ** (-snr_db / 20.0)
+    noise = rng.standard_normal(n)
+    nrms = float(np.sqrt(np.mean(noise * noise)))
+    if nrms <= 0.0:  # zero-length guard; n>=1 here so nrms>0 in practice
+        return pcm, None
+    noise *= target_noise_rms / nrms
+    y = np.clip(np.rint((x + noise) * 32768.0), -32768, 32767).astype(np.int16)
+    return y, 20.0 * np.log10(target_noise_rms)
+
+
+def augment_noise(
+    df: DataFrame,
+    snr_db: float,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    seed: int = 42,
+) -> DataFrame:
+    """Additive-noise augmentation at a fixed SNR — the standard ASR
+    robustness step (babble/white mixing at 5-30 dB).  Each clip gets an
+    independent white-noise draw scaled to exactly `snr_db` below the
+    clip's own RMS; the draw is seeded from (seed, row id), so the output
+    is BIT-IDENTICAL at any parallelism, partitioning, or row order — the
+    determinism contract every op in this engine carries (a re-run of a
+    failed partition must reproduce, per the checkpoint/resume design).
+
+    Output schema = input + `noise_rms_dbfs double` (the exact applied
+    noise floor; NULL for undecodable rows, which pass through with null
+    bytes, and for all-silent clips, which pass through unchanged — SNR
+    vs silence is undefined).  Mixed rows re-encode as pcm_s16le WAV.
+    mapInPandas, map-only: payloads never enter a shuffle."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("noise_rms_dbfs", DoubleType())]
+    )
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import augment_noise_pcm as _anp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            floors: list[float | None] = []
+            for rid, bb, cc in zip(pdf[id_col], pdf[bytes_col],
+                                   pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    floors.append(None)
+                    continue
+                rs = zlib.crc32(f"{seed}:{rid}".encode("utf-8"))
+                rng = np.random.default_rng(rs)
+                y, floor = _anp(pcm, snr_db, rng)
+                if floor is None:  # silent passthrough
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                else:
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                floors.append(floor)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            pdf["noise_rms_dbfs"] = pd.array(floors, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # codec transcoding
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ sys.path.insert(0, REPO)
 from gx_spark.audio import decode_payload, encode_payload, synth_pcm, wav_encode  # noqa: E402
 from gx_spark.audio_ops import (  # noqa: E402
     audio_dedup_groups,
+    augment_noise_pcm,
     compute_features_row,
     compute_fingerprint_row,
     extract_audio_features,
@@ -553,3 +554,71 @@ def test_speaking_rate_is_pure_jvm(spark, tmp_path):
     ok = b.suite_result.results[0].success
     b.unpersist()
     assert ok
+
+
+# ---------------------------------------------------------------------------
+# additive-noise augmentation at fixed SNR
+# ---------------------------------------------------------------------------
+
+
+def test_augment_noise_hits_target_snr_rowfn():
+    rng = np.random.default_rng(123)
+    tone = _tone(440.0, 0.3, dur_s=0.4)
+    mixed, floor = augment_noise_pcm(tone, 20.0, rng)
+    assert len(mixed) == len(tone)
+    clean = tone.astype(np.float64) / 32768.0
+    noise = mixed.astype(np.float64) / 32768.0 - clean
+    snr = 10 * np.log10(np.mean(clean**2) / np.mean(noise**2))
+    # int16 re-quantization perturbs the measured ratio only slightly
+    assert abs(snr - 20.0) < 0.2, snr
+    # the reported floor is the exact pre-quantization arithmetic
+    exp_floor = 10 * np.log10(np.mean(clean**2)) - 20.0
+    assert floor == pytest.approx(exp_floor, abs=1e-9)
+
+
+def test_augment_noise_silent_passthrough_and_spark_determinism(spark):
+    from gx_spark.audio_ops import augment_noise
+
+    rows = []
+    for i in range(24):
+        if i % 6 == 5:
+            pcm = np.zeros(SR // 5, dtype=np.int16)  # silent
+        else:
+            pcm = _tone(300.0 + 20 * i, 0.4, dur_s=0.2)
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i % 3]
+        b = bytearray(encode_payload(pcm, SR, codec))
+        if i % 6 == 4:
+            b = b[:7]  # undecodable
+        rows.append((f"n{i:02d}", b, codec))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string")
+
+    def run(d):
+        return {r.clip_id: r for r in augment_noise(
+            d, 15.0, seed=7).collect()}
+
+    one = run(df.coalesce(1))
+    many = run(df.repartition(8, "clip_id"))
+    assert set(one) == set(many)
+    for cid in one:
+        a, b = one[cid], many[cid]
+        # bit-identical at any parallelism / partitioning
+        assert (a.bytes is None) == (b.bytes is None)
+        if a.bytes is not None:
+            assert bytes(a.bytes) == bytes(b.bytes), cid
+        assert a.noise_rms_dbfs == b.noise_rms_dbfs, cid
+    i_silent, i_bad = "n05", "n04"
+    assert one[i_silent].noise_rms_dbfs is None
+    assert bytes(one[i_silent].bytes) == bytes(rows[5][1])  # untouched
+    assert one[i_bad].bytes is None and one[i_bad].noise_rms_dbfs is None
+    # distinct clips draw distinct noise (seeded per row id)
+    floors = {cid: r.noise_rms_dbfs for cid, r in one.items()
+              if r.noise_rms_dbfs is not None}
+    mixed0 = decode_payload(bytes(one["n00"].bytes), "pcm_s16le")[1]
+    mixed6 = decode_payload(bytes(one["n06"].bytes), "pcm_s16le")[1]
+    clean0 = _tone(300.0, 0.4, dur_s=0.2).astype(np.int32)
+    clean6 = _tone(420.0, 0.4, dur_s=0.2).astype(np.int32)
+    n0 = mixed0.astype(np.int32) - clean0
+    n6 = mixed6.astype(np.int32) - clean6
+    assert not np.array_equal(n0, n6)
+    assert len(floors) == 24 - 4 - 4  # minus silent and undecodable rows

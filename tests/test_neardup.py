@@ -151,3 +151,17 @@ def test_edit_distance_codepoint_semantics(spark):
     out = ops.edit_distance_pairs(
         df, "doc_id", "text", jaccard_threshold=0.5).collect()
     assert len(out) == 1 and out[0].dist == 1
+
+
+def test_edit_distance_pairs_plan_no_cross_join(spark):
+    """Verification joins stay keyed hash joins: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere — the DP only ever runs on pairs the
+    prefix filter proposed."""
+    from gx_spark.plancheck import formatted_plan
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(ops.edit_distance_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.9, max_dist=100))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
