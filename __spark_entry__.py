@@ -1248,6 +1248,91 @@ def q_speaking_rate_violations(spark, sf_dir):
         "doc_id", "expectation_type", "cps_milli")
 
 
+def q_audio_speed_perturb(spark, sf_dir):
+    """Tempo perturbation (gx_spark.audio_ops.speed_perturb — Kaldi-style
+    sp 0.9/1.1 resample-and-relabel): 300 ms 400 Hz tones, factor 0.9 for
+    even doc_id and 1.1 for odd, re-measured by the features pass.  Exact
+    arithmetic pins: n_samples = round(4800/factor) (5333 even / 4364
+    odd), dur_ms recomputed from the new length (333 / 273), codec
+    becomes pcm_s16le; pitch_ok pins that the dominant frequency moved
+    WITH the factor (|dom - 400*factor| < 4 Hz, two zero-padded-FFT grid
+    steps)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, speed_perturb
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.rint(0.35 * 32767 * np.sin(2 * np.pi * 400.0 * t)).astype(
+        np.int16)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, bytearray(encode_payload(base, sr, codecs[i % 3])),
+                     sr, 300, codecs[i % 3]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, sr_hz int, dur_ms int, codec string")
+    even = df.filter("doc_id % 2 = 0")
+    odd = df.filter("doc_id % 2 = 1")
+    out = speed_perturb(even, 0.9).unionByName(speed_perturb(odd, 1.1))
+    factor = F.when(F.col("doc_id") % 2 == 0, 0.9).otherwise(1.1)
+    feats = extract_audio_features(
+        out, keep_cols=["doc_id", "dur_ms", "codec"])
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        "dur_ms",
+        F.col("codec").alias("codec_out"),
+        (F.abs(F.col("dominant_hz") - 400.0 * factor) < 4.0).alias(
+            "pitch_ok"),
+    )
+
+
+def q_audio_pad_trim(spark, sf_dir):
+    """Fixed-window batching prep (gx_spark.audio_ops.pad_or_trim): tone
+    clips of 100/300/500 ms by doc_id%3, all fixed to the 300 ms window.
+    Exact pins: every row lands at 4800 samples / 300 ms / pcm_s16le;
+    sil_ok pins the padding arithmetic — the 100 ms class gains exactly
+    200 ms of digital silence (8 of 12 feature frames, ratio 2/3), the
+    exact-fit class stays silence-free, and the 500 ms class truncates to
+    a silence-free head."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, pad_or_trim
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        dur = [100, 300, 500][i % 3]
+        t = np.arange(sr * dur // 1000) / sr
+        pcm = np.rint(0.4 * 32767 * np.sin(2 * np.pi * 500.0 * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     sr, dur, codecs[i % 3]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, sr_hz int, dur_ms int, codec string")
+    feats = extract_audio_features(
+        pad_or_trim(df, 300), keep_cols=["doc_id", "dur_ms", "codec"])
+    expected_sil = F.when(F.col("doc_id") % 3 == 0,
+                          F.lit(8.0 / 12.0)).otherwise(F.lit(0.0))
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        "dur_ms",
+        F.col("codec").alias("codec_out"),
+        (F.abs(F.col("silence_ratio") - expected_sil) < 1e-9).alias("sil_ok"),
+    )
+
+
 def q_audio_augment_noise(spark, sf_dir):
     """Additive-noise augmentation at 20 dB SNR (gx_spark.audio_ops.
     augment_noise — per-row-seeded, bit-identical at any parallelism):
@@ -1960,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: new or changed in r5 --
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
+        "audio_speed_perturb": q_audio_speed_perturb,
+        "audio_pad_trim": q_audio_pad_trim,
         "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         "line_dedup_documents": q_line_dedup_documents,
@@ -2730,6 +2817,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(hit.n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hit USING (doc_id)"
+        ),
+        "audio_speed_perturb": (
+            # resample-and-relabel arithmetic: n = round(4800/factor),
+            # dur = round(n*1000/16000); pitch invariant computed in-Spark
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 5333 ELSE 4364 END AS INT) "
+            "AS n_samples, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 333 ELSE 273 END AS INT) "
+            "AS dur_ms, 'pcm_s16le' AS codec_out, true AS pitch_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "audio_pad_trim": (
+            # every class lands on the exact 300 ms window; the padded
+            # class carries exactly 8/12 silent frames (invariant
+            # computed in-Spark, pinned per doc)
+            "SELECT doc_id, CAST(4800 AS INT) AS n_samples, "
+            "CAST(300 AS INT) AS dur_ms, 'pcm_s16le' AS codec_out, "
+            "true AS sil_ok FROM documents WHERE doc_id < 300"
         ),
         "audio_augment_noise": (
             # all-true invariant: floor/power arithmetic is computed

@@ -849,6 +849,134 @@ def normalize_gain(
     return df.mapInPandas(_batches, schema=out_schema)
 
 
+def speed_perturb(
+    df: DataFrame,
+    factor: float,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    taps: int = 32,
+) -> DataFrame:
+    """Tempo perturbation by resampling — the standard ASR augmentation
+    (Ko et al., Interspeech 2015: factors 0.9/1.0/1.1 triple a corpus):
+    the waveform is sinc-resampled by 1/factor but KEEPS its original
+    sample-rate label, so playback runs `factor`x faster and duration
+    scales by 1/factor (pitch shifts with it, as in the reference
+    recipe).  n_samples_out = round(n / factor) exactly — the
+    resample_sinc contract with sr_to = sr/factor.
+
+    Output re-encodes pcm_s16le WAV at the ORIGINAL sr; dur_ms (when
+    present) is recomputed from the new length.  Undecodable rows pass
+    through with null bytes.  mapInPandas, map-only — payloads never
+    shuffle."""
+    from pyspark.sql.types import StructType
+
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    out_schema = StructType(list(df.schema.fields))
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import resample_sinc as _rs
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            new_dur: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                    # resample to sr/factor worth of samples, relabel at sr
+                    n_out = int(round(len(pcm) / factor))
+                    y = _rs(pcm, sr, max(1, int(round(sr / factor))),
+                            taps=taps)
+                    # sinc grid rounding and the n/factor contract agree
+                    # except at extreme factors; trim/pad the odd sample
+                    if len(y) > n_out:
+                        y = y[:n_out]
+                    elif len(y) < n_out:
+                        y = np.pad(y, (0, n_out - len(y)))
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                    new_dur.append(int(round(len(y) * 1000.0 / sr)))
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    new_dur.append(None)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            if "dur_ms" in pdf.columns:
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+def pad_or_trim(
+    df: DataFrame,
+    target_ms: int,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Fix every clip to exactly `target_ms` — the batching step in front
+    of fixed-window models (30 s Whisper windows, wav2vec crops): longer
+    clips truncate at the END, shorter clips zero-pad at the end, so
+    n_samples_out == sr * target_ms / 1000 exactly for every decodable
+    row.  Output re-encodes pcm_s16le at the original sr with dur_ms
+    (when present) set to target_ms; undecodable rows pass through with
+    null bytes.  mapInPandas, map-only."""
+    from pyspark.sql.types import StructType
+
+    if target_ms <= 0:
+        raise ValueError("target_ms must be positive")
+    out_schema = StructType(list(df.schema.fields))
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            new_dur: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                    n_t = sr * int(target_ms) // 1000
+                    if len(pcm) >= n_t:
+                        y = pcm[:n_t]
+                    else:
+                        y = np.pad(pcm, (0, n_t - len(pcm)))
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                    new_dur.append(int(target_ms))
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    new_dur.append(None)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            if "dur_ms" in pdf.columns:
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
 def augment_noise_pcm(
     pcm: np.ndarray, snr_db: float, rng
 ) -> tuple[np.ndarray, float | None]:

@@ -622,3 +622,69 @@ def test_augment_noise_silent_passthrough_and_spark_determinism(spark):
     n6 = mixed6.astype(np.int32) - clean6
     assert not np.array_equal(n0, n6)
     assert len(floors) == 24 - 4 - 4  # minus silent and undecodable rows
+
+
+# ---------------------------------------------------------------------------
+# speed perturbation and fixed-window pad/trim
+# ---------------------------------------------------------------------------
+
+
+def test_speed_perturb_length_and_pitch(spark):
+    from gx_spark.audio_ops import speed_perturb
+
+    f = 400.0  # on-grid for the zero-padded FFT at the perturbed lengths
+    rows = []
+    for i, codec in enumerate(["pcm_s16le", "flac", "pcm_mulaw"]):
+        pcm = _tone(f, 0.4, dur_s=0.3)
+        rows.append((f"s{i}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, 300, codec))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    n_in = SR * 300 // 1000
+    for factor in (0.9, 1.1):
+        out = {r.clip_id: r for r in speed_perturb(df, factor).collect()}
+        for cid, r in out.items():
+            sr2, pcm2 = decode_payload(bytes(r.bytes), r.codec)
+            assert sr2 == SR and r.codec == "pcm_s16le"
+            assert len(pcm2) == int(round(n_in / factor)), (cid, factor)
+            assert r.dur_ms == int(round(len(pcm2) * 1000.0 / SR))
+            # pitch scales WITH the factor (resample-and-relabel semantics)
+            feats = compute_features_row(wav_encode(pcm2, SR), "pcm_s16le")
+            assert abs(feats["dominant_hz"] - f * factor) < 6.0, (
+                cid, factor, feats["dominant_hz"])
+    # identity factor is a pcm re-encode with unchanged content
+    one = {r.clip_id: r for r in speed_perturb(df, 1.0).collect()}
+    _, ref = decode_payload(bytes(rows[0][1]), "pcm_s16le")
+    _, got = decode_payload(bytes(one["s0"].bytes), one["s0"].codec)
+    assert np.array_equal(ref, got)
+
+
+def test_pad_or_trim_exact_window(spark):
+    from gx_spark.audio_ops import pad_or_trim
+
+    rows = [
+        ("long", bytearray(encode_payload(_tone(500.0, 0.4, dur_s=0.5),
+                                          SR, "flac")), SR, 500, "flac"),
+        ("short", bytearray(encode_payload(_tone(500.0, 0.4, dur_s=0.1),
+                                           SR, "pcm_mulaw")), SR, 100,
+         "pcm_mulaw"),
+        ("bad", bytearray(b"nope"), SR, 100, "flac"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = {r.clip_id: r for r in pad_or_trim(df, 300).collect()}
+    n_t = SR * 300 // 1000
+    for cid in ("long", "short"):
+        sr2, pcm2 = decode_payload(bytes(out[cid].bytes), out[cid].codec)
+        assert sr2 == SR and len(pcm2) == n_t and out[cid].dur_ms == 300
+    # truncation keeps the head; padding appends digital silence
+    _, src_long = decode_payload(bytes(rows[0][1]), "flac")
+    _, got_long = decode_payload(bytes(out["long"].bytes), "pcm_s16le")
+    assert np.array_equal(src_long[:n_t], got_long)
+    _, src_short = decode_payload(bytes(rows[1][1]), "pcm_mulaw")
+    _, got_short = decode_payload(bytes(out["short"].bytes), "pcm_s16le")
+    assert np.array_equal(src_short, got_short[: len(src_short)])
+    assert not got_short[len(src_short):].any()
+    assert out["bad"].bytes is None and out["bad"].dur_ms is None
+    with pytest.raises(ValueError):
+        pad_or_trim(df, 0)
