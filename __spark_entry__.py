@@ -1992,6 +1992,76 @@ def q_curation_pipeline(spark, sf_dir):
     return ops.curation_pipeline(docs, "doc_id", "text")
 
 
+def q_tfidf_documents(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms (gx_spark/ops.py tfidf_topk — sklearn
+    smooth-idf formula, per-doc term counts folded MAP-SIDE over each
+    doc's own word array, one corpus exchange for document frequency,
+    broadcast-joined scoring, per-doc top-k bounded by the doc's own
+    vocabulary).  Ranking is (round(score,6) DESC, term ASC) on both
+    engines so the row set is deterministic."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+# committed literal table for the mel oracle (the BPE merge-table
+# convention): per class (doc_id % 9 -> freq in {300, 1500, 6000} Hz x
+# codec in {pcm_s16le, flac, pcm_mulaw}), the dominant mel band and the
+# mean log-mel level that gx_spark.audio_ops.compute_mel_row produces for
+# the 300 ms / 16 kHz / 0.3 FS tone of that class.  tests/test_tfidf_mel
+# re-derives these from the live code so drift is caught in CI, and the
+# driver oracle pins the distributed result against them.
+_MEL_CLASS_DOM = [3, 11, 23, 3, 11, 23, 3, 11, 23]
+_MEL_CLASS_DB = [
+    18.225479561085248, 18.225335565151074, 18.22543815023749,
+    18.225479561085248, 18.225335565151074, 18.22543815023749,
+    18.231391984697552, 18.231216500002937, 18.208351381000718,
+]
+
+
+def q_audio_mel_features(spark, sf_dir):
+    """ASR front-end statistics (gx_spark.audio_ops.mel_features — 25/10
+    ms periodic-Hann frames, HTK triangular bank, one Arrow decode,
+    map-only): 300 ms tones at 300/1500/6000 Hz across three codecs.
+    Exact pins per doc: n_samples/n_frames/n_mels arithmetic (4800 / 28 /
+    26), dominant_mel equals the committed per-class literal (the
+    filterbank's best band for that tone, including the mu-law-companded
+    rows), db_ok pins mel_mean_db to the committed literal within 1e-6
+    (identical bytes -> identical numpy arithmetic)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import mel_features
+
+    sr = 16000
+    freqs = [300.0, 1500.0, 6000.0]
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    payload = {}
+    for cls in range(9):
+        f, c = freqs[cls % 3], codecs[cls // 3]
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        payload[cls] = bytearray(encode_payload(pcm, sr, c))
+    rows = [(int(r.doc_id), payload[int(r.doc_id) % 9],
+             codecs[(int(r.doc_id) % 9) // 3]) for r in docs.collect()]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = mel_features(df, keep_cols=["doc_id"])
+    cls = (F.col("doc_id") % 9 + 1).cast("int")
+    exp_dom = F.element_at(F.array(*[F.lit(v) for v in _MEL_CLASS_DOM]), cls)
+    exp_db = F.element_at(F.array(*[F.lit(v) for v in _MEL_CLASS_DB]), cls)
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        "n_mels",
+        F.col("dominant_mel").alias("dominant_mel"),
+        (F.abs(F.col("mel_mean_db") - exp_db) < 1e-6).alias("db_ok"),
+        (F.col("dominant_mel") == exp_dom).alias("dom_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2043,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "tfidf_documents": q_tfidf_documents,
+        "audio_mel_features": q_audio_mel_features,
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
         "audio_speed_perturb": q_audio_speed_perturb,
@@ -2099,10 +2171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_orderkey_orders": q_unique_orderkey_orders,
         "quantiles_totalprice": q_quantiles_totalprice,
         "histogram_quantity": q_histogram_quantity,
-        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
-        "chisquare_mktsegment": q_chisquare_mktsegment,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window --
+        # r4-verified drift/stat-test pair, displaced by the two newest r5
+        # queries (tfidf, mel features); both hash-green in r04, rotate
+        # back in r6:
+        "kl_vs_profiled_baseline": q_kl_vs_profiled_baseline,
+        "chisquare_mktsegment": q_chisquare_mktsegment,
         # r4-verified, sitting out one round (rotate back in r6); these
         # six slid out as the six new r5 queries (line dedup, unigram LM,
         # ngram counts, audio segmentation / gain / transcode) entered
@@ -2339,7 +2414,43 @@ _LANG_CASE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    mel_dom = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "tfidf_documents": (
+            # full relational recompute of the sklearn smooth-idf score:
+            # same lower/trim/\s+ tokens, df over distinct (doc, term),
+            # N = docs with >=1 token, rank by (round(score,6) DESC,
+            # term ASC) — the rounding-before-sort convention that makes
+            # cross-engine ln() reproducible (unigram_logprob precedent)
+            "WITH toks AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, w), "
+            "dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc "
+            "FROM toks GROUP BY w), "
+            "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks), "
+            "scored AS (SELECT tf.doc_id, tf.w AS term, tf.tf, "
+            "ROUND(tf.tf * (LN((nd.n + 1.0) / (dfreq.dfc + 1.0)) + 1.0), 6) "
+            "AS score FROM tf, dfreq, nd WHERE tf.w = dfreq.w), "
+            "ranked AS (SELECT doc_id, term, tf, score, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk "
+            "FROM scored) "
+            "SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank "
+            "FROM ranked WHERE rk <= 5"
+        ),
+        "audio_mel_features": (
+            # exact arithmetic (300 ms @ 16 kHz: 4800 samples; 25/10 ms
+            # frames: 1 + (4800-400)//160 = 28) + the committed per-class
+            # dominant-band literals; db_ok/dom_ok are engine-side
+            # invariants the oracle pins true
+            "SELECT doc_id, 4800 AS n_samples, 28 AS n_frames, "
+            "26 AS n_mels, "
+            f"CAST(CASE doc_id % 9 {mel_dom} END AS INT) AS dominant_mel, "
+            "TRUE AS db_ok, TRUE AS dom_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
         "row_count_lineitem": "SELECT count(*)::BIGINT AS observed FROM lineitem",
         "not_null_orders_custkey": (
             "SELECT count(*)::BIGINT AS element_count, "

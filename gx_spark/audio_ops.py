@@ -1359,3 +1359,160 @@ def validate_and_extract_audio(
         F.when(F.col("_c.fp_sig").isNotNull(),
                F.xxhash64(F.col("_c.fp_sig"))).alias("fp64"))
     return projected.select(*keep, *cols)
+
+
+# ---------------------------------------------------------------------------
+# log-mel filterbank features (ASR front-end statistics)
+# ---------------------------------------------------------------------------
+
+MEL_FEATURES_SCHEMA = (
+    "n_samples long, n_frames long, n_mels int, dominant_mel int, "
+    "mel_mean_db double"
+)
+
+_MEL_KEYS = ("n_samples", "n_frames", "n_mels", "dominant_mel",
+             "mel_mean_db")
+
+
+def hz_to_mel(f):
+    """HTK mel scale: mel = 2595 * log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    sr: int, nfft: int, n_mels: int, fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """(n_mels, nfft//2+1) triangular HTK-mel filters (peak 1 at the
+    exact center frequency; the sampled maximum on the FFT grid is the
+    nearest bin's weight).
+
+    Filter i rises linearly from mel point i to i+1 and falls to i+2,
+    with the n_mels+2 points equally spaced on the mel scale between
+    fmin and fmax (default Nyquist) — the standard ASR front-end bank
+    (HTK book §5.4; Kaldi/librosa htk=True agree on these edges)."""
+    if fmax is None:
+        fmax = sr / 2.0
+    if not (0 <= fmin < fmax <= sr / 2.0):
+        raise ValueError("need 0 <= fmin < fmax <= sr/2")
+    pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
+                                n_mels + 2))
+    bins = np.fft.rfftfreq(nfft, 1.0 / sr)
+    lo, ctr, hi = pts[:-2, None], pts[1:-1, None], pts[2:, None]
+    up = (bins[None, :] - lo) / np.maximum(ctr - lo, 1e-12)
+    down = (hi - bins[None, :]) / np.maximum(hi - ctr, 1e-12)
+    return np.clip(np.minimum(up, down), 0.0, None)
+
+
+def compute_mel_row(
+    b: bytes | None,
+    codec: str,
+    n_mels: int = 26,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    decoded: Any = None,
+) -> dict[str, Any]:
+    """Log-mel filterbank statistics of one clip; None fields on decode
+    failure.  Frames are `frame_ms` long with `hop_ms` hop (the 25/10
+    ASR convention), periodic-Hann windowed, power-spectrum'd on the
+    next-pow2 FFT grid, then pooled through the HTK triangular bank:
+
+    - n_frames:     1 + floor((n - win) / hop) for n >= win, else 0 —
+                    exact arithmetic an oracle can recompute from the
+                    labeled (sr_hz, dur_ms)
+    - dominant_mel: argmax over filters of the frame-mean mel energy
+                    (first index on ties), None when n_frames == 0
+    - mel_mean_db:  10*log10(grand mean mel energy), None for silence
+    """
+    from .audio import decode_payload
+
+    out: dict[str, Any] = {k: None for k in _MEL_KEYS}
+    out["n_mels"] = int(n_mels)
+    if b is None:
+        return out
+    if decoded is not None:
+        sr, pcm = decoded
+    else:
+        try:
+            sr, pcm = decode_payload(bytes(b), codec)
+        except (ValueError, NotImplementedError):
+            return out
+    n = len(pcm)
+    out["n_samples"] = n
+    if sr <= 0:
+        return out
+    win = max(1, sr * frame_ms // 1000)
+    hop = max(1, sr * hop_ms // 1000)
+    nf = 0 if n < win else 1 + (n - win) // hop
+    out["n_frames"] = nf
+    if nf == 0:
+        return out
+    x = pcm.astype(np.float64) / 32768.0
+    idx = np.arange(nf)[:, None] * hop + np.arange(win)[None, :]
+    frames = x[idx]
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)
+    nfft = 1 << max(1, int(win - 1).bit_length())
+    pwr = np.abs(np.fft.rfft(frames * hann, nfft, axis=1)) ** 2
+    fb = mel_filterbank(sr, nfft, n_mels)
+    mel = pwr @ fb.T  # (nf, n_mels)
+    mel_mean = mel.mean(axis=0)
+    grand = float(mel.mean())
+    if grand > 0.0:
+        out["dominant_mel"] = int(np.argmax(mel_mean))
+        out["mel_mean_db"] = float(10.0 * np.log10(grand))
+    return out
+
+
+def mel_features(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    n_mels: int = 26,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Per-clip log-mel filterbank statistics as flat columns; map-only,
+    binary pruned in the same select (the extract_audio_features shape —
+    one Arrow-batched decode, everything downstream shuffles scalars).
+
+    This is the distributable front-end-statistics pass of an ASR
+    pipeline: dominant mel band and mean log-mel level are the cheap
+    per-clip summaries used for corpus banding and bandwidth screening
+    (a clip whose dominant band sits at the top filter of its labeled
+    Nyquist is upsampled narrowband — content above the original Nyquist
+    is absent)."""
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keys = _MEL_KEYS
+
+    @pandas_udf(MEL_FEATURES_SCHEMA)
+    def mel_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_mel_row as _cmr
+
+        cols: dict[str, list] = {k: [] for k in keys}
+        appends = [cols[k].append for k in keys]
+        for bb, cc in zip(b, codec):
+            r = _cmr(bb, cc, n_mels=n_mels, frame_ms=frame_ms,
+                     hop_ms=hop_ms)
+            for ap, k in zip(appends, keys):
+                ap(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    feat = mel_stats(F.col(bytes_col), F.col(codec_col)).alias("_m")
+    projected = df.select(*keep, feat)
+    return projected.select(
+        *keep, *[F.col(f"_m.{k}").alias(k) for k in keys])

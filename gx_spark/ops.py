@@ -1682,6 +1682,90 @@ def ngram_counts(
     )
 
 
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the standard keyword /
+    topic-signal extraction pass over a pretraining corpus (domain
+    tagging, boilerplate hunting, per-source vocabulary drift).
+
+    Scoring is the sklearn TfidfVectorizer(smooth_idf=True,
+    sublinear_tf=False) formula on raw counts:
+
+        idf(w)      = ln((N + 1) / (df(w) + 1)) + 1
+        score(w, d) = tf(w, d) * idf(w)
+
+    Tokens are lower+trim+\\s+ normalized (the linguistic-op convention).
+    Ranking is by (round(score, 6) DESC, term ASC) — rounding before the
+    sort makes the rank reproducible across engines (the unigram_logprob
+    convention for cross-engine ln()), and the term tie-break makes equal
+    scores deterministic.  Docs with no tokens emit no rows.
+
+    Returns (doc_id, term, tf, score, rank), rank in [1, k].
+
+    Scale shape: per-doc term counts are built MAP-SIDE as a HOF fold
+    over each doc's own word array (the repetition_stats technique — no
+    corpus-wide (doc, term) exchange just to count a doc's own terms);
+    the document-frequency table is the one corpus exchange
+    (explode(array_distinct) -> map-side-combined groupBy, wire carries
+    ~vocab rows per map task); scoring broadcast-joins the idf table
+    (10^7-row web vocab still broadcasts, AQE falls back beyond); the
+    final per-doc top-k is one exchange keyed by doc_id with per-group
+    state bounded by the doc's own distinct-term count — never a global
+    sort.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_w"),
+    ).where(F.size("_w") > 0)
+    # per-doc (term, tf) structs, map-side: O(u^2) over the doc's own
+    # distinct terms, zero exchange
+    with_tf = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(_w), "
+                "u -> struct(u as term, "
+                "size(filter(_w, x -> x = u)) as tf))"
+            )
+        ).alias("_t"),
+    ).select("doc_id", F.col("_t.term").alias("term"),
+             F.col("_t.tf").cast("long").alias("tf"))
+    # document frequency: the one corpus exchange (distinct terms per doc
+    # explode to ~u rows/doc; groupBy combines map-side)
+    dfreq = (
+        staged.select(F.explode(F.array_distinct("_w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    n_docs = staged.count()
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(float(n_docs) + 1.0)) / (F.col("_df") + 1.0)) + 1.0)
+        .alias("_idf"),
+    )
+    scored = with_tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", "tf",
+        F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint per document (hex md5 — portable across engines)."""
     return df.select(
