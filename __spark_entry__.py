@@ -2062,6 +2062,155 @@ def q_audio_mel_features(spark, sf_dir):
     )
 
 
+def q_bloom_blocklist(spark, sf_dir):
+    """Bloom-filter blocklist screen (gx_spark/ops.py
+    bloom_blocklist_filter — the C4/RefinedWeb bad-word step as a
+    plan-literal bitmap probed map-side with portable md5 arithmetic; no
+    join, no shuffle, no Python).  m=48 bits / k=3 over a 4-term
+    blocklist is deliberately small so the corpus vocabulary produces a
+    real false positive ('column' probes all-bits-set at sf0.01) — the
+    oracle recomputes the identical flag set from the same md5 position
+    arithmetic, false positives included, which is exactly the Bloom
+    guarantee (no false negatives; FPs deterministic in the bitmap)."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.bloom_blocklist_filter(
+        docs, "doc_id", "text",
+        ["merge", "vector", "stream", "quantile"], m_bits=48, k=3)
+
+
+# committed literal table for the MFCC oracle (the mel convention): per
+# class (doc_id % 9 -> freq in {300, 1500, 6000} Hz x codec in
+# {pcm_s16le, flac, pcm_mulaw}), the frame-mean c0/c1/c2 cepstra that
+# gx_spark.audio_ops.compute_mfcc_row produces for the 300 ms / 16 kHz /
+# 0.3 FS tone of that class.  FLAC classes (3-5) are bit-identical to the
+# pcm classes (0-2) — losslessness visible in the literals.
+# tests/test_tfidf_mel.py re-derives these from live code.
+_MFCC_CLASS_C0 = [
+    -55.91018974345071, -60.45999553864356, -90.60622602789591,
+    -55.91018974345071, -60.45999553864356, -90.60622602789591,
+    -17.532078354235708, -31.009430548388202, -83.33487407934425,
+]
+_MFCC_CLASS_C1 = [
+    28.79410833628961, 6.782104239418147, -30.268527490537743,
+    28.79410833628961, 6.782104239418147, -30.268527490537743,
+    6.093355467573323, -13.85848574175719, -31.385565114589212,
+]
+_MFCC_CLASS_C2 = [
+    18.029834253745822, -22.449328459774268, 16.580615523938153,
+    18.029834253745822, -22.449328459774268, 16.580615523938153,
+    9.326558313142902, -12.595197403706058, 6.8941887417460626,
+]
+
+
+def q_audio_mfcc_features(spark, sf_dir):
+    """MFCC cepstral summary (gx_spark.audio_ops.mfcc_features — log-mel
+    bank + orthonormal DCT-II, one Arrow decode, map-only): the same
+    9-class tone harness as audio_mel_features.  Exact pins per doc:
+    n_samples/n_frames/n_mfcc arithmetic (4800 / 28 / 13), and
+    c{0,1,2}_ok pin the frame-mean cepstra to the committed per-class
+    literals within 1e-6 (identical bytes -> identical numpy
+    arithmetic; FLAC classes equal their pcm classes = losslessness)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import mfcc_features
+
+    sr = 16000
+    freqs = [300.0, 1500.0, 6000.0]
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    payload = {}
+    for cls in range(9):
+        f, c = freqs[cls % 3], codecs[cls // 3]
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        payload[cls] = bytearray(encode_payload(pcm, sr, c))
+    rows = [(int(r.doc_id), payload[int(r.doc_id) % 9],
+             codecs[(int(r.doc_id) % 9) // 3]) for r in docs.collect()]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = mfcc_features(df, keep_cols=["doc_id"])
+    cls = (F.col("doc_id") % 9 + 1).cast("int")
+    oks = []
+    for name, lits in (("c0", _MFCC_CLASS_C0), ("c1", _MFCC_CLASS_C1),
+                       ("c2", _MFCC_CLASS_C2)):
+        exp = F.element_at(F.array(*[F.lit(v) for v in lits]), cls)
+        oks.append(
+            (F.abs(F.col(f"{name}_mean") - exp) < 1e-6).alias(f"{name}_ok"))
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        "n_mfcc", *oks,
+    )
+
+
+def q_audio_payload_size(spark, sf_dir):
+    """Decode-free container-arithmetic screen (gx_spark.expectations.
+    audio_exp.AudioPayloadSizeConsistent — length(bytes) vs the labeled
+    (sr_hz, dur_ms, codec) geometry; pure JVM, the pre-decode gate a
+    100 TB corpus runs at metadata speed).  One deterministic 200 ms /
+    8 kHz tone payload shared by all classes, planted per doc_id%9:
+    0 pcm_s16le / 1 pcm_mulaw / 2 pcm_alaw / 3 flac intact (lengths
+    3244 / 1644 / 1644 / 3253 — RIFF 44 + 2n|n, FLAC 42-byte header +
+    verbatim frames); 4 pcm truncated -7, 5 dur label inflated +50 ms,
+    6 mulaw truncated -1, 7 flac cut to 10 bytes (< header) — classes
+    4-7 are the violating set; class 8 (null bytes) is MISSING, not
+    unexpected, per the audio family's map-denominator convention
+    (not_be_null's concern).  is_violation comes from the engine's
+    violations_table(); the oracle recomputes both columns from the
+    class arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+
+    sr, dur = 8000, 200
+    t = np.arange(sr * dur // 1000) / sr
+    pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * 300.0 * t)).astype(
+        np.int16)
+    base = {c: encode_payload(pcm, sr, c)
+            for c in ("pcm_s16le", "pcm_mulaw", "pcm_alaw", "flac")}
+    cls_rows = {
+        0: (base["pcm_s16le"], "pcm_s16le", dur),
+        1: (base["pcm_mulaw"], "pcm_mulaw", dur),
+        2: (base["pcm_alaw"], "pcm_alaw", dur),
+        3: (base["flac"], "flac", dur),
+        4: (base["pcm_s16le"][:-7], "pcm_s16le", dur),
+        5: (base["pcm_s16le"], "pcm_s16le", dur + 50),
+        6: (base["pcm_mulaw"][:-1], "pcm_mulaw", dur),
+        7: (base["flac"][:10], "flac", dur),
+        8: (None, "pcm_s16le", dur),
+    }
+    ids = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in ids.collect():
+        b, codec, d = cls_rows[int(r.doc_id) % 9]
+        rows.append((int(r.doc_id), str(r.doc_id),
+                     bytearray(b) if b is not None else None, sr, d, codec))
+    clips = spark.createDataFrame(
+        rows, "doc_id long, clip_id string, bytes binary, sr_hz int, "
+              "dur_ms int, codec string")
+    b = validate(
+        spark, clips,
+        ExpectationSuite("sz").add(
+            "expect_audio_payload_size_to_be_consistent"),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+    viol = b.violations_table().select(
+        F.col("clip_id").cast("long").alias("doc_id"),
+        F.lit(True).alias("_v"))
+    return (
+        clips.join(viol, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("bytes").cast("long").alias("len_bytes"),
+            F.coalesce(F.col("_v"), F.lit(False)).alias("is_violation"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2113,6 +2262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "bloom_blocklist_documents": q_bloom_blocklist,
+        "audio_mfcc_features": q_audio_mfcc_features,
+        "audio_payload_size": q_audio_payload_size,
         "tfidf_documents": q_tfidf_documents,
         "audio_mel_features": q_audio_mel_features,
         "speaking_rate_violations": q_speaking_rate_violations,
@@ -2168,11 +2320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "ann_pq_embeddings": q_ann_pq_embeddings,
         "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
+        # ---- driver window ends here (entry #50) ----
+        # -- tier 4: past the window --
+        # r4-verified, displaced by audio_payload_size + audio_mfcc +
+        # bloom_blocklist (rotate back in r6):
         "unique_orderkey_orders": q_unique_orderkey_orders,
         "quantiles_totalprice": q_quantiles_totalprice,
         "histogram_quantity": q_histogram_quantity,
-        # ---- driver window ends here (entry #50) ----
-        # -- tier 4: past the window --
         # r4-verified drift/stat-test pair, displaced by the two newest r5
         # queries (tfidf, mel features); both hash-green in r04, rotate
         # back in r6:
@@ -2417,6 +2571,55 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "bloom_blocklist_documents": (
+            # full relational recompute of the Bloom probe: the position
+            # set P = md5(term|seed) % 48 over the blocklist (the bitmap
+            # is just P's dense form); token t flags iff all 3 of its
+            # positions are in P — identical arithmetic, so the oracle
+            # reproduces the engine's false positives exactly
+            "WITH bl(term) AS (VALUES ('merge'),('vector'),('stream'),"
+            "('quantile')), "
+            "seeds(s) AS (VALUES (0),(1),(2)), "
+            "pos AS (SELECT DISTINCT CAST(('0x' || substr(md5(term || '|' "
+            "|| CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 48 AS p "
+            "FROM bl, seeds), "
+            "toks AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "flagged AS (SELECT t.doc_id FROM toks t WHERE "
+            "(SELECT count(*) FROM seeds s WHERE "
+            "CAST(('0x' || substr(md5(t.w || '|' || CAST(s.s AS VARCHAR)), "
+            "1, 15)) AS BIGINT) % 48 IN (SELECT p FROM pos)) = 3), "
+            "counts AS (SELECT doc_id, CAST(count(*) AS INT) AS n "
+            "FROM flagged GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(c.n, 0) AS n_flagged_tokens, "
+            "COALESCE(c.n, 0) > 0 AS bloom_hit "
+            "FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id"
+        ),
+        "audio_mfcc_features": (
+            # exact arithmetic (4800 samples, 28 frames, 13 cepstra) +
+            # the committed per-class c0/c1/c2 literals; the ok booleans
+            # are engine-side invariants the oracle pins true
+            "SELECT doc_id, 4800 AS n_samples, 28 AS n_frames, "
+            "13 AS n_mfcc, TRUE AS c0_ok, TRUE AS c1_ok, TRUE AS c2_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "audio_payload_size": (
+            # pure class arithmetic: intact lengths are RIFF 44 + 2n|n
+            # (n = 1600) and the committed FLAC literal 3253 (42-byte
+            # header + verbatim frames, re-derived from live code in
+            # tests/test_payload_size.py); classes 4-7 are the planted
+            # violating set (truncations / inflated label); class 8
+            # (null bytes) is missing-not-unexpected by the audio
+            # family's denominator convention
+            "SELECT doc_id, "
+            "CAST(CASE doc_id % 9 WHEN 0 THEN 3244 WHEN 1 THEN 1644 "
+            "WHEN 2 THEN 1644 WHEN 3 THEN 3253 WHEN 4 THEN 3237 "
+            "WHEN 5 THEN 3244 WHEN 6 THEN 1643 WHEN 7 THEN 10 "
+            "ELSE NULL END AS BIGINT) AS len_bytes, "
+            "(doc_id % 9) IN (4, 5, 6, 7) AS is_violation "
+            "FROM documents WHERE doc_id < 300"
+        ),
         "tfidf_documents": (
             # full relational recompute of the sklearn smooth-idf score:
             # same lower/trim/\s+ tokens, df over distinct (doc, term),

@@ -677,6 +677,33 @@ def main() -> None:
     timings["audio_segmentation"] = round(segment_dt, 3)
     assert int(sstats["n"]) == pipeline_n
 
+    # r5: chained augmentation over the same quarter shard — the standard
+    # corpus-tripling recipe (noise mix at 20 dB SNR -> 1.1x speed perturb
+    # -> fixed 5 s window), three map-only decode+re-encode passes with the
+    # payload never shuffling; wall = honest per-clip cost of the full
+    # augmentation chain
+    from gx_spark.audio_ops import augment_noise, pad_or_trim, speed_perturb
+
+    augment_runs = []
+    section_ctrl["audio_augmentation"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_augmentation"].append(hw_control())
+        t0 = time.time()
+        aug = pad_or_trim(
+            speed_perturb(augment_noise(pipe_df, snr_db=20.0), 1.1),
+            target_ms=5000)
+        astats = aug.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("bytes").isNotNull().cast("long")).alias("ok"),
+            F.sum(F.length("bytes")).alias("out_bytes"),
+        ).collect()[0]
+        augment_runs.append(time.time() - t0)
+    augment_dt = min(augment_runs)
+    timings["audio_augmentation"] = round(augment_dt, 3)
+    assert int(astats["n"]) == pipeline_n
+    assert 0 < int(astats["ok"]) <= pipeline_n
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -697,6 +724,8 @@ def main() -> None:
         "combined_clips_per_sec": round(pipeline_n / combined_dt, 1),
         "combined_runs_sec": [round(x, 3) for x in combined_runs],
         "segmentation_clips_per_sec": round(pipeline_n / segment_dt, 1),
+        "augmentation_clips_per_sec": round(pipeline_n / augment_dt, 1),
+        "augmentation_out_rows": int(astats["ok"]),
         "segmentation_totals": {
             "segments": int(sstats["segs"] or 0),
             "speech_ms": int(sstats["speech_ms"] or 0),
@@ -716,7 +745,8 @@ def main() -> None:
                              "audio_suite": [round(x, 3) for x in audio_runs],
                              "audio_pipeline": [round(x, 3) for x in pipeline_runs],
                              "audio_validate_curate": [round(x, 3) for x in combined_runs],
-                             "audio_segmentation": [round(x, 3) for x in segment_runs]},
+                             "audio_segmentation": [round(x, 3) for x in segment_runs],
+                             "audio_augmentation": [round(x, 3) for x in augment_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
             "unit": "Melem/s",

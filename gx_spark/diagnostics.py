@@ -585,6 +585,19 @@ def _gallery_video_metadata():
                                 "unexpected_count": 1}}]}]
 
 
+def _gallery_audio_payload_size():
+    # decode-free screen: plant the violation in the container arithmetic
+    # (truncate the payload) — the good row's length is exactly
+    # 44 + 2 * (8000 * 100 / 1000).
+    r = _audio_rows()
+    short = dict(r["good"], clip_id="diag_short",
+                 bytes=r["good"]["bytes"][:-7])
+    return _audio_example(
+        [r["good"], short],
+        {"title": "7-byte truncation breaks 44 + 2n container arithmetic",
+         "in": {}, "out": {"success": False, "unexpected_count": 1}})
+
+
 #: Lazy builders for examples whose payloads come from the in-repo codecs
 #: (numpy work happens only when diagnostics run).
 GALLERY_EXAMPLE_BUILDERS: dict = {
@@ -594,6 +607,7 @@ GALLERY_EXAMPLE_BUILDERS: dict = {
     "expect_audio_clipping_ratio_to_be_below": _gallery_audio_clipping,
     "expect_audio_silence_ratio_to_be_below": _gallery_audio_silence,
     "expect_speaking_rate_to_be_between": _gallery_speaking_rate,
+    "expect_audio_payload_size_to_be_consistent": _gallery_audio_payload_size,
     "expect_image_metadata_to_be_consistent": _gallery_image_metadata,
     "expect_image_mean_intensity_to_be_between": _gallery_image_intensity,
     "expect_video_metadata_to_be_consistent": _gallery_video_metadata,

@@ -245,3 +245,97 @@ class AudioSilenceBelow(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.round(F.col(_AUDIO_COL)["silence_ratio"], 4)
+
+
+@register_expectation("expect_audio_payload_size_to_be_consistent")
+class AudioPayloadSizeConsistent(ColumnMapExpectation):
+    """Container-arithmetic payload screen — catches truncated uploads,
+    double-written blobs, and label/payload mismatches WITHOUT decoding a
+    single sample.  Pure JVM arithmetic over (length(bytes), sr_hz,
+    dur_ms, codec), so like SpeakingRateBetween it rides the stage-1 agg
+    scan with the binary column touched only by `length()` (no Arrow
+    transfer, no Python worker) — at 10^12 clips this is the cheap
+    first-pass gate you run BEFORE paying for the decode suite, and at
+    100 TB it is the difference between a metadata-speed scan and a
+    full-decode pass.
+
+    Expected sizes per codec, with n = floor(sr_hz * dur_ms / 1000)
+    labeled samples (RIFF/WAVE layout per gx_spark/audio.py wav_encode:
+    44-byte canonical header = 12 RIFF/WAVE + 24 fmt + 8 data):
+
+    - pcm_s16le:            len == 44 + 2*n  (± tolerance_bytes)
+    - pcm_mulaw / pcm_alaw: len == 44 + n    (± tolerance_bytes, G.711 is
+                            1 byte/sample)
+    - flac:                 42 < len <= ceil(max_flac_ratio * 2*n) + 64
+                            (42 = fLaC magic + STREAMINFO; lossless FLAC
+                            never exceeds verbatim + ~0.3% frame-header
+                            overhead, default max_flac_ratio 1.02; no
+                            useful lower bound beyond the header — silence
+                            compresses arbitrarily well)
+    - anything else:        excluded (codec validity is
+                            expect_audio_metadata_to_be_consistent's
+                            concern; opus containers have no
+                            arithmetic size)
+
+    Null/non-positive sr_hz or dur_ms with a known codec are unexpected
+    (a labeled clip with no valid geometry IS the violation this screen
+    exists for).  Null bytes are MISSING, not unexpected — the audio
+    family's convention (they are expect_column_values_to_not_be_null's
+    concern), enforced by the map-metric denominator."""
+
+    metric_name = "audio.payload_size"
+
+    _WAV_BPS = {"pcm_s16le": 2, "pcm_mulaw": 1, "pcm_alaw": 1}
+    _WAV_HEADER = 44
+    _FLAC_HEADER = 42
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("bytes_column", "bytes"))
+        require_columns(
+            ctx,
+            cfg.kwargs.get("sr_column", "sr_hz"),
+            cfg.kwargs.get("dur_column", "dur_ms"),
+            cfg.kwargs.get("codec_column", "codec"),
+        )
+        return super().plan(ctx, cfg, index)
+
+    def _cols(self, cfg):
+        k = cfg.kwargs
+        return (
+            F.col(k.get("column", "bytes")),
+            F.col(k.get("sr_column", "sr_hz")).cast("long"),
+            F.col(k.get("dur_column", "dur_ms")).cast("long"),
+            F.col(k.get("codec_column", "codec")),
+        )
+
+    def _n_samples(self, sr, dur):
+        return F.floor(sr * dur / F.lit(1000)).cast("long")
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        tol = int(cfg.kwargs.get("tolerance_bytes", 0))
+        ratio = float(cfg.kwargs.get("max_flac_ratio", 1.02))
+        b, sr, dur, codec = self._cols(cfg)
+        known = codec.isin(list(self._WAV_BPS) + ["flac"])
+        # null bytes never reach here (map-metric missing-denominator)
+        bad_geom = sr.isNull() | dur.isNull() | (sr <= 0) | (dur <= 0)
+        n = self._n_samples(sr, dur)
+        ln = F.length(b).cast("long")
+        bps = F.create_map(
+            *[F.lit(x) for kv in self._WAV_BPS.items() for x in kv]
+        )[codec]
+        wav_expected = F.lit(self._WAV_HEADER) + bps * n
+        wav_bad = F.abs(ln - wav_expected) > F.lit(tol)
+        flac_hi = (
+            F.ceil(F.lit(ratio) * (F.lit(2) * n).cast("double"))
+            .cast("long") + F.lit(64 + tol)
+        )
+        flac_bad = (ln <= F.lit(self._FLAC_HEADER)) | (ln > flac_hi)
+        return known & (
+            bad_geom
+            | F.when(codec == "flac", flac_bad).otherwise(wav_bad)
+        )
+
+    def observed_expr(self, cfg) -> Column:
+        b, _, _, _ = self._cols(cfg)
+        return F.length(b).cast("long")

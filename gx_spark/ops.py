@@ -1766,6 +1766,86 @@ def tfidf_topk(
     )
 
 
+def bloom_blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str],
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Blocklist screening via a Bloom filter — the C4/RefinedWeb
+    "bad-word list" curation step, shaped for 100 TB: the blocklist is
+    folded into an m-bit bitmap ON THE DRIVER, shipped as ONE hex-string
+    literal inside the plan (no join, no shuffle, no broadcast exchange),
+    and every document probes it map-side with pure JVM expressions —
+    md5-derived bit positions, so the probe is portable arithmetic any
+    engine reproduces bit-for-bit (the DuckDB oracle recomputes the
+    identical flag set, false positives included).
+
+    Bloom semantics: token t is flagged iff ALL k bits
+    md5(t + '|' + seed)[:15 hex] % m_bits are set — no false negatives
+    ever (every true blocklist token flags), false-positive rate
+    ~ (n_set/m)^k, tunable via m_bits/k.  Tokens are lower+trim+\\s+
+    (the linguistic-op convention).
+
+    Returns one row per input doc: (doc_id, n_flagged_tokens = distinct
+    probe-positive tokens, bloom_hit).  Docs with no tokens report 0 /
+    false.
+
+    Scale shape: the bitmap literal is m_bits/4 chars (16 KB default) —
+    constant-size plan payload regardless of corpus size; each token
+    probe is k substr+conv+bitmask expressions inside one HOF filter
+    (whole-stage codegen, zero Python); output is one scalar row per doc
+    with NO exchange introduced.  A 10^8-term blocklist outgrows a plan
+    literal — at that point raise m_bits and ship the bitmap via
+    broadcast join on nibble index instead; the probe arithmetic is
+    unchanged."""
+    import hashlib
+
+    if m_bits <= 0 or m_bits % 4:
+        raise ValueError("m_bits must be a positive multiple of 4")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    nibbles = [0] * (m_bits // 4)
+    for term in blocklist:
+        for s in range(k):
+            p = int(hashlib.md5(
+                f"{term}|{s}".encode()).hexdigest()[:15], 16) % m_bits
+            nibbles[p // 4] |= 1 << (p % 4)
+    bm = "".join("%x" % v for v in nibbles)
+
+    def _probe(s: int) -> str:
+        pos = (f"(CAST(conv(substr(md5(concat(t, '|{s}')), 1, 15), 16, 10) "
+               f"AS BIGINT) % {m_bits})")
+        nib = (f"CAST(conv(substr(_bm, CAST({pos} DIV 4 AS INT) + 1, 1), "
+               f"16, 10) AS INT)")
+        return f"(({nib} & shiftleft(1, CAST({pos} % 4 AS INT))) != 0)"
+
+    hit = " AND ".join(_probe(s) for s in range(k))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            ).alias("_w"),
+            F.lit(bm).alias("_bm"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(filter(array_distinct(_w), t -> {hit}))"
+            ).cast("int").alias("n_flagged_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_flagged_tokens",
+            (F.col("n_flagged_tokens") > 0).alias("bloom_hit"),
+        )
+    )
+
+
 def md5_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint per document (hex md5 — portable across engines)."""
     return df.select(

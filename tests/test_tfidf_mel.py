@@ -236,3 +236,101 @@ def test_mel_oracle_literals_match_live_code():
         assert r["dominant_mel"] == se._MEL_CLASS_DOM[cls], cls
         assert r["mel_mean_db"] == pytest.approx(se._MEL_CLASS_DB[cls],
                                                  abs=1e-9), cls
+
+
+# ---------------------------------------------------------------------------
+# mfcc_features
+# ---------------------------------------------------------------------------
+
+
+def test_dct2_ortho_matrix():
+    from gx_spark.audio_ops import dct2_ortho
+
+    m = dct2_ortho(26, 26)
+    assert np.allclose(m @ m.T, np.eye(26), atol=1e-12)
+    # c0 of a constant vector = sqrt(n) * value (ortho DCT-II identity)
+    v = np.full(26, 3.5)
+    assert np.allclose(m @ v, [3.5 * np.sqrt(26)] + [0.0] * 25, atol=1e-12)
+
+
+def test_mfcc_row_matches_hand_dct():
+    """compute_mfcc_row == hand pipeline (frame -> hann -> pow2 rfft ->
+    mel bank -> ln -> ortho DCT-II -> frame mean) on a real clip."""
+    from gx_spark.audio_ops import compute_mfcc_row, dct2_ortho, mel_filterbank
+
+    sr = 8000
+    t = np.arange(sr // 5) / sr  # 200 ms
+    pcm = np.rint(0.25 * 32767 * np.sin(2 * np.pi * 440.0 * t)).astype(
+        np.int16)
+    b = encode_payload(pcm, sr, "pcm_s16le")
+    r = compute_mfcc_row(b, "pcm_s16le")
+    win, hop = sr * 25 // 1000, sr * 10 // 1000
+    nf = 1 + (len(pcm) - win) // hop
+    assert (r["n_samples"], r["n_frames"], r["n_mfcc"]) == (len(pcm), nf, 13)
+    x = pcm.astype(np.float64) / 32768.0
+    idx = np.arange(nf)[:, None] * hop + np.arange(win)[None, :]
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / win)
+    nfft = 1 << (win - 1).bit_length()
+    pwr = np.abs(np.fft.rfft(x[idx] * hann, nfft, axis=1)) ** 2
+    logmel = np.log(np.maximum(pwr @ mel_filterbank(sr, nfft, 26).T, 1e-10))
+    cep = logmel @ dct2_ortho(13, 26).T
+    for i, k in enumerate(("c0_mean", "c1_mean", "c2_mean")):
+        assert r[k] == pytest.approx(float(cep.mean(axis=0)[i]), abs=1e-12)
+
+
+def test_mfcc_row_edge_cases():
+    from gx_spark.audio_ops import compute_mfcc_row
+
+    assert compute_mfcc_row(None, "pcm_s16le")["n_samples"] is None
+    assert compute_mfcc_row(b"garbage", "pcm_s16le")["n_frames"] is None
+    # shorter than one frame -> 0 frames, null cepstra
+    short = encode_payload(np.zeros(10, dtype=np.int16), 8000, "pcm_s16le")
+    r = compute_mfcc_row(short, "pcm_s16le")
+    assert r["n_frames"] == 0 and r["c0_mean"] is None
+
+
+def test_mfcc_committed_driver_literals_rederive():
+    """The _MFCC_CLASS_* literals in __spark_entry__ re-derive from live
+    code, and the FLAC classes equal their pcm classes (losslessness)."""
+    import __spark_entry__ as em
+    from gx_spark.audio_ops import compute_mfcc_row
+
+    sr = 16000
+    freqs = [300.0, 1500.0, 6000.0]
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    t = np.arange(sr * 300 // 1000) / sr
+    for cls in range(9):
+        f, c = freqs[cls % 3], codecs[cls // 3]
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        r = compute_mfcc_row(encode_payload(pcm, sr, c), c)
+        assert r["c0_mean"] == pytest.approx(em._MFCC_CLASS_C0[cls], abs=1e-9)
+        assert r["c1_mean"] == pytest.approx(em._MFCC_CLASS_C1[cls], abs=1e-9)
+        assert r["c2_mean"] == pytest.approx(em._MFCC_CLASS_C2[cls], abs=1e-9)
+    assert em._MFCC_CLASS_C0[:3] == em._MFCC_CLASS_C0[3:6]  # flac == pcm
+
+
+def test_mfcc_features_distributed(spark):
+    from gx_spark.audio_ops import compute_mfcc_row, mfcc_features
+
+    sr = 8000
+    t = np.arange(sr // 10) / sr
+    rows, local = [], {}
+    for i, f in enumerate((250.0, 900.0, 3000.0)):
+        pcm = np.rint(0.2 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        b = encode_payload(pcm, sr, "pcm_s16le")
+        rows.append((f"c{i}", bytearray(b), "pcm_s16le"))
+        local[f"c{i}"] = compute_mfcc_row(b, "pcm_s16le")
+    rows.append(("c_null", None, "pcm_s16le"))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r.asDict()
+           for r in mfcc_features(df, keep_cols=["clip_id"]).collect()}
+    assert set(got) == {"c0", "c1", "c2", "c_null"}
+    assert got["c_null"]["c0_mean"] is None
+    for cid, exp in local.items():
+        for k in ("n_samples", "n_frames", "n_mfcc"):
+            assert got[cid][k] == exp[k]
+        for k in ("c0_mean", "c1_mean", "c2_mean"):
+            assert got[cid][k] == pytest.approx(exp[k], abs=1e-12)
+    assert "bytes" not in mfcc_features(df, keep_cols=["clip_id"]).columns
