@@ -677,12 +677,13 @@ def main() -> None:
     timings["audio_segmentation"] = round(segment_dt, 3)
     assert int(sstats["n"]) == pipeline_n
 
-    # r5: chained augmentation over the same quarter shard — the standard
+    # r5: fused augmentation over the same quarter shard — the standard
     # corpus-tripling recipe (noise mix at 20 dB SNR -> 1.1x speed perturb
-    # -> fixed 5 s window), three map-only decode+re-encode passes with the
-    # payload never shuffling; wall = honest per-clip cost of the full
-    # augmentation chain
-    from gx_spark.audio_ops import augment_noise, pad_or_trim, speed_perturb
+    # -> fixed 5 s window) as ONE decode/encode pass (augment_pipeline,
+    # bit-identical to the chained three-op form by test; the chained form
+    # measured 157 s here — triple Arrow payload round-trips, not math);
+    # wall = honest per-clip cost of the full augmentation recipe
+    from gx_spark.audio_ops import augment_pipeline
 
     augment_runs = []
     section_ctrl["audio_augmentation"] = []
@@ -690,9 +691,8 @@ def main() -> None:
         jvm_gc()
         section_ctrl["audio_augmentation"].append(hw_control())
         t0 = time.time()
-        aug = pad_or_trim(
-            speed_perturb(augment_noise(pipe_df, snr_db=20.0), 1.1),
-            target_ms=5000)
+        aug = augment_pipeline(
+            pipe_df, snr_db=20.0, speed=1.1, target_ms=5000)
         astats = aug.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("bytes").isNotNull().cast("long")).alias("ok"),

@@ -1660,3 +1660,128 @@ def mfcc_features(
     projected = df.select(*keep, feat)
     return projected.select(
         *keep, *[F.col(f"_c.{k}").alias(k) for k in keys])
+
+
+def augment_pipeline(
+    df: DataFrame,
+    *,
+    snr_db: float | None = None,
+    speed: float | None = None,
+    target_ms: int | None = None,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    seed: int = 42,
+    taps: int = 32,
+) -> DataFrame:
+    """Fused augmentation chain: noise mix -> speed perturb -> fixed
+    window in ONE decode/encode pass.  Composing augment_noise /
+    speed_perturb / pad_or_trim as separate ops is semantically identical
+    but pays three Arrow payload round-trips and three decode/encode
+    cycles per clip; at 10^12 clips the intermediate payload traffic IS
+    the cost (measured: the chained form spent ~2/3 of its wall outside
+    the actual math).  This op is BIT-IDENTICAL to the chained
+    composition — pinned by test — every stage operating on the exact
+    int16 grid the chained form would re-decode (pcm16 WAV round-trips
+    losslessly).
+
+    Stages run in chain order, each optional (None skips it, matching
+    the chained op's absence):
+
+    - snr_db:    white noise at exactly snr_db below the clip's own RMS,
+                 per-row crc32(seed:id)-seeded — bit-identical at any
+                 parallelism (augment_noise contract); silent clips pass
+                 through the stage unchanged with a NULL floor
+    - speed:     sinc resample by 1/speed, relabeled at the original sr
+                 (speed_perturb contract: n_out = round(n/speed) exactly)
+    - target_ms: truncate / zero-pad the tail to the exact window
+                 (pad_or_trim contract)
+
+    Output schema = input (+ `noise_rms_dbfs double` when snr_db is
+    given); undecodable rows pass through with null bytes.  mapInPandas,
+    map-only — payloads never shuffle, and never cross Arrow more than
+    once each way."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if speed is not None and speed <= 0:
+        raise ValueError("speed must be positive")
+    if target_ms is not None and target_ms <= 0:
+        raise ValueError("target_ms must be positive")
+    if snr_db is None and speed is None and target_ms is None:
+        raise ValueError("enable at least one stage")
+    fields = list(df.schema.fields)
+    if snr_db is not None:
+        fields = fields + [StructField("noise_rms_dbfs", DoubleType())]
+    out_schema = StructType(fields)
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import augment_noise_pcm as _anp
+        from gx_spark.audio_ops import resample_sinc as _rs
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            new_dur: list[int | None] = []
+            floors: list[float | None] = []
+            for rid, bb, cc in zip(pdf[id_col], pdf[bytes_col],
+                                   pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    new_dur.append(None)
+                    floors.append(None)
+                    continue
+                floor = None
+                reencoded = False
+                if snr_db is not None:
+                    rng = np.random.default_rng(
+                        zlib.crc32(f"{seed}:{rid}".encode("utf-8")))
+                    pcm, floor = _anp(pcm, snr_db, rng)
+                    reencoded = floor is not None
+                dur: int | None = None
+                if speed is not None:
+                    n_out = int(round(len(pcm) / speed))
+                    pcm = _rs(pcm, sr, max(1, int(round(sr / speed))),
+                              taps=taps)
+                    if len(pcm) > n_out:
+                        pcm = pcm[:n_out]
+                    elif len(pcm) < n_out:
+                        pcm = np.pad(pcm, (0, n_out - len(pcm)))
+                    dur = int(round(len(pcm) * 1000.0 / sr))
+                    reencoded = True
+                if target_ms is not None:
+                    n_t = sr * int(target_ms) // 1000
+                    pcm = pcm[:n_t] if len(pcm) >= n_t else np.pad(
+                        pcm, (0, n_t - len(pcm)))
+                    dur = int(target_ms)
+                    reencoded = True
+                if reencoded:
+                    new_bytes.append(wav_encode(pcm, sr))
+                    new_codec.append("pcm_s16le")
+                else:  # silent noise-only passthrough keeps original bytes
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                new_dur.append(dur)
+                floors.append(floor)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            if "dur_ms" in pdf.columns and (
+                    speed is not None or target_ms is not None):
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            if snr_db is not None:
+                pdf["noise_rms_dbfs"] = pd.array(floors, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

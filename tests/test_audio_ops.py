@@ -688,3 +688,80 @@ def test_pad_or_trim_exact_window(spark):
     assert out["bad"].bytes is None and out["bad"].dur_ms is None
     with pytest.raises(ValueError):
         pad_or_trim(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# fused augmentation pipeline
+# ---------------------------------------------------------------------------
+
+
+def _aug_rows():
+    rows = []
+    for i, f in enumerate((300.0, 900.0, 2500.0)):
+        pcm = _tone(f, 0.4)
+        codec = ["pcm_s16le", "flac", "pcm_mulaw"][i]
+        rows.append((f"a{i}", bytearray(encode_payload(pcm, SR, codec)),
+                     SR, 400, codec))
+    silent = np.zeros(SR // 5, dtype=np.int16)
+    rows.append(("a_silent", bytearray(encode_payload(silent, SR, "flac")),
+                 SR, 200, "flac"))
+    rows.append(("a_bad", bytearray(b"junk"), SR, 100, "pcm_s16le"))
+    return rows
+
+
+def test_augment_pipeline_bit_identical_to_chain(spark):
+    """The fused one-decode pass reproduces the chained three-op output
+    byte for byte (the intermediate pcm16 WAV round-trips losslessly, so
+    fusing cannot change a single sample)."""
+    from gx_spark.audio_ops import (
+        augment_noise, augment_pipeline, pad_or_trim, speed_perturb)
+
+    df = spark.createDataFrame(
+        _aug_rows(),
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    chained = pad_or_trim(
+        speed_perturb(augment_noise(df, snr_db=20.0), 1.1), target_ms=1000)
+    fused = augment_pipeline(df, snr_db=20.0, speed=1.1, target_ms=1000)
+    a = {r["clip_id"]: r.asDict() for r in chained.collect()}
+    b = {r["clip_id"]: r.asDict() for r in fused.collect()}
+    assert set(a) == set(b)
+    assert chained.columns == fused.columns
+    for cid in a:
+        for k in a[cid]:
+            assert a[cid][k] == b[cid][k], (cid, k)
+
+
+def test_augment_pipeline_single_stages_match_single_ops(spark):
+    from gx_spark.audio_ops import (
+        augment_noise, augment_pipeline, pad_or_trim, speed_perturb)
+
+    df = spark.createDataFrame(
+        _aug_rows(),
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    pairs = [
+        (augment_noise(df, snr_db=15.0),
+         augment_pipeline(df, snr_db=15.0)),
+        (speed_perturb(df, 0.9), augment_pipeline(df, speed=0.9)),
+        (pad_or_trim(df, target_ms=700),
+         augment_pipeline(df, target_ms=700)),
+    ]
+    for one, fused in pairs:
+        a = sorted((r["clip_id"], bytes(r["bytes"]) if r["bytes"] else None,
+                    r["codec"], r["dur_ms"]) for r in one.collect())
+        b = sorted((r["clip_id"], bytes(r["bytes"]) if r["bytes"] else None,
+                    r["codec"], r["dur_ms"]) for r in fused.collect())
+        assert a == b
+
+
+def test_augment_pipeline_validates_params(spark):
+    from gx_spark.audio_ops import augment_pipeline
+
+    df = spark.createDataFrame(
+        [("a", None, 8000, 1, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    with pytest.raises(ValueError):
+        augment_pipeline(df)
+    with pytest.raises(ValueError):
+        augment_pipeline(df, speed=0.0)
+    with pytest.raises(ValueError):
+        augment_pipeline(df, target_ms=-1)
