@@ -2211,6 +2211,139 @@ def q_audio_payload_size(spark, sf_dir):
     )
 
 
+def q_audio_spectral_features(spark, sf_dir):
+    """Spectral shape screen (gx_spark.audio_ops.spectral_features —
+    whole-clip periodic-Hann rFFT, librosa/Essentia definitions, one
+    Arrow decode, map-only): 300 ms tones, frequency varying per class
+    (200..2100 Hz in 100 Hz steps) across three codecs.  Pins per doc,
+    tolerance envelopes measured over all (freq, codec) classes:
+    cen_ok (Hann mainlobe is symmetric: centroid within 5 Hz of the tone
+    even after mu-law companding noise), bw_ok (windowed-tone bandwidth
+    < 100 Hz — pcm/flac measure ~2 Hz, mu-law's -38 dB broadband
+    companding noise lifts it to ~72), roll_ok (85% rolloff within 4 Hz
+    = 2 bins of the tone), flat_ok (Wiener entropy < 1e-9: tonal, six
+    orders below white noise's ~0.5)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import spectral_features
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    payload = {}
+    for cls in range(20):
+        f = 200.0 + cls * 100.0
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        payload[cls] = bytearray(encode_payload(pcm, sr, codecs[cls % 3]))
+    rows = [(int(r.doc_id), payload[int(r.doc_id) % 20],
+             codecs[int(r.doc_id) % 20 % 3]) for r in docs.collect()]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = spectral_features(df, keep_cols=["doc_id"])
+    f_exp = 200.0 + (F.col("doc_id") % 20).cast("double") * 100.0
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        (F.abs(F.col("spectral_centroid_hz") - f_exp) < 5.0).alias("cen_ok"),
+        (F.col("spectral_bandwidth_hz") < 100.0).alias("bw_ok"),
+        (F.abs(F.col("spectral_rolloff_hz") - f_exp) < 4.0).alias("roll_ok"),
+        (F.col("spectral_flatness") < 1e-9).alias("flat_ok"),
+    )
+
+
+def q_audio_pitch_features(spark, sf_dir):
+    """Pitch screening (gx_spark.audio_ops.pitch_features — framewise
+    autocorrelation F0, Wiener-Khinchin ACF, parabolic peak interp, one
+    Arrow decode, map-only): 300 ms tones, F0 varying per class
+    (80..480 Hz in 40 Hz steps, spanning the speech range) across three
+    codecs.  Exact pins per doc: n_samples (4800) and n_frames
+    (40/20 ms frames: 1 + (4800-640)//320 = 14); invariant pins:
+    voiced_frac exactly 1.0 (every frame of a steady tone is voiced),
+    f0_ok (median F0 within 1.5% — the sub-sample parabolic refinement's
+    worst case is ~1% at 80 Hz where the integer lag grid is coarsest),
+    per_ok (mean periodicity > 0.65, measured floor 0.687 at 80 Hz)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import pitch_features
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    payload = {}
+    for cls in range(11):
+        f = 80.0 + cls * 40.0
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        payload[cls] = bytearray(encode_payload(pcm, sr, codecs[cls % 3]))
+    rows = [(int(r.doc_id), payload[int(r.doc_id) % 11],
+             codecs[int(r.doc_id) % 11 % 3]) for r in docs.collect()]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = pitch_features(df, keep_cols=["doc_id"])
+    f_exp = 80.0 + (F.col("doc_id") % 11).cast("double") * 40.0
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("voiced_frac").alias("voiced_frac"),
+        (F.abs(F.col("f0_median_hz") - f_exp) / f_exp < 0.015).alias("f0_ok"),
+        (F.col("periodicity_mean") > 0.65).alias("per_ok"),
+    )
+
+
+def q_audio_augment_pipeline(spark, sf_dir):
+    """Fused augmentation recipe (gx_spark.audio_ops.augment_pipeline —
+    noise mix at 20 dB SNR -> 1.25x speed perturb -> fixed 400 ms window
+    in ONE decode/encode pass; pinned bit-identical to the chained
+    three-op form by pytest): 300 ms sines over four amplitude classes
+    and three codecs.  Exact pins per doc: the window arithmetic
+    (n_samples = 16000*400/1000 = 6400, dur_ms = 400, codec_out
+    pcm_s16le) and floor_ok — the reported noise floor still equals the
+    CLEAN clip's RMS - 20 dB to 1e-6 after the whole fused chain (the
+    floor is measured at the mix stage; speed/window stages must not
+    touch it)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import augment_pipeline, extract_audio_features
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 392.0 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.1 + (i % 4) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("rms_dbfs").alias("r0"))
+    aug = augment_pipeline(df.withColumnRenamed("doc_id", "clip_id"),
+                           snr_db=20.0, speed=1.25, target_ms=400)
+    after = extract_audio_features(
+        aug, keep_cols=["clip_id", "codec", "noise_rms_dbfs"]).select(
+        F.col("clip_id").alias("doc_id"),
+        F.col("codec").alias("codec_out"),
+        F.col("noise_rms_dbfs").alias("rn"),
+        F.col("n_samples").alias("n1"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        F.col("n1").cast("int").alias("n_samples"),
+        "codec_out",
+        (F.abs(F.col("rn") - (F.col("r0") - 20.0)) < 1e-6).alias("floor_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2262,6 +2395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_spectral_features": q_audio_spectral_features,
+        "audio_pitch_features": q_audio_pitch_features,
+        "audio_augment_pipeline": q_audio_augment_pipeline,
         "bloom_blocklist_documents": q_bloom_blocklist,
         "audio_mfcc_features": q_audio_mfcc_features,
         "audio_payload_size": q_audio_payload_size,
@@ -2312,6 +2448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
         "audio_quality_violations": q_audio_quality_violations,
+        # ---- driver window ends here (entry #50) ----
+        # -- tier 4: past the window (r4-verified; displaced by the
+        # three newest r5 queries spectral/pitch/augment_pipeline) --
         "audio_trim_bounds": q_audio_trim_bounds,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
@@ -2320,8 +2459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "ann_pq_embeddings": q_ann_pq_embeddings,
         "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
-        # ---- driver window ends here (entry #50) ----
-        # -- tier 4: past the window --
         # r4-verified, displaced by audio_payload_size + audio_mfcc +
         # bloom_blocklist (rotate back in r6):
         "unique_orderkey_orders": q_unique_orderkey_orders,
@@ -2642,6 +2779,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "audio_spectral_features": (
+            # exact arithmetic (300 ms @ 16 kHz: 4800 samples) + all-true
+            # invariants the Spark side computes from the real Hann rFFT:
+            # centroid/rolloff on the tone, tonal flatness, bandwidth
+            # under the measured mu-law companding-noise envelope
+            "SELECT doc_id, 4800 AS n_samples, TRUE AS cen_ok, "
+            "TRUE AS bw_ok, TRUE AS roll_ok, TRUE AS flat_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "audio_pitch_features": (
+            # exact arithmetic (4800 samples; 40/20 ms frames:
+            # 1 + (4800-640)//320 = 14; every steady-tone frame voiced)
+            # + all-true invariants from the real ACF tracker
+            "SELECT doc_id, 4800 AS n_samples, 14 AS n_frames, "
+            "CAST(1.0 AS DOUBLE) AS voiced_frac, TRUE AS f0_ok, "
+            "TRUE AS per_ok FROM documents WHERE doc_id < 300"
+        ),
+        "audio_augment_pipeline": (
+            # exact window arithmetic (400 ms @ 16 kHz after the fused
+            # noise->speed->window chain: 6400 samples, pcm16 out) +
+            # the all-true floor invariant (noise floor == clean RMS
+            # - 20 dB to 1e-6, measured through the whole fused pass)
+            "SELECT doc_id, 6400 AS n_samples, 'pcm_s16le' AS codec_out, "
+            "TRUE AS floor_ok FROM documents WHERE doc_id < 300"
         ),
         "audio_mel_features": (
             # exact arithmetic (300 ms @ 16 kHz: 4800 samples; 25/10 ms

@@ -765,3 +765,137 @@ def test_augment_pipeline_validates_params(spark):
         augment_pipeline(df, speed=0.0)
     with pytest.raises(ValueError):
         augment_pipeline(df, target_ms=-1)
+
+
+# ---------------------------------------------------------------------------
+# spectral shape features
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_row_pure_tone_closed_forms():
+    from gx_spark.audio_ops import compute_spectral_row
+
+    f = 1100.0
+    x = _tone(f, 0.3)
+    r = compute_spectral_row(wav_encode(x, SR), "pcm_s16le")
+    assert r["n_samples"] == len(x)
+    # Hann mainlobe is symmetric: centroid sits on the tone to <0.5 Hz
+    assert abs(r["spectral_centroid_hz"] - f) < 0.5
+    # bandwidth of a windowed tone = mainlobe width, a couple of bins
+    assert r["spectral_bandwidth_hz"] < 10.0
+    # 85% of the power is inside the mainlobe
+    assert abs(r["spectral_rolloff_hz"] - f) < 3 * SR / 16384
+    # tonal: Wiener entropy ~ 0; int16 quantization keeps it < 1e-9
+    assert r["spectral_flatness"] < 1e-9
+
+
+def test_spectral_row_noise_vs_tone_flatness():
+    from gx_spark.audio_ops import compute_spectral_row
+
+    rng = np.random.default_rng(7)
+    noise = np.clip(rng.normal(0, 0.2, SR // 2) * 32767,
+                    -32768, 32767).astype(np.int16)
+    rn = compute_spectral_row(wav_encode(noise, SR), "pcm_s16le")
+    rt = compute_spectral_row(wav_encode(_tone(500.0, 0.3), SR),
+                              "pcm_s16le")
+    # white noise: flatness orders of magnitude above a tone, centroid
+    # near the flat-spectrum mean sr/4
+    assert rn["spectral_flatness"] > 0.1 > 1e6 * rt["spectral_flatness"]
+    assert abs(rn["spectral_centroid_hz"] - SR / 4) < 0.1 * SR / 4
+
+
+def test_spectral_row_edge_cases():
+    from gx_spark.audio_ops import compute_spectral_row
+
+    assert compute_spectral_row(None, "pcm_s16le")["n_samples"] is None
+    r = compute_spectral_row(b"junk", "pcm_s16le")
+    assert r["spectral_centroid_hz"] is None
+    silent = np.zeros(SR // 4, dtype=np.int16)
+    r = compute_spectral_row(wav_encode(silent, SR), "pcm_s16le")
+    assert r["n_samples"] == SR // 4
+    assert r["spectral_flatness"] is None  # no shape for digital silence
+
+
+def test_spectral_features_spark_plumbing(spark):
+    from gx_spark.audio_ops import compute_spectral_row, spectral_features
+
+    rows = [
+        ("s0", bytearray(encode_payload(_tone(700.0, 0.3), SR, "flac")),
+         "flac"),
+        ("s1", bytearray(encode_payload(_tone(1500.0, 0.3), SR,
+                                        "pcm_mulaw")), "pcm_mulaw"),
+        ("s_bad", bytearray(b"nope"), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    out = {r["clip_id"]: r.asDict()
+           for r in spectral_features(df).collect()}
+    assert set(out) == {"s0", "s1", "s_bad"}
+    assert out["s_bad"]["spectral_centroid_hz"] is None
+    for cid, f in (("s0", 700.0), ("s1", 1500.0)):
+        # must equal the row function bit-for-bit (same decode, same fft)
+        ref = compute_spectral_row(
+            bytes(rows[0 if cid == "s0" else 1][1]),
+            "flac" if cid == "s0" else "pcm_mulaw")
+        assert out[cid]["spectral_centroid_hz"] == ref["spectral_centroid_hz"]
+        assert abs(out[cid]["spectral_centroid_hz"] - f) < 5.0
+    assert "bytes" not in spectral_features(df).columns
+
+
+# ---------------------------------------------------------------------------
+# pitch features
+# ---------------------------------------------------------------------------
+
+
+def test_pitch_row_pure_tones_within_1pct():
+    from gx_spark.audio_ops import compute_pitch_row
+
+    for f in (80.0, 125.0, 220.0, 333.0, 480.0):
+        r = compute_pitch_row(wav_encode(_tone(f, 0.3), SR), "pcm_s16le")
+        assert r["n_frames"] == 1 + (len(_tone(f, 0.3)) - SR * 40 // 1000) \
+            // (SR * 20 // 1000)
+        assert r["voiced_frac"] == 1.0, f
+        assert abs(r["f0_median_hz"] - f) / f < 0.015, (f, r["f0_median_hz"])
+        assert r["periodicity_mean"] > 0.6
+
+
+def test_pitch_row_noise_is_unvoiced():
+    from gx_spark.audio_ops import compute_pitch_row
+
+    rng = np.random.default_rng(11)
+    noise = np.clip(rng.normal(0, 0.2, SR // 2) * 32767,
+                    -32768, 32767).astype(np.int16)
+    r = compute_pitch_row(wav_encode(noise, SR), "pcm_s16le")
+    # white noise: ACF peak in the pitch lag range is small
+    assert r["voiced_frac"] < 0.2
+    assert r["periodicity_mean"] < 0.3
+    silent = np.zeros(SR // 2, dtype=np.int16)
+    r = compute_pitch_row(wav_encode(silent, SR), "pcm_s16le")
+    assert r["voiced_frac"] == 0.0 and r["f0_median_hz"] is None
+    assert compute_pitch_row(None, "flac")["n_frames"] is None
+
+
+def test_pitch_row_subframe_clip():
+    from gx_spark.audio_ops import compute_pitch_row
+
+    tiny = _tone(200.0, 0.3, dur_s=0.02)  # 20 ms < one 40 ms frame
+    r = compute_pitch_row(wav_encode(tiny, SR), "pcm_s16le")
+    assert r["n_frames"] == 0 and r["f0_median_hz"] is None
+
+
+def test_pitch_features_spark_plumbing(spark):
+    from gx_spark.audio_ops import pitch_features
+
+    rows = [
+        ("p0", bytearray(encode_payload(_tone(150.0, 0.3), SR, "flac")),
+         "flac"),
+        ("p1", bytearray(encode_payload(_tone(400.0, 0.3), SR,
+                                        "pcm_alaw")), "pcm_alaw"),
+        ("p_bad", bytearray(b"x"), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    out = {r["clip_id"]: r.asDict() for r in pitch_features(df).collect()}
+    assert out["p_bad"]["f0_median_hz"] is None
+    assert abs(out["p0"]["f0_median_hz"] - 150.0) < 2.0
+    assert abs(out["p1"]["f0_median_hz"] - 400.0) < 5.0
+    assert out["p0"]["voiced_frac"] == 1.0
+    assert "bytes" not in pitch_features(df).columns
