@@ -1473,6 +1473,59 @@ def q_audio_transcode_roundtrip(spark, sf_dir):
     )
 
 
+def q_audio_adpcm_roundtrip(spark, sf_dir):
+    """IMA ADPCM codec (gx_spark/adpcm.py — the 1992 IMA 4-bit DVI4
+    scheme in WAV tag-0x11 block framing, a real 4:1 compressed format
+    alongside pcm/G.711/FLAC): 300 ms 200 Hz tones over four amplitude
+    classes and three source codecs, transcoded to adpcm_ima and decoded
+    back by the features pass.  Exact pins per doc: n_samples preserved
+    (4800 — the fact chunk trims the padded final block) and the payload
+    size is pure block arithmetic (ceil(4800/505)=10 blocks x 256 B +
+    60 B headers = 2620, committable as a literal); invariant pins:
+    rms_ok (ADPCM quantization noise sits >= 33 dB below a 200 Hz tone,
+    measured floor 35.7 dB at amp 0.4, so the decoded RMS moves < 0.05
+    dB) and dom_ok (the dominant FFT bin survives — the noise floor
+    cannot displace a tone's argmax)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, transcode_audio
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 200.0 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.1 + (i % 4) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("n_samples").alias("n0"),
+        F.col("rms_dbfs").alias("r0"), F.col("dominant_hz").alias("d0"))
+    coded = transcode_audio(df, "adpcm_ima").withColumn(
+        "payload_bytes", F.length("bytes").cast("int"))
+    after = extract_audio_features(
+        coded, keep_cols=["doc_id", "codec", "payload_bytes"]).select(
+        "doc_id", F.col("codec").alias("codec_out"), "payload_bytes",
+        F.col("n_samples").alias("n1"), F.col("rms_dbfs").alias("r1"),
+        F.col("dominant_hz").alias("d1"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        F.col("n1").cast("int").alias("n_samples"),
+        "payload_bytes",
+        "codec_out",
+        (F.col("n0") == F.col("n1")).alias("n_ok"),
+        (F.abs(F.col("r0") - F.col("r1")) < 0.05).alias("rms_ok"),
+        (F.col("d0") == F.col("d1")).alias("dom_ok"),
+    )
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Cross-codec audio content dedup (gx_spark.audio_ops.
     audio_dedup_groups): spectral-peak fingerprints hashed to 64 bits
@@ -2395,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_adpcm_roundtrip": q_audio_adpcm_roundtrip,
         "audio_spectral_features": q_audio_spectral_features,
         "audio_pitch_features": q_audio_pitch_features,
         "audio_augment_pipeline": q_audio_augment_pipeline,
@@ -2447,10 +2501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
-        "audio_quality_violations": q_audio_quality_violations,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window (r4-verified; displaced by the
-        # three newest r5 queries spectral/pitch/augment_pipeline) --
+        # four newest r5 queries adpcm/spectral/pitch/augment_pipeline) --
+        "audio_quality_violations": q_audio_quality_violations,
         "audio_trim_bounds": q_audio_trim_bounds,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
         "streaming_windowed_events": q_streaming_windowed_events,
@@ -2779,6 +2833,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "audio_adpcm_roundtrip": (
+            # exact block arithmetic (4800 samples survive the fact-chunk
+            # trim; ceil(4800/505) = 10 blocks x 256 B + 12+28+12+8 B of
+            # RIFF/fmt/fact/data framing = 2620 B payload) + all-true
+            # invariants from the real encode/decode round trip
+            "SELECT doc_id, 4800 AS n_samples, 2620 AS payload_bytes, "
+            "'adpcm_ima' AS codec_out, TRUE AS n_ok, TRUE AS rms_ok, "
+            "TRUE AS dom_ok FROM documents WHERE doc_id < 300"
         ),
         "audio_spectral_features": (
             # exact arithmetic (300 ms @ 16 kHz: 4800 samples) + all-true

@@ -266,6 +266,11 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
     - pcm_s16le:            len == 44 + 2*n  (± tolerance_bytes)
     - pcm_mulaw / pcm_alaw: len == 44 + n    (± tolerance_bytes, G.711 is
                             1 byte/sample)
+    - adpcm_ima:            len == 60 + 256 * ceil(n / 505)
+                            (± tolerance_bytes; tag-0x11 block framing is
+                            exact arithmetic — 256 B blocks of 505
+                            samples, 60 B of RIFF/fmt+ext/fact/data
+                            framing per gx_spark/audio.py wav_encode)
     - flac:                 42 < len <= ceil(max_flac_ratio * 2*n) + 64
                             (42 = fLaC magic + STREAMINFO; lossless FLAC
                             never exceeds verbatim + ~0.3% frame-header
@@ -288,6 +293,9 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
     _WAV_BPS = {"pcm_s16le": 2, "pcm_mulaw": 1, "pcm_alaw": 1}
     _WAV_HEADER = 44
     _FLAC_HEADER = 42
+    _ADPCM_HEADER = 60   # RIFF 12 + fmt 28 (16+2+2 ext) + fact 12 + data 8
+    _ADPCM_BLOCK = 256
+    _ADPCM_SPB = 505     # (256 - 4) * 2 + 1
 
     def plan(self, ctx, cfg, index):
         cfg.kwargs.setdefault(
@@ -316,7 +324,7 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
         tol = int(cfg.kwargs.get("tolerance_bytes", 0))
         ratio = float(cfg.kwargs.get("max_flac_ratio", 1.02))
         b, sr, dur, codec = self._cols(cfg)
-        known = codec.isin(list(self._WAV_BPS) + ["flac"])
+        known = codec.isin(list(self._WAV_BPS) + ["flac", "adpcm_ima"])
         # null bytes never reach here (map-metric missing-denominator)
         bad_geom = sr.isNull() | dur.isNull() | (sr <= 0) | (dur <= 0)
         n = self._n_samples(sr, dur)
@@ -331,9 +339,15 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
             .cast("long") + F.lit(64 + tol)
         )
         flac_bad = (ln <= F.lit(self._FLAC_HEADER)) | (ln > flac_hi)
+        adpcm_expected = F.lit(self._ADPCM_HEADER) + F.lit(
+            self._ADPCM_BLOCK) * F.floor(
+            (n + F.lit(self._ADPCM_SPB - 1)) / F.lit(self._ADPCM_SPB))
+        adpcm_bad = F.abs(ln - adpcm_expected) > F.lit(tol)
         return known & (
             bad_geom
-            | F.when(codec == "flac", flac_bad).otherwise(wav_bad)
+            | F.when(codec == "flac", flac_bad)
+            .when(codec == "adpcm_ima", adpcm_bad)
+            .otherwise(wav_bad)
         )
 
     def observed_expr(self, cfg) -> Column:

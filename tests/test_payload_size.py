@@ -156,3 +156,28 @@ def test_committed_driver_literals_rederive():
             for c in ("pcm_s16le", "pcm_mulaw", "pcm_alaw", "flac")}
     assert lens == {"pcm_s16le": 3244, "pcm_mulaw": 1644,
                     "pcm_alaw": 1644, "flac": 3253}
+
+
+def test_payload_size_adpcm_branch(spark):
+    """adpcm_ima rows get exact block arithmetic: 1600 samples -> 4
+    blocks of 256 B + 60 B framing = 1084 B; truncation and label
+    inflation both fire."""
+    n = SR * DUR // 1000
+    good = _clip("good_ad", "adpcm_ima")
+    assert len(good["bytes"]) == 60 + 256 * ((n + 504) // 505) == 1084
+    rows = [
+        good,
+        _clip("trunc_ad", "adpcm_ima",
+              bytes=_clip("trunc_ad", "adpcm_ima")["bytes"][:-256]),
+        _clip("bad_dur_ad", "adpcm_ima", dur_ms=DUR + 200),
+    ]
+    df = spark.createDataFrame([tuple(r[k] for k in (
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec")) for r in rows],
+        SCHEMA)
+    suite = ExpectationSuite("sz").add(
+        "expect_audio_payload_size_to_be_consistent")
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("clip_id",)))
+    viol = {v["clip_id"] for v in b.violations_table().collect()}
+    b.unpersist()
+    assert viol == {"trunc_ad", "bad_dur_ad"}

@@ -94,5 +94,32 @@ for cid, r in out.items():
     got = r["noise_rms_dbfs"]
     print(f"{cid}: noise_rms_dbfs={got:.2f} expected~{src_db - 20:.2f}")
     assert abs(got - (src_db - 20.0)) < 1.0
+# 4. payload-size expectation over an adpcm row through validate()
+from gx_spark import EngineOptions, ExpectationSuite, validate
+
+n = SR // 2
+pcm = srcs["v0"][:n]
+row = [("z0", bytearray(encode_payload(pcm, SR, "adpcm_ima")), SR,
+        n * 1000 // SR, "adpcm_ima"),
+       ("z_bad", bytearray(encode_payload(pcm, SR, "adpcm_ima")[:-256]),
+        SR, n * 1000 // SR, "adpcm_ima")]
+vdf = spark.createDataFrame(
+    row, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+suite = ExpectationSuite("sz").add(
+    "expect_audio_payload_size_to_be_consistent")
+b = validate(spark, vdf, suite,
+             EngineOptions(unexpected_index_column_names=("clip_id",)))
+r = b.suite_result.results[0]
+viol = {v["clip_id"] for v in b.violations_table().collect()}
+b.unpersist()
+print("payload-size EVR:", r.expectation_config.expectation_type,
+      "success=", r.success, "unexpected=", r.result["unexpected_count"],
+      "violations=", viol)
+assert viol == {"z_bad"} and r.result["unexpected_count"] == 1
+# DuckDB cross-check of the expected length arithmetic
+exp_len = con.sql(
+    f"SELECT 60 + 256 * CAST(CEIL({n} / 505.0) AS INT)").fetchone()[0]
+assert exp_len == len(row[0][1]), (exp_len, len(row[0][1]))
+print("adpcm length arithmetic matches DuckDB:", exp_len)
 print("VERIFY OK")
 spark.stop()
