@@ -1473,6 +1473,22 @@ def q_audio_transcode_roundtrip(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (gx_spark.ops.chunk_documents — the
+    training-example prep step: 32-token windows, 8-token overlap,
+    stride 24; trim+\\s+ tokens, case preserved, empty docs dropped).
+    Entirely map-side HOF slices + one explode — ZERO shuffle
+    (plan-pinned in tests/test_chunk_ops.py).  The oracle re-derives the
+    identical window arithmetic with DuckDB list slicing; chunk text is
+    compared by md5 so the exact payload is pinned without shipping it
+    twice."""
+    docs = _load(spark, sf_dir, "documents")
+    ch = ops.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return ch.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"))
+
+
 def q_audio_adpcm_roundtrip(spark, sf_dir):
     """IMA ADPCM codec (gx_spark/adpcm.py — the 1992 IMA 4-bit DVI4
     scheme in WAV tag-0x11 block framing, a real 4:1 compressed format
@@ -2448,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "chunk_documents": q_chunk_documents,
         "audio_adpcm_roundtrip": q_audio_adpcm_roundtrip,
         "audio_spectral_features": q_audio_spectral_features,
         "audio_pitch_features": q_audio_pitch_features,
@@ -2500,10 +2517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
-        "audio_features_banded": q_audio_features_banded,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window (r4-verified; displaced by the
-        # four newest r5 queries adpcm/spectral/pitch/augment_pipeline) --
+        # five newest r5 queries chunk/adpcm/spectral/pitch/
+        # augment_pipeline) --
+        "audio_features_banded": q_audio_features_banded,
         "audio_quality_violations": q_audio_quality_violations,
         "audio_trim_bounds": q_audio_trim_bounds,
         "streaming_cross_batch_dups": q_streaming_cross_batch_dups,
@@ -2833,6 +2851,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "chunk_documents": (
+            # identical window arithmetic in DuckDB list slicing:
+            # stride 24, chunk 32, nc = 1 for n<=32 else ceil((n-32)/24)+1,
+            # chunk i = tokens [i*24+1, i*24+32] (1-based inclusive);
+            # md5 pins the exact chunk text
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "szd AS (SELECT doc_id, w, len(w) AS n FROM toks), "
+            "cnt AS (SELECT doc_id, w, "
+            "CASE WHEN n <= 0 THEN 0 WHEN n <= 32 THEN 1 "
+            "ELSE CAST(CEIL((n - 32) / 24.0) AS INT) + 1 END AS nc "
+            "FROM szd), "
+            "e AS (SELECT doc_id, w, "
+            "unnest(generate_series(0, nc - 1)) AS cid "
+            "FROM cnt WHERE nc > 0) "
+            "SELECT doc_id, CAST(cid AS INT) AS chunk_id, "
+            "CAST(len(list_slice(w, cid*24 + 1, cid*24 + 32)) AS INT) "
+            "AS n_tokens, "
+            "md5(array_to_string(list_slice(w, cid*24 + 1, cid*24 + 32), "
+            "' ')) AS chunk_md5 FROM e"
         ),
         "audio_adpcm_roundtrip": (
             # exact block arithmetic (4800 samples survive the fact-chunk

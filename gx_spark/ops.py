@@ -1682,6 +1682,72 @@ def ngram_counts(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking with overlap — the training-example prep
+    step that turns variable-length documents into fixed-budget windows
+    (the RoBERTa/GPT packing pipelines' "split long docs, keep `overlap`
+    tokens of left context" convention).
+
+    Tokens are trim+\\s+ split (case PRESERVED — chunk text is training
+    payload, unlike the lower-cased linguistic stats ops); chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, so consecutive chunks share exactly
+    `overlap` tokens and the final chunk may run short.  A doc with
+    n <= chunk_tokens tokens yields exactly one chunk; an empty doc
+    yields none (documented drop — empties carry no training signal).
+
+    Returns one row per chunk: (id, chunk_id int, n_tokens int,
+    chunk_text).  Entirely map-side — token array, chunk count, and
+    slices are HOF expressions over each doc's own row (the
+    repetition_stats technique) feeding one explode: ZERO shuffle, so at
+    100 TB this is an embarrassingly-parallel rewrite whose output
+    partitioning is inherited from the scan.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w != "",
+        ).alias("_w"),
+    ).select(
+        id_col, "_w", F.size("_w").alias("_n"),
+    )
+    n_chunks = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((F.col("_n") - chunk_tokens) / F.lit(stride))
+            .cast("int") + 1)
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, _nc - 1), "
+        f"i -> struct(i as chunk_id, "
+        f"slice(_w, i * {stride} + 1, {chunk_tokens}) as ctoks))"
+    )
+    return (
+        staged.withColumn("_nc", n_chunks)
+        .where(F.col("_nc") > 0)
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").cast("int").alias("chunk_id"),
+            F.size("_c.ctoks").cast("int").alias("n_tokens"),
+            F.array_join("_c.ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame, id_col: str, text_col: str, k: int = 10
 ) -> DataFrame:
