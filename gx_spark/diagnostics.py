@@ -598,9 +598,59 @@ def _gallery_audio_payload_size():
          "in": {}, "out": {"success": False, "unexpected_count": 1}})
 
 
+@functools.lru_cache(maxsize=None)
+def _pitch_rows():
+    """Gallery clips for the pitch gates: a 150 Hz tone (every frame
+    voiced, F0 on the adult-speech band), a 400 Hz tone (voiced but
+    outside a [100, 300] band), and seeded white noise (unvoiced)."""
+    import numpy as np
+
+    from .audio import encode_payload
+
+    sr, dur = 8000, 100
+    n = sr * dur // 1000
+    t = np.arange(n) / sr
+
+    def clip(cid: str, pcm) -> dict:
+        return dict(clip_id=cid, bytes=encode_payload(pcm, sr, "pcm_s16le"),
+                    sr_hz=sr, dur_ms=dur, codec="pcm_s16le",
+                    transcript="x")
+
+    def tone(f: float):
+        return np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+
+    rng = np.random.default_rng(13)
+    noise = np.clip(rng.normal(0, 0.2, n) * 32767, -32768, 32767).astype(
+        np.int16)
+    return dict(voiced=clip("diag_voiced", tone(150.0)),
+                high=clip("diag_high_f0", tone(400.0)),
+                noise=clip("diag_unvoiced", noise))
+
+
+def _gallery_voiced_fraction():
+    r = _pitch_rows()
+    return _audio_example(
+        [r["voiced"], r["noise"]],
+        {"title": "white noise falls below 0.5 voiced fraction",
+         "in": {"min_fraction": 0.5},
+         "out": {"success": False, "unexpected_count": 1}})
+
+
+def _gallery_pitch_between():
+    r = _pitch_rows()
+    return _audio_example(
+        [r["voiced"], r["high"]],
+        {"title": "400 Hz median F0 breaks the [100, 300] speech band",
+         "in": {"min_hz": 100.0, "max_hz": 300.0},
+         "out": {"success": False, "unexpected_count": 1}})
+
+
 #: Lazy builders for examples whose payloads come from the in-repo codecs
 #: (numpy work happens only when diagnostics run).
 GALLERY_EXAMPLE_BUILDERS: dict = {
+    "expect_audio_voiced_fraction_to_be_between": _gallery_voiced_fraction,
+    "expect_audio_pitch_to_be_between": _gallery_pitch_between,
     "expect_audio_metadata_to_be_consistent": _gallery_audio_metadata,
     "expect_audio_snr_to_be_at_least": _gallery_audio_snr,
     "expect_transcript_to_match_reference": _gallery_audio_transcript,

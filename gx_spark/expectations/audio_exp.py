@@ -13,6 +13,7 @@ tiny partial-agg rows and violation structs move (plan-shape tested).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -353,3 +354,128 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
     def observed_expr(self, cfg) -> Column:
         b, _, _, _ = self._cols(cfg)
         return F.length(b).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# pitch gates (framewise ACF F0 — gx_spark/audio_ops.py compute_pitch_row)
+# ---------------------------------------------------------------------------
+
+_PITCH_COL = "__pitch"
+_PITCH_PARAM_KEYS = ("fmin", "fmax", "frame_ms", "hop_ms",
+                     "voiced_threshold")
+
+
+def _pitch_params(cfg: ExpectationConfiguration) -> dict:
+    k = cfg.kwargs
+    return dict(
+        fmin=float(k.get("fmin", 60.0)),
+        fmax=float(k.get("fmax", 500.0)),
+        frame_ms=int(k.get("frame_ms", 40)),
+        hop_ms=int(k.get("hop_ms", 20)),
+        voiced_threshold=float(k.get("voiced_threshold", 0.5)),
+    )
+
+
+def ensure_pitch_features(
+    ctx: MetricContext, cfg: ExpectationConfiguration,
+) -> None:
+    """Register the shared `__pitch` column (one framewise-ACF decode per
+    run; the ensure_audio_flags convention).  The pitch tracker's
+    decode-level params must agree across pitch expectations in one suite
+    — band thresholds (min/max) are per-expectation and free to differ."""
+    k = cfg.kwargs
+    bcol = k.get("bytes_column", "bytes")
+    ccol = k.get("codec_column", "codec")
+    require_columns(ctx, bcol, ccol)
+    params = _pitch_params(cfg)
+    have = getattr(ctx, "_pitch_params", None)
+    if _PITCH_COL in ctx.derived:
+        if have != params:
+            raise ValueError(
+                "conflicting pitch decode params in one suite: "
+                f"{have} vs {params}")
+        return
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    keys = ("voiced_frac", "f0_median_hz", "periodicity_mean")
+
+    @pandas_udf("voiced_frac double, f0_median_hz double, "
+                "periodicity_mean double")
+    def pitch_flags(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_pitch_row as _cpr
+
+        cols: dict[str, list] = {x: [] for x in keys}
+        appends = [cols[x].append for x in keys]
+        for bb, cc in zip(b, codec):
+            r = _cpr(bb, cc, **params)
+            for ap, x in zip(appends, keys):
+                ap(r[x])
+        return pd.DataFrame(cols, copy=False)
+
+    ctx.derived[_PITCH_COL] = pitch_flags(F.col(bcol), F.col(ccol))
+    ctx._pitch_params = params
+
+
+@register_expectation("expect_audio_voiced_fraction_to_be_between")
+class AudioVoicedFractionBetween(ColumnMapExpectation):
+    """Unexpected when the fraction of voiced frames (ACF periodicity
+    above voiced_threshold) falls outside [min_fraction, max_fraction] —
+    the speech-vs-music/noise screen of a speech-corpus gate (a speech
+    dataset clip with voiced_frac ~0 is noise, hum, or dead channel; a
+    music bed pins near 1 with out-of-band F0).  Rides one shared
+    framewise-ACF decode with expect_audio_pitch_to_be_between.
+    Undecodable payloads and clips shorter than one frame have a null
+    fraction and are excluded (metadata/payload-size concerns)."""
+
+    metric_name = "audio.voiced_fraction"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_pitch_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        lo = float(cfg.kwargs.get("min_fraction", 0.0))
+        hi = float(cfg.kwargs.get("max_fraction", 1.0))
+        v = F.col(_PITCH_COL)["voiced_frac"]
+        return v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_PITCH_COL)["voiced_frac"], 4)
+
+
+@register_expectation("expect_audio_pitch_to_be_between")
+class AudioPitchBetween(ColumnMapExpectation):
+    """Unexpected when the clip's median F0 over voiced frames falls
+    outside [min_hz, max_hz] — the speaker-band gate (adult speech sits
+    ~85-255 Hz; a corpus labeled 'adult speech' with 450 Hz medians is
+    mislabeled or pitch-shifted).  Clips with NO voiced frames have a
+    null median and are excluded here — gate voicing itself with
+    expect_audio_voiced_fraction_to_be_between, which shares this
+    expectation's single decode."""
+
+    metric_name = "audio.f0_median"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_pitch_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        lo = float(cfg.kwargs.get("min_hz", 0.0))
+        hi = float(cfg.kwargs.get("max_hz", float("inf")))
+        f0 = F.col(_PITCH_COL)["f0_median_hz"]
+        return f0.isNotNull() & ((f0 < F.lit(lo)) | (f0 > F.lit(hi)))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_PITCH_COL)["f0_median_hz"], 2)
