@@ -1473,6 +1473,133 @@ def q_audio_transcode_roundtrip(spark, sf_dir):
     )
 
 
+def q_audio_loudness_bands(spark, sf_dir):
+    """Programme-loudness QA (gx_spark.audio_ops.loudness_features —
+    ITU-R BS.1770-4: K-weighting biquads re-derived for any fs via the
+    bilinear transform, 400/100 ms momentary blocks, absolute -70 LUFS +
+    relative -10 LU gating; one Arrow decode, map-only).  Clips are
+    997 Hz calibration tones (1 s @ 16 kHz) with amplitude class
+    doc_id%5 -> (c+1)/5, so expected loudness is the closed form
+    20*log10((c+1)/5) - 3.01 (the spec's full-scale-997Hz = -3.01 LUFS
+    identity), spaced >= 1.9 dB; doc_id%7==0 clips get 500 ms of
+    appended digital silence.  Pins per doc:
+
+    - band:       amplitude class recovered by midpoint-banding
+                  lufs_momentary_max (the max block is always a pure
+                  tone block, immune to the pad)
+    - n_blocks:   exact block arithmetic (7 unpadded, 12 padded)
+    - gated_lt_1: the two all-silence blocks of a padded clip fall
+                  under the absolute gate, so gated_block_frac < 1
+                  exactly for the doc_id%7==0 class
+    - integrated_ok: unpadded clips match the closed form within
+                  0.3 LU; padded clips read it minus the straddling-
+                  block dilution 10*log10(8.5/10) ~ 0.71 LU (gating
+                  drops the silence but keeps the three straddlers) —
+                  pinned to (0.4, 1.1) below the closed form
+    """
+    import math
+
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import loudness_features
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    t = np.arange(sr) / sr
+    base = np.sin(2 * np.pi * 997.0 * t)
+    pad = np.zeros(sr // 2, dtype=np.int16)
+    payload = {}
+    for c in range(5):
+        tone = np.rint((c + 1) / 5 * 32767 * base).astype(np.int16)
+        for padded in (False, True):
+            pcm = np.concatenate([tone, pad]) if padded else tone
+            for k in range(3):
+                payload[(c, padded, k)] = bytearray(
+                    encode_payload(pcm, sr, codecs[k]))
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        key = (i % 5, i % 7 == 0, i % 3)
+        rows.append((i, payload[key], codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    feats = loudness_features(df, keep_cols=["doc_id"])
+
+    exp = [20.0 * math.log10((c + 1) / 5) - 3.01 for c in range(5)]
+    mids = [(exp[c] + exp[c + 1]) / 2 for c in range(4)]
+    band = sum((F.col("lufs_momentary_max") > F.lit(m)).cast("int")
+               for m in mids)
+    padded = F.col("doc_id") % 7 == 0
+    exp_c = F.element_at(F.array(*[F.lit(e) for e in exp]),
+                         (F.col("doc_id") % 5).cast("int") + 1)
+    diff = exp_c - F.col("lufs_integrated")
+    return feats.select(
+        "doc_id",
+        band.cast("int").alias("band"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        (F.col("gated_block_frac") < 1.0 - 1e-12).alias("gated_lt_1"),
+        F.when(padded, (diff > 0.4) & (diff < 1.1))
+         .otherwise(F.abs(diff) < 0.3).alias("integrated_ok"),
+    )
+
+
+def q_audio_pitch_violations(spark, sf_dir):
+    """Pitch-gate expectations (expectations/audio_exp.py
+    expect_audio_voiced_fraction_to_be_between /
+    expect_audio_pitch_to_be_between riding ONE shared framewise-ACF
+    decode): clips from documents doc_id<400 with deterministic classes —
+    doc_id%4==1 is a 420 Hz tone (voiced, but breaks the [100, 300] Hz
+    adult-speech band), doc_id%4==2 is seeded white noise (voiced_frac 0
+    breaks the 0.5 floor; its F0 median is null so the pitch gate
+    excludes it), classes 0/3 are 150/220 Hz tones that pass both.  The
+    oracle recomputes each violation count from the class arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    n = sr * 400 // 1000
+    t = np.arange(n) / sr
+
+    def tone(f):
+        return np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+
+    rng = np.random.default_rng(29)
+    noise = np.clip(rng.normal(0, 0.2, n) * 32767, -32768, 32767).astype(
+        np.int16)
+    pcm = {0: tone(150.0), 1: tone(420.0), 2: noise, 3: tone(220.0)}
+    payload = {(c, k): bytearray(encode_payload(pcm[c], sr, codecs[k]))
+               for c in range(4) for k in range(3)}
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, f"p_{i}", payload[(i % 4, i % 3)], sr, 400,
+                     codecs[i % 3], "t"))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = _evr(
+        spark, df,
+        ExpectationSuite("pitch")
+        .add("expect_audio_voiced_fraction_to_be_between", min_fraction=0.5)
+        .add("expect_audio_pitch_to_be_between", min_hz=100.0, max_hz=300.0),
+    )
+    return _row(
+        spark,
+        "element_count long, voiced_unexpected long, pitch_unexpected long",
+        [r[0].result["element_count"], r[0].result["unexpected_count"],
+         r[1].result["unexpected_count"]],
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (gx_spark.ops.chunk_documents — the
     training-example prep step: 32-token windows, 8-token overlap,
@@ -2464,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_loudness_bands": q_audio_loudness_bands,
+        "audio_pitch_violations": q_audio_pitch_violations,
         "chunk_documents": q_chunk_documents,
         "audio_adpcm_roundtrip": q_audio_adpcm_roundtrip,
         "audio_spectral_features": q_audio_spectral_features,
@@ -2780,6 +2909,28 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_loudness_bands": (
+            # exact BS.1770 arithmetic: amplitude class = doc_id%5 (the
+            # 997 Hz identity makes loudness a closed form, banded in
+            # Spark from the MEASURED momentary max); block counts
+            # 1+(n-6400)//1600 = 7 / 12; padded clips (doc_id%7==0) lose
+            # their two all-silence blocks to the absolute gate; the
+            # integrated invariant (closed form +- 0.3 LU unpadded,
+            # straddler dilution window padded) is TRUE on every row
+            "SELECT doc_id, CAST(doc_id % 5 AS INT) AS band, "
+            "CASE WHEN doc_id % 7 = 0 THEN 12 ELSE 7 END AS n_blocks, "
+            "(doc_id % 7 = 0) AS gated_lt_1, TRUE AS integrated_ok "
+            "FROM documents WHERE doc_id < 400"
+        ),
+        "audio_pitch_violations": (
+            # class arithmetic: doc_id%4==2 (noise) breaks the voiced
+            # floor; doc_id%4==1 (420 Hz) breaks the [100,300] band and
+            # the noise class is excluded there (null F0 median)
+            "SELECT count(*) AS element_count, "
+            "count(*) FILTER (WHERE doc_id % 4 = 2) AS voiced_unexpected, "
+            "count(*) FILTER (WHERE doc_id % 4 = 1) AS pitch_unexpected "
+            "FROM documents WHERE doc_id < 400"
+        ),
         "bloom_blocklist_documents": (
             # full relational recompute of the Bloom probe: the position
             # set P = md5(term|seed) % 48 over the blocklist (the bitmap

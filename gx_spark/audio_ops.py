@@ -2046,3 +2046,215 @@ def pitch_features(
     projected = df.select(*keep, feat)
     return projected.select(
         *keep, *[F.col(f"_p.{k}").alias(k) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# programme loudness per ITU-R BS.1770-4 (K-weighting + gated integration)
+# ---------------------------------------------------------------------------
+
+LOUDNESS_FEATURES_SCHEMA = (
+    "n_samples long, n_blocks long, lufs_integrated double, "
+    "lufs_momentary_max double, gated_block_frac double"
+)
+
+_LOUDNESS_KEYS = ("n_samples", "n_blocks", "lufs_integrated",
+                  "lufs_momentary_max", "gated_block_frac")
+
+#: Analog prototype parameters behind the BS.1770 48 kHz filter tables.
+#: The spec prints the two biquads only at fs=48000; re-deriving them from
+#: the analog prototype via the bilinear transform (the published
+#: generalization used by open implementations, e.g. pyloudnorm / De Man
+#: 2018 "Evaluation of implementations of the EBU R128 loudness
+#: measurement") makes K-weighting exact at ANY sample rate instead of
+#: resampling to 48 kHz first.
+_KW_SHELF_F0 = 1681.9744509555319
+_KW_SHELF_GAIN_DB = 3.99984385397
+_KW_SHELF_Q = 0.7071752369554193
+_KW_HP_F0 = 38.13547087613982
+_KW_HP_Q = 0.5003270373253953
+
+
+@lru_cache(maxsize=32)
+def k_weighting_coeffs(sr: int) -> tuple:
+    """(b1, a1, b2, a2) biquad coefficient tuples for the BS.1770
+    K-weighting cascade at sample rate `sr`: stage 1 is the +4 dB
+    high-frequency shelf (head-diffraction model), stage 2 the RLB
+    high-pass.  At fs=48000 these reproduce the spec's printed tables
+    to ~1e-10 (pinned in tests/test_loudness.py)."""
+    import math
+
+    # stage 1: high shelf
+    K = math.tan(math.pi * _KW_SHELF_F0 / sr)
+    Vh = 10.0 ** (_KW_SHELF_GAIN_DB / 20.0)
+    Vb = Vh ** 0.4996667741545416
+    a0 = 1.0 + K / _KW_SHELF_Q + K * K
+    b1 = ((Vh + Vb * K / _KW_SHELF_Q + K * K) / a0,
+          2.0 * (K * K - Vh) / a0,
+          (Vh - Vb * K / _KW_SHELF_Q + K * K) / a0)
+    a1 = (1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / _KW_SHELF_Q + K * K) / a0)
+    # stage 2: RLB high-pass (spec numerator is the unnormalized 1,-2,1)
+    K = math.tan(math.pi * _KW_HP_F0 / sr)
+    a0 = 1.0 + K / _KW_HP_Q + K * K
+    b2 = (1.0, -2.0, 1.0)
+    a2 = (1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / _KW_HP_Q + K * K) / a0)
+    return b1, a1, b2, a2
+
+
+@lru_cache(maxsize=32)
+def _k_weighting_ir(sr: int) -> np.ndarray:
+    """Truncated impulse response of the K-weighting cascade.
+
+    scipy is not in this sandbox, and a per-sample Python IIR loop over
+    every clip would be the slow path; instead the cascade's impulse
+    response is materialized ONCE per sample rate (a short scalar
+    recurrence) and each clip is filtered by FFT convolution — fully
+    vectorized and numerically exact to the truncation tail.  Truncation
+    length L is chosen from the slowest pole p (the ~38 Hz high-pass) so
+    |p|^L < 1e-9: the tail energy left behind is ~180 dB down, far below
+    the 0.1 LU accuracy the gating math needs."""
+    b1, a1, b2, a2 = k_weighting_coeffs(sr)
+    pmax = 0.0
+    for a in (a1, a2):
+        pmax = max(pmax, float(np.max(np.abs(np.roots(np.asarray(a))))))
+    L = max(1024, int(np.ceil(np.log(1e-9) / np.log(pmax))))
+    x = np.zeros(L)
+    x[0] = 1.0
+    y = x
+    for b, a in ((b1, a1), (b2, a2)):
+        out = np.empty(L)
+        w1 = w2 = 0.0  # direct form II transposed
+        b0_, b1_, b2_ = b
+        _, a1_, a2_ = a
+        for n in range(L):
+            xn = y[n]
+            yn = b0_ * xn + w1
+            w1 = b1_ * xn - a1_ * yn + w2
+            w2 = b2_ * xn - a2_ * yn
+            out[n] = yn
+        y = out
+    return y
+
+
+def _k_weight(x: np.ndarray, sr: int) -> np.ndarray:
+    """Apply K-weighting by FFT convolution with the truncated IR."""
+    ir = _k_weighting_ir(sr)
+    n = len(x)
+    nfft = 1 << int(n + len(ir) - 1).bit_length()
+    return np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(ir, nfft),
+                        nfft)[:n]
+
+
+def compute_loudness_row(
+    b: bytes | None,
+    codec: str,
+    block_ms: int = 400,
+    hop_ms: int = 100,
+    decoded: Any = None,
+) -> dict[str, Any]:
+    """Programme loudness of one clip per ITU-R BS.1770-4 (mono channel,
+    weight 1.0); None fields on decode failure or when the clip is
+    shorter than one gating block.
+
+    - momentary blocks: `block_ms` windows at `hop_ms` hop; block
+      loudness l_j = -0.691 + 10*log10(mean square of K-weighted signal)
+    - lufs_momentary_max: max l_j (ungated)
+    - lufs_integrated:  mean square over blocks passing BOTH gates —
+      absolute (l_j > -70 LUFS) and relative (l_j > mean-of-abs-gated
+      minus 10 LU); None if every block is gated out (digital silence)
+    - gated_block_frac: surviving blocks / total blocks — 1.0 for steady
+      programme, < 1 when dead air or noise floor was excluded (the
+      property that distinguishes LUFS from plain RMS)
+
+    Calibration identity (spec Annex 1): a full-scale 997 Hz sine reads
+    -3.01 LUFS at any sample rate — the -0.691 offset cancels the
+    K-weighting cascade's gain at 997 Hz.
+    """
+    from .audio import decode_payload
+
+    out: dict[str, Any] = {k: None for k in _LOUDNESS_KEYS}
+    if b is None:
+        return out
+    if decoded is not None:
+        sr, pcm = decoded
+    else:
+        try:
+            sr, pcm = decode_payload(bytes(b), codec)
+        except (ValueError, NotImplementedError):
+            return out
+    n = len(pcm)
+    out["n_samples"] = n
+    if sr <= 0:
+        return out
+    win = sr * block_ms // 1000
+    hop = max(1, sr * hop_ms // 1000)
+    nb = 0 if n < win else 1 + (n - win) // hop
+    out["n_blocks"] = nb
+    if nb == 0:
+        return out
+    y = _k_weight(pcm.astype(np.float64) / 32768.0, sr)
+    # block mean squares via a cumulative sum (no (nb, win) materialize)
+    c = np.concatenate([[0.0], np.cumsum(y * y)])
+    starts = np.arange(nb) * hop
+    msq = (c[starts + win] - c[starts]) / win
+    with np.errstate(divide="ignore"):
+        lj = -0.691 + 10.0 * np.log10(msq)
+    out["lufs_momentary_max"] = float(np.max(lj))
+    abs_gated = msq[lj > -70.0]
+    if len(abs_gated) == 0:
+        out["gated_block_frac"] = 0.0
+        return out
+    rel = -0.691 + 10.0 * np.log10(np.mean(abs_gated)) - 10.0
+    keep = msq[(lj > -70.0) & (lj > rel)]
+    out["gated_block_frac"] = len(keep) / nb
+    if len(keep):
+        out["lufs_integrated"] = float(
+            -0.691 + 10.0 * np.log10(np.mean(keep)))
+    return out
+
+
+def loudness_features(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    block_ms: int = 400,
+    hop_ms: int = 100,
+) -> DataFrame:
+    """Per-clip BS.1770 loudness as flat columns; map-only, one
+    Arrow-batched decode (the extract_audio_features shape).
+
+    This is the level-QA pass of an audio corpus gate: lufs_integrated
+    bands delivery loudness (streaming targets sit near -14 to -16 LUFS,
+    broadcast at -23/-24), gated_block_frac exposes clips padded with
+    dead air, and the integrated/momentary gap flags bursty content.
+    All per-clip scalars — downstream banding never touches payload
+    bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keys = _LOUDNESS_KEYS
+
+    @pandas_udf(LOUDNESS_FEATURES_SCHEMA)
+    def loudness_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_loudness_row as _clr
+
+        cols: dict[str, list] = {k: [] for k in keys}
+        appends = [cols[k].append for k in keys]
+        for bb, cc in zip(b, codec):
+            r = _clr(bb, cc, block_ms=block_ms, hop_ms=hop_ms)
+            for ap, k in zip(appends, keys):
+                ap(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    feat = loudness_stats(F.col(bytes_col), F.col(codec_col)).alias("_l")
+    projected = df.select(*keep, feat)
+    return projected.select(
+        *keep, *[F.col(f"_l.{k}").alias(k) for k in keys])

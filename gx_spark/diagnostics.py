@@ -646,9 +646,34 @@ def _gallery_pitch_between():
          "out": {"success": False, "unexpected_count": 1}})
 
 
+def _gallery_loudness():
+    """A healthy-level 997 Hz tone (~-9 LUFS) vs a gain-bug-quiet one
+    (~-43 LUFS): the quiet clip breaks a [-20, 0] LUFS delivery band.
+    Clips are 500 ms so each spans at least one 400 ms gating block."""
+    import numpy as np
+
+    from .audio import encode_payload
+
+    sr, dur = 8000, 500
+    t = np.arange(sr * dur // 1000) / sr
+
+    def clip(cid: str, amp: float) -> dict:
+        pcm = np.rint(amp * 32767 * np.sin(2 * np.pi * 997.0 * t)).astype(
+            np.int16)
+        return dict(clip_id=cid, bytes=encode_payload(pcm, sr, "pcm_s16le"),
+                    sr_hz=sr, dur_ms=dur, codec="pcm_s16le", transcript="x")
+
+    return _audio_example(
+        [clip("diag_level_ok", 0.5), clip("diag_too_quiet", 0.01)],
+        {"title": "-43 LUFS clip breaks the [-20, 0] delivery band",
+         "in": {"min_lufs": -20.0, "max_lufs": 0.0},
+         "out": {"success": False, "unexpected_count": 1}})
+
+
 #: Lazy builders for examples whose payloads come from the in-repo codecs
 #: (numpy work happens only when diagnostics run).
 GALLERY_EXAMPLE_BUILDERS: dict = {
+    "expect_audio_loudness_to_be_between": _gallery_loudness,
     "expect_audio_voiced_fraction_to_be_between": _gallery_voiced_fraction,
     "expect_audio_pitch_to_be_between": _gallery_pitch_between,
     "expect_audio_metadata_to_be_consistent": _gallery_audio_metadata,

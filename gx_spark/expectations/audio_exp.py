@@ -479,3 +479,88 @@ class AudioPitchBetween(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.round(F.col(_PITCH_COL)["f0_median_hz"], 2)
+
+
+# ---------------------------------------------------------------------------
+# loudness gate (ITU-R BS.1770-4 — gx_spark/audio_ops.py compute_loudness_row)
+# ---------------------------------------------------------------------------
+
+_LOUDNESS_COL = "__loudness"
+
+
+def ensure_loudness_features(
+    ctx: MetricContext, cfg: ExpectationConfiguration,
+) -> None:
+    """Register the shared `__loudness` column (one K-weighted decode per
+    run; the ensure_audio_flags convention).  Block/hop sizes must agree
+    across loudness expectations in one suite."""
+    k = cfg.kwargs
+    bcol = k.get("bytes_column", "bytes")
+    ccol = k.get("codec_column", "codec")
+    require_columns(ctx, bcol, ccol)
+    params = dict(block_ms=int(k.get("block_ms", 400)),
+                  hop_ms=int(k.get("hop_ms", 100)))
+    have = getattr(ctx, "_loudness_params", None)
+    if _LOUDNESS_COL in ctx.derived:
+        if have != params:
+            raise ValueError(
+                "conflicting loudness block params in one suite: "
+                f"{have} vs {params}")
+        return
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    keys = ("lufs_integrated", "lufs_momentary_max", "gated_block_frac")
+
+    @pandas_udf("lufs_integrated double, lufs_momentary_max double, "
+                "gated_block_frac double")
+    def loudness_flags(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_loudness_row as _clr
+
+        cols: dict[str, list] = {x: [] for x in keys}
+        appends = [cols[x].append for x in keys]
+        for bb, cc in zip(b, codec):
+            r = _clr(bb, cc, **params)
+            for ap, x in zip(appends, keys):
+                ap(r[x])
+        return pd.DataFrame(cols, copy=False)
+
+    ctx.derived[_LOUDNESS_COL] = loudness_flags(F.col(bcol), F.col(ccol))
+    ctx._loudness_params = params
+
+
+@register_expectation("expect_audio_loudness_to_be_between")
+class AudioLoudnessBetween(ColumnMapExpectation):
+    """Unexpected when the clip's integrated programme loudness
+    (ITU-R BS.1770-4: K-weighted, absolute -70 LUFS + relative -10 LU
+    gated) falls outside [min_lufs, max_lufs] — the level-QA gate of an
+    audio corpus (streaming masters target ~-14 LUFS, broadcast -23/-24;
+    a 'normalized' corpus with -40 LUFS clips has a gain bug upstream).
+    Gating means leading/trailing dead air does NOT drag the reading
+    down the way a plain RMS gate would.  Undecodable payloads and
+    clips shorter than one gating block have a null loudness and are
+    excluded (metadata/payload-size concerns)."""
+
+    metric_name = "audio.lufs_integrated"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault("column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_loudness_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        lo = float(cfg.kwargs.get("min_lufs", -70.0))
+        hi = float(cfg.kwargs.get("max_lufs", 0.0))
+        v = F.col(_LOUDNESS_COL)["lufs_integrated"]
+        return v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_LOUDNESS_COL)["lufs_integrated"], 2)
