@@ -1473,6 +1473,21 @@ def q_audio_transcode_roundtrip(spark, sf_dir):
     )
 
 
+def q_dedup_spans_documents(spark, sf_dir):
+    """Substring-level exact dedup (gx_spark/ops.py dedup_spans — Lee et
+    al. 2022 ExactSubstr re-expressed as distributable positional 8-gram
+    span marking): every word 8-gram occurring more than once in the
+    corpus is kept only at its first (doc_id, pos) occurrence; the k
+    words of every later occurrence are cut from their documents.  The
+    testdata's planted near-dup docs share aligned word runs, so real
+    cross-doc spans are removed (~2100 duplicated-gram occurrences at
+    sf0.01).  The oracle rebuilds the identical pipeline relationally —
+    same md5 gram keys, winner-encode min, overlap-union removal, and
+    space-rejoined text."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.dedup_spans(docs, "doc_id", "text", k=8)
+
+
 def q_audio_loudness_bands(spark, sf_dir):
     """Programme-loudness QA (gx_spark.audio_ops.loudness_features —
     ITU-R BS.1770-4: K-weighting biquads re-derived for any fs via the
@@ -2591,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "dedup_spans_documents": q_dedup_spans_documents,
         "audio_loudness_bands": q_audio_loudness_bands,
         "audio_pitch_violations": q_audio_pitch_violations,
         "chunk_documents": q_chunk_documents,
@@ -2909,6 +2925,36 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "dedup_spans_documents": (
+            # full relational recompute: same md5(8-gram) keys, the
+            # line_dedup winner-encode trick (doc_id*1e9+pos), removal =
+            # union of [pos, pos+8) over flagged occurrences, text
+            # space-rejoined; all-removed docs yield NULL on both engines
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS words FROM documents), "
+            "occ AS (SELECT doc_id, u.j AS pos, "
+            "md5(array_to_string(words[u.j+1 : u.j+8], ' ')) AS g "
+            "FROM w, UNNEST(range(0, len(words)-8+1)) AS u(j)), "
+            "dups AS (SELECT g, min(doc_id*1000000000 + pos) AS wenc "
+            "FROM occ GROUP BY g HAVING count(*) > 1), "
+            "flagged AS (SELECT o.doc_id, o.pos FROM occ o JOIN dups d "
+            "ON o.g = d.g WHERE o.doc_id*1000000000 + o.pos <> d.wenc), "
+            "tok AS (SELECT doc_id, unnest(words) AS word, "
+            "generate_subscripts(words, 1) - 1 AS idx FROM w), "
+            "marked AS (SELECT t.doc_id, t.idx, t.word, EXISTS (SELECT 1 "
+            "FROM flagged f WHERE f.doc_id = t.doc_id AND t.idx >= f.pos "
+            "AND t.idx < f.pos + 8) AS cov FROM tok t), "
+            "agg AS (SELECT doc_id, count(*) AS n_words, "
+            "count(*) FILTER (WHERE cov) AS n_removed, "
+            "string_agg(word, ' ' ORDER BY idx) FILTER (WHERE NOT cov) "
+            "AS text_deduped FROM marked GROUP BY doc_id), "
+            "fc AS (SELECT doc_id, count(*) AS n_dup_occurrences "
+            "FROM flagged GROUP BY doc_id) "
+            "SELECT a.doc_id, a.n_words, "
+            "COALESCE(fc.n_dup_occurrences, 0) AS n_dup_occurrences, "
+            "a.n_removed, a.text_deduped "
+            "FROM agg a LEFT JOIN fc USING (doc_id)"
+        ),
         "audio_loudness_bands": (
             # exact BS.1770 arithmetic: amplitude class = doc_id%5 (the
             # 997 Hz identity makes loudness a closed form, banded in

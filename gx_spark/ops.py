@@ -1578,6 +1578,101 @@ def line_dedup(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): any
+    word-level k-gram that occurs MORE THAN ONCE across the whole corpus
+    (across documents or repeated within one) is kept only at its first
+    occurrence — lowest (doc_id, pos) — and the k words of every later
+    occurrence are cut out of their documents.  Line_dedup removes whole
+    duplicated lines; this removes duplicated spans that cross line
+    boundaries or sit inside otherwise-unique text (boilerplate
+    sentences, quoted paragraphs, license blocks).
+
+    Word tokens come from a whitespace split of the trimmed text; output
+    text is space-rejoined (whitespace-normalized).  Documents shorter
+    than k words have no grams and pass through unchanged.  A document
+    that was a pure copy loses every word — its deduped text is NULL.
+
+    Returns (doc_id, n_words, n_dup_occurrences, n_removed, text_deduped).
+
+    Scale shape (the paper builds a suffix array on one big machine;
+    this is the distributable equivalent — positional k-gram marking,
+    the winnowing/decontaminate machinery pointed at span REMOVAL):
+      1. positional grams, map-side; each gram is md5-compressed to 32
+         chars BEFORE the exchange, so the shuffle carries fixed-width
+         keys instead of k-word strings (both engines express md5, so
+         the oracle reproduces the exact same keys).
+      2. winners: groupBy(gram_key).agg(min(struct), count) — min/count
+         partial-aggregate map-side; a boilerplate gram duplicated 10^9
+         times crosses the wire once per map task.
+      3. occurrences ⋈ duplicated-winners: shuffle join that STREAMS the
+         big side (one winner row per gram of state).
+      4. flagged positions re-key by doc_id: collect_list bounded by the
+         doc's own word count (the line_dedup reassembly bound); the
+         heavy text never crosses the wire — only (doc_id, pos) pairs.
+      5. span reconstruction is a per-row HOF over the doc's own words
+         (exists() over its own flagged starts) — map-side, no UDF.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n = F.size("_w")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda j: F.struct(
+                j.cast("long").alias("pos"),
+                F.md5(F.array_join(F.slice("_w", j + 1, k), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,g:string>>"))
+    occ = docs.select("doc_id", F.explode(grams).alias("o")).select(
+        "doc_id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g")
+    )
+    dups = (
+        occ.groupBy("g")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .where(F.col("_c") > 1)
+        .select("g", "_first")
+    )
+    flagged = (
+        occ.join(dups, "g")
+        .where(~(F.struct("doc_id", "pos") == F.col("_first")))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("_fp"),
+            F.count(F.lit(1)).alias("n_dup_occurrences"),
+        )
+    )
+    out = docs.join(flagged, "doc_id", "left")
+    fp = F.coalesce(F.col("_fp"), F.array().cast("array<long>"))
+
+    def covered(i):
+        # i is the 0-based word index; flagged start p covers [p, p+k)
+        return F.exists(fp, lambda p: (p <= i) & (i < p + k))
+
+    kept = F.filter("_w", lambda w, i: ~covered(i.cast("long")))
+    return out.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.coalesce("n_dup_occurrences", F.lit(0)).cast("long").alias(
+            "n_dup_occurrences"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.nullif(F.array_join(kept, " "), F.lit("")).alias("text_deduped"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
 ) -> DataFrame:
