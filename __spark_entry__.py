@@ -1473,6 +1473,45 @@ def q_audio_transcode_roundtrip(spark, sf_dir):
     )
 
 
+def q_transcript_wer_documents(spark, sf_dir):
+    """ASR error-rate QA (gx_spark/ops.py transcript_error_stats): the
+    reference is each doc's first 30 words; the hypothesis plants
+    deterministic edits per word from md5(word:pos)%7 — class 0 deletes
+    the word, class 1 substitutes it with word~pos.  Substituted tokens
+    contain '~' (absent from the corpus), so they can match NO reference
+    word, which makes the true word-level Levenshtein distance provably
+    exactly D+S (any edit script pays >= one op per OOV token plus the
+    length deficit) — the oracle recomputes D+S and the rates from the
+    same md5 arithmetic, while the ENGINE runs its real DP (pandas UDF)
+    and the builtin char levenshtein; hash equality certifies both.
+    ASCII-pure corpus, so byte-based (DuckDB) and codepoint-based
+    (Spark) char distances agree."""
+    docs = _load(spark, sf_dir, "documents")
+    rw = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 30)
+    marked = F.transform(
+        rw,
+        lambda w, i: F.struct(
+            w.alias("w"),
+            (i + 1).cast("string").alias("i"),
+            (F.conv(F.substring(
+                F.md5(F.concat(w, F.lit(":"), (i + 1).cast("string"))),
+                1, 15), 16, 10).cast("long") % 7).alias("h"),
+        ),
+    )
+    hyp_arr = F.transform(
+        F.filter(marked, lambda s: s["h"] != 0),
+        lambda s: F.when(
+            s["h"] == 1, F.concat(s["w"], F.lit("~"), s["i"])
+        ).otherwise(s["w"]),
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(hyp_arr, " ").alias("hyp"),
+        F.array_join(rw, " ").alias("ref"),
+    )
+    return ops.transcript_error_stats(pairs, "doc_id", "hyp", "ref")
+
+
 def q_dedup_spans_documents(spark, sf_dir):
     """Substring-level exact dedup (gx_spark/ops.py dedup_spans — Lee et
     al. 2022 ExactSubstr re-expressed as distributable positional 8-gram
@@ -2606,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "transcript_wer_documents": q_transcript_wer_documents,
         "dedup_spans_documents": q_dedup_spans_documents,
         "audio_loudness_bands": q_audio_loudness_bands,
         "audio_pitch_violations": q_audio_pitch_violations,
@@ -2925,6 +2965,33 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "transcript_wer_documents": (
+            # same md5(word:pos)%7 edit classes; word_edits = D+S by the
+            # OOV-substitution argument (engine runs the real DP); char
+            # distance via DuckDB's levenshtein on the same ASCII pair
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+')[1:30] AS rw FROM documents), "
+            "tok AS (SELECT doc_id, unnest(rw) AS word, "
+            "generate_subscripts(rw, 1) AS i FROM w), "
+            "cls AS (SELECT doc_id, i, word, "
+            "CAST(('0x' || substr(md5(word || ':' || CAST(i AS VARCHAR)), "
+            "1, 15)) AS BIGINT) % 7 AS h FROM tok), "
+            "hyp AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN h = 1 "
+            "THEN word || '~' || CAST(i AS VARCHAR) ELSE word END, ' ' "
+            "ORDER BY i) FILTER (WHERE h <> 0), '') AS hyp_text, "
+            "count(*) FILTER (WHERE h = 0) AS d, "
+            "count(*) FILTER (WHERE h = 1) AS s FROM cls GROUP BY doc_id), "
+            "r AS (SELECT doc_id, array_to_string(rw, ' ') AS ref_text, "
+            "len(rw) AS ref_words FROM w) "
+            "SELECT r.doc_id, CAST(r.ref_words AS BIGINT) AS ref_words, "
+            "CAST(d + s AS BIGINT) AS word_edits, "
+            "round((d + s) / CAST(r.ref_words AS DOUBLE), 6) AS wer, "
+            "CAST(length(ref_text) AS BIGINT) AS ref_chars, "
+            "CAST(levenshtein(hyp_text, ref_text) AS BIGINT) AS char_edits, "
+            "round(levenshtein(hyp_text, ref_text) / "
+            "CAST(length(ref_text) AS DOUBLE), 6) AS cer "
+            "FROM r JOIN hyp USING (doc_id)"
+        ),
         "dedup_spans_documents": (
             # full relational recompute: same md5(8-gram) keys, the
             # line_dedup winner-encode trick (doc_id*1e9+pos), removal =

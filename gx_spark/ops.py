@@ -16,6 +16,7 @@ Scale notes are in each docstring; everything runs on the driver-provided
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -306,6 +307,81 @@ def edit_distance_pairs(
         out = out.filter(
             F.col("sim_milli") >= int(1000.0 * float(sim_threshold)))
     return out
+
+
+def word_edit_distance(a: list[str], b: list[str]) -> int:
+    """Word-level Levenshtein distance (unit costs) — the WER numerator.
+    Two-row DP with the inner recurrence vectorized: the insertion
+    dependency cur[j] = min(m[j], cur[j-1]+1) is a running min with +1
+    per step, i.e. cur[j] = min over l<=j of (m[l] + (j-l)), computed as
+    a prefix-min of m[l]-l (no per-cell Python loop)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    bw = np.array(b, dtype=object)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    steps = np.arange(1, lb + 1, dtype=np.int64)
+    for i, wa in enumerate(a, 1):
+        m = np.minimum(prev[:-1] + (bw != wa), prev[1:] + 1)
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(
+            np.minimum.accumulate(m - steps) + steps,
+            i + steps,
+        )
+        prev = cur
+    return int(prev[lb])
+
+
+def transcript_error_stats(
+    df: DataFrame, id_col: str, hyp_col: str, ref_col: str
+) -> DataFrame:
+    """Per-row ASR transcript error rates against a reference — the
+    corpus-QA step that catches a mis-run transcription model or a
+    transcript/audio pairing bug before training (WER is THE headline
+    ASR metric; CER backs it up where tokenization is ambiguous).
+
+    - char_edits / cer: character-level Levenshtein via the BUILT-IN
+      `levenshtein` (JVM codegen, codepoint-based) over the raw strings.
+    - word_edits / wer: word-level Levenshtein over whitespace tokens of
+      the trimmed text, in an Arrow-batched pandas UDF (word alphabets
+      are unbounded, so no builtin applies; the DP inner loop is numpy-
+      vectorized — see word_edit_distance).
+
+    Rates are rounded to 6 decimals; a null hypothesis is treated as
+    empty (all-deletion). Returns (id, ref_words, word_edits, wer,
+    ref_chars, char_edits, cer).  Entirely map-side: zero Exchange, so
+    it composes with any upstream scan at full scan parallelism."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def word_edits_udf(hyp: pd.Series, ref: pd.Series) -> pd.Series:
+        out = []
+        for h, r in zip(hyp, ref):
+            a = (h or "").split()
+            b = (r or "").split()
+            out.append(word_edit_distance(a, b))
+        return pd.Series(out, dtype="int64")
+
+    hyp = F.coalesce(F.col(hyp_col), F.lit(""))
+    ref = F.col(ref_col)
+    ref_words = F.size(F.split(F.trim(ref), r"\s+"))
+    ref_chars = F.length(ref)
+    char_edits = F.levenshtein(hyp, ref)
+    word_edits = word_edits_udf(hyp, ref)
+    return df.select(
+        F.col(id_col),
+        ref_words.cast("long").alias("ref_words"),
+        word_edits.alias("word_edits"),
+        F.round(word_edits / ref_words, 6).alias("wer"),
+        ref_chars.cast("long").alias("ref_chars"),
+        char_edits.cast("long").alias("char_edits"),
+        F.round(char_edits / ref_chars, 6).alias("cer"),
+    )
 
 
 def connected_components(
