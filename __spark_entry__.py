@@ -1201,6 +1201,74 @@ def q_audio_gain_normalize(spark, sf_dir):
     )
 
 
+def q_audio_declip_repair(spark, sf_dir):
+    """Clipping repair (gx_spark.audio_ops.declip_audio — cubic-Hermite
+    interpolation over rail runs, Janssen-class declipper): clips built
+    from documents doc_id<300 as 300 ms 440 Hz sines with nominal
+    amplitude [0.3, 1.4, 2.0][doc_id%3] hard-clipped to int16, across
+    two lossless codecs.  The repaired output is re-measured by the
+    features pass.  Pins: was_clipped from the rail count; n_clipped_ok
+    pins the EXACT per-class rail-sample count (precomputed from the
+    same waveform arithmetic at build time — 0 / 2376 / 3192); rail_free
+    pins post-repair clipping_ratio == 0 (out_peak=0.97 leaves headroom
+    under clip_rail=32000); passthrough_ok pins that clean clips keep
+    their ORIGINAL bytes (md5-identical, gain 0) while repaired clips
+    re-encode pcm_s16le with gain < 0 (reconstruction overshoots full
+    scale).  The oracle restates all four from doc_id arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import declip_audio, extract_audio_features
+
+    sr = 16000
+    amps = [0.3, 1.4, 2.0]
+    codecs = ["pcm_s16le", "flac"]
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 440.0 * t)
+    rail = int(round(32767 * 0.999))
+    pcm_by_class = [
+        np.clip(np.rint(a * 32767 * base), -32768, 32767).astype(np.int16)
+        for a in amps
+    ]
+    expected_clipped = [
+        int(np.count_nonzero((p >= rail) | (p <= -rail)))
+        for p in pcm_by_class
+    ]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        codec = codecs[i % 2]
+        rows.append((i, bytearray(
+            encode_payload(pcm_by_class[i % 3], sr, codec)), codec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string"
+    ).withColumn("in_md5", F.md5("bytes"))
+    repaired = declip_audio(df).withColumn(
+        "md5_same", F.md5("bytes") == F.col("in_md5"))
+    exp_expr = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit(expected_clipped[1]))
+        .when(F.col("doc_id") % 3 == 2, F.lit(expected_clipped[2]))
+        .otherwise(F.lit(0))
+    )
+    feats = extract_audio_features(
+        repaired,
+        keep_cols=["doc_id", "codec", "n_clipped", "declip_gain_db",
+                   "md5_same"])
+    return feats.select(
+        "doc_id",
+        (F.col("n_clipped") > 0).alias("was_clipped"),
+        (F.col("n_clipped") == exp_expr).alias("n_clipped_ok"),
+        (F.col("clipping_ratio") == 0.0).alias("rail_free"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.col("md5_same") & (F.col("declip_gain_db") == 0.0))
+         .otherwise((F.col("codec") == "pcm_s16le")
+                    & (F.col("declip_gain_db") < 0.0))
+         .alias("passthrough_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -2645,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_declip_repair": q_audio_declip_repair,
         "transcript_wer_documents": q_transcript_wer_documents,
         "dedup_spans_documents": q_dedup_spans_documents,
         "audio_loudness_bands": q_audio_loudness_bands,
@@ -2965,6 +3034,16 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_declip_repair": (
+            # doc_id arithmetic restated: classes 1 and 2 (amp 1.4 / 2.0)
+            # carry rail runs, class 0 (amp 0.3) is clean; the exact rail
+            # counts, post-repair rail-freedom, clean-bytes passthrough
+            # and repaired-gain sign are invariants the engine computes
+            # from the waveform and pins as booleans
+            "SELECT doc_id, (doc_id % 3 <> 0) AS was_clipped, "
+            "true AS n_clipped_ok, true AS rail_free, "
+            "true AS passthrough_ok FROM documents WHERE doc_id < 300"
+        ),
         "transcript_wer_documents": (
             # same md5(word:pos)%7 edit classes; word_edits = D+S by the
             # OOV-substitution argument (engine runs the real DP); char

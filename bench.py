@@ -387,6 +387,31 @@ def main() -> None:
             F.avg("logprob_per_token"), F.sum("n_tokens")
         ).collect()
 
+    @bench("documents_span_wer")
+    def _():
+        # r5 span-dedup + error-rate ops in their own section: Lee et
+        # al.-style duplicated-8-gram span removal (md5-compressed gram
+        # keys on the wire), then WER/CER of a planted-edit hypothesis
+        # against the 30-word reference (map-only: builtin levenshtein +
+        # the vectorized word-DP pandas UDF)
+        docs = load("documents")
+        spans = ops.dedup_spans(docs, "doc_id", "text")
+        row = spans.agg(
+            F.count(F.lit(1)), F.sum("n_removed"),
+            F.sum("n_dup_occurrences")
+        ).collect()[0]
+        assert row[2] >= 0
+        rw = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 30)
+        pairs = docs.select(
+            "doc_id",
+            F.array_join(F.filter(rw, lambda w, i: (i % 7) != 0), " ")
+             .alias("hyp"),
+            F.array_join(rw, " ").alias("ref"),
+        )
+        ops.transcript_error_stats(pairs, "doc_id", "hyp", "ref").agg(
+            F.avg("wer"), F.avg("cer"), F.sum("word_edits")
+        ).collect()
+
     @bench("embeddings_similarity")
     def _():
         emb = load("embeddings")
@@ -704,6 +729,54 @@ def main() -> None:
     assert int(astats["n"]) == pipeline_n
     assert 0 < int(astats["ok"]) <= pipeline_n
 
+    # r5: level + pitch QA over the same quarter shard — BS.1770 gated
+    # LUFS (truncated-IR FFT convolution K-weighting) and the framewise-
+    # ACF F0 tracker; two map-only Arrow decode passes, scalars out
+    from gx_spark.audio_ops import loudness_features, pitch_features
+
+    level_runs = []
+    section_ctrl["audio_level_pitch"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_level_pitch"].append(hw_control())
+        t0 = time.time()
+        lstats = loudness_features(pipe_df, keep_cols=["clip_id"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("lufs_integrated").alias("lufs_avg"),
+            F.min("gated_block_frac").alias("min_gated"),
+        ).collect()[0]
+        pstats = pitch_features(pipe_df, keep_cols=["clip_id"]).agg(
+            F.avg("voiced_frac").alias("voiced_avg"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        level_runs.append(time.time() - t0)
+    level_dt = min(level_runs)
+    timings["audio_level_pitch"] = round(level_dt, 3)
+    assert int(lstats["n"]) == pipeline_n == int(pstats["n"])
+
+    # r5: clipping repair over the same quarter shard — cubic-Hermite
+    # interpolation declipper; map-only decode -> repair -> re-encode,
+    # clean clips pass bytes through untouched
+    from gx_spark.audio_ops import declip_audio
+
+    declip_runs = []
+    section_ctrl["audio_declip"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_declip"].append(hw_control())
+        t0 = time.time()
+        dstats = declip_audio(pipe_df).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("bytes").isNotNull().cast("long")).alias("ok"),
+            F.sum(F.col("n_clipped")).alias("repaired_samples"),
+            F.sum((F.col("n_clipped") > 0).cast("long")).alias("repaired"),
+        ).collect()[0]
+        declip_runs.append(time.time() - t0)
+    declip_dt = min(declip_runs)
+    timings["audio_declip"] = round(declip_dt, 3)
+    assert int(dstats["n"]) == pipeline_n
+    assert 0 < int(dstats["ok"]) <= pipeline_n
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -725,6 +798,12 @@ def main() -> None:
         "combined_runs_sec": [round(x, 3) for x in combined_runs],
         "segmentation_clips_per_sec": round(pipeline_n / segment_dt, 1),
         "augmentation_clips_per_sec": round(pipeline_n / augment_dt, 1),
+        "level_pitch_clips_per_sec": round(pipeline_n / level_dt, 1),
+        "declip_clips_per_sec": round(pipeline_n / declip_dt, 1),
+        "declip_totals": {
+            "repaired_clips": int(dstats["repaired"] or 0),
+            "repaired_samples": int(dstats["repaired_samples"] or 0),
+        },
         "augmentation_out_rows": int(astats["ok"]),
         "segmentation_totals": {
             "segments": int(sstats["segs"] or 0),

@@ -2258,3 +2258,143 @@ def loudness_features(
     projected = df.select(*keep, feat)
     return projected.select(
         *keep, *[F.col(f"_l.{k}").alias(k) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# declipping (cubic reconstruction of rail-clipped runs)
+# ---------------------------------------------------------------------------
+
+def declip_pcm(
+    pcm: np.ndarray,
+    rail_frac: float = 0.999,
+    out_peak: float = 0.97,
+) -> tuple[np.ndarray, int, float]:
+    """Repair one clip's rail-clipped runs by cubic Hermite interpolation
+    (the classic interpolation declipper — Janssen et al. 1986's problem,
+    solved here with the two nearest clean samples each side as anchors
+    and one-sided-difference tangents, i.e. a Catmull-Rom segment per
+    run).  The reconstructed peak may legitimately exceed full scale —
+    that is the restored waveform — so the whole clip is then scaled by
+    min(1, out_peak*32767/peak) to fit the int16 grid without
+    re-clipping.
+
+    Runs touching the clip edge have no anchor on that side and hold the
+    nearest clean value instead.  Returns (int16 pcm, n_clipped samples
+    repaired, applied gain in dB).  A clip with no rail samples comes
+    back UNTOUCHED (same array object, gain 0) so callers can pass the
+    original bytes through.
+
+    The default out_peak=0.97 puts the repaired peak (~31784) below both
+    the rail threshold AND the features pass's clip_rail=32000, so a
+    repaired clip measures clipping_ratio == 0 and running declip again
+    is a no-op (idempotent).  Callers raising out_peak above rail_frac
+    would re-flag their own output."""
+    n = len(pcm)
+    if n == 0:
+        return pcm, 0, 0.0
+    thr = int(round(32767 * rail_frac))
+    mask = (pcm >= thr) | (pcm <= -thr)
+    n_clip = int(np.count_nonzero(mask))
+    if n_clip == 0:
+        return pcm, 0, 0.0
+    x = pcm.astype(np.float64)
+    idx = np.flatnonzero(mask)
+    # run boundaries: splits where consecutive clipped indices jump
+    splits = np.flatnonzero(np.diff(idx) > 1) + 1
+    for run in np.split(idx, splits):
+        s, e = int(run[0]), int(run[-1])
+        has_l = s >= 2
+        has_r = e <= n - 3
+        if not has_l and not has_r:
+            continue  # whole clip clipped: nothing clean to anchor on
+        if not has_l:
+            x[s:e + 1] = x[e + 1]
+            continue
+        if not has_r:
+            x[s:e + 1] = x[s - 1]
+            continue
+        p0, p1 = x[s - 1], x[e + 1]
+        L = e - s + 2
+        m0 = (x[s - 1] - x[s - 2]) * L
+        m1 = (x[e + 2] - x[e + 1]) * L
+        t = (np.arange(s, e + 1) - (s - 1)) / L
+        t2, t3 = t * t, t * t * t
+        x[s:e + 1] = ((2 * t3 - 3 * t2 + 1) * p0 + (t3 - 2 * t2 + t) * m0
+                      + (-2 * t3 + 3 * t2) * p1 + (t3 - t2) * m1)
+    peak = float(np.max(np.abs(x)))
+    gain = min(1.0, out_peak * 32767.0 / peak) if peak > 0 else 1.0
+    y = np.clip(np.rint(x * gain), -32768, 32767).astype(np.int16)
+    return y, n_clip, 20.0 * np.log10(gain)
+
+
+def declip_audio(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    rail_frac: float = 0.999,
+    out_peak: float = 0.97,
+) -> DataFrame:
+    """Clipping repair — the waveform-restoration step a speech-corpus
+    curation pipeline runs on the `clipping_ratio` violators its
+    validation pass found (repairing beats dropping when the corpus is
+    expensive).  Each clip's rail runs are rebuilt by cubic
+    interpolation (declip_pcm) and the result re-fit to int16 with a
+    documented global gain.
+
+    Output schema = input schema + (n_clipped long, declip_gain_db
+    double).  Clean clips pass through with their ORIGINAL bytes and
+    codec (n_clipped 0, gain 0); repaired clips re-encode pcm_s16le;
+    undecodable rows pass through with null bytes (the trim_silence
+    convention).  mapInPandas keeps payloads inside Arrow batches;
+    map-only, no shuffle."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("n_clipped", LongType()),
+           StructField("declip_gain_db", DoubleType())]
+    )
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import declip_pcm as _dcp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            counts: list[int | None] = []
+            gains: list[float | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    counts.append(None)
+                    gains.append(None)
+                    continue
+                y, n_clip, gdb = _dcp(pcm, rail_frac, out_peak)
+                if n_clip == 0:
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                else:
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                counts.append(n_clip)
+                gains.append(gdb)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            pdf["n_clipped"] = pd.array(counts, dtype="Int64")
+            pdf["declip_gain_db"] = pd.array(gains, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
