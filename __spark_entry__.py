@@ -1269,6 +1269,116 @@ def q_audio_declip_repair(spark, sf_dir):
     )
 
 
+def q_audio_channel_stats(spark, sf_dir):
+    """Channel-layout audit + mono normalization (gx_spark.audio_ops.
+    channel_stats / downmix_audio, over the new multi-channel WAV
+    support in gx_spark.audio): clips from documents doc_id<300 —
+    class doc_id%3: 0 = mono 0.3 sine, 1 = stereo with identical
+    channels, 2 = stereo with L amp 0.4 / R amp 0.1; containers
+    alternate PCM16 / IEEE-float32 (tag 3) by doc_id%2, so the float
+    path is exercised in-window.  Pins: n_channels from the header
+    probe; balance_band = round(max-min channel RMS dB) — null (mono)
+    → -1, identical channels → 0, the 0.4/0.1 pair → 20*log10(4) ≈
+    12.04 → 12; downmix_ok pins that mono rows keep their ORIGINAL
+    bytes (md5) while stereo rows re-encode mono pcm_s16le with
+    n_channels_in=2; samples_ok pins the downmixed decode still carries
+    all 4800 frames.  The oracle restates everything from doc_id
+    arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload, wav_encode_multi
+    from gx_spark.audio_ops import (channel_stats, downmix_audio,
+                                    extract_audio_features)
+
+    sr = 16000
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 440.0 * t)
+    L = np.rint(0.4 * 32767 * base).astype(np.int16)
+    R = np.rint(0.1 * 32767 * base).astype(np.int16)
+    M = np.rint(0.3 * 32767 * base).astype(np.int16)
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        codec = ["pcm_s16le", "pcm_f32le"][i % 2]
+        tag = 1 if codec == "pcm_s16le" else 3
+        c = i % 3
+        if c == 0:
+            payload = encode_payload(M, sr, codec)
+        elif c == 1:
+            payload = wav_encode_multi(np.stack([L, L], axis=1), sr, tag)
+        else:
+            payload = wav_encode_multi(np.stack([L, R], axis=1), sr, tag)
+        rows.append((i, bytearray(payload), codec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string"
+    ).withColumn("in_md5", F.md5("bytes"))
+    stats = channel_stats(df, keep_cols=["doc_id"]).select(
+        "doc_id", "n_channels",
+        F.coalesce(F.round("balance_db", 0).cast("int"), F.lit(-1))
+         .alias("balance_band"),
+    )
+    mixed = downmix_audio(df).withColumn(
+        "md5_same", F.md5("bytes") == F.col("in_md5"))
+    feats = extract_audio_features(
+        mixed, keep_cols=["doc_id", "codec", "n_channels_in", "md5_same"])
+    down = feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.col("md5_same") & (F.col("n_channels_in") == 1))
+         .otherwise((F.col("codec") == "pcm_s16le")
+                    & (F.col("n_channels_in") == 2))
+         .alias("downmix_ok"),
+        (F.col("n_samples") == 4800).alias("samples_ok"),
+    )
+    return stats.join(down, "doc_id").select(
+        "doc_id", "n_channels", "balance_band", "downmix_ok", "samples_ok")
+
+
+def q_audio_f32_transcode(spark, sf_dir):
+    """IEEE-float32 WAV (format tag 3, the second tag real float
+    pipelines exchange) as a transcode target: clips from documents
+    doc_id<300 across three source codecs are rewritten pcm_f32le by
+    gx_spark.audio_ops.transcode_audio, then BOTH sides run the features
+    pass.  float32 carries every int16 sample exactly (15-bit magnitudes
+    in a 24-bit mantissa, /32768 both ways), so lossless_ok pins equal
+    sample count + bit-identical RMS — same invariant shape as the FLAC
+    round trip, now for the float container."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, transcode_audio
+
+    sr = 16000
+    codecs = ["pcm_s16le", "flac", "pcm_mulaw"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    t = np.arange(sr * 300 // 1000) / sr
+    base = np.sin(2 * np.pi * 659.25 * t)
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        amp = 0.1 + (i % 4) * 0.1
+        pcm = np.rint(amp * 32767 * base).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 3])),
+                     codecs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("n_samples").alias("n0"), F.col("rms_dbfs").alias("r0"))
+    after = extract_audio_features(
+        transcode_audio(df, "pcm_f32le"), keep_cols=["doc_id", "codec"]
+    ).select(
+        "doc_id", "codec", F.col("n_samples").alias("n1"),
+        F.col("rms_dbfs").alias("r1"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        ((F.col("n0") == F.col("n1")) & (F.col("r0") == F.col("r1"))).alias(
+            "lossless_ok"),
+        F.col("codec").alias("codec_out"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -2713,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_channel_stats": q_audio_channel_stats,
+        "audio_f32_transcode": q_audio_f32_transcode,
         "audio_declip_repair": q_audio_declip_repair,
         "transcript_wer_documents": q_transcript_wer_documents,
         "dedup_spans_documents": q_dedup_spans_documents,
@@ -3034,6 +3146,27 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_channel_stats": (
+            # doc_id arithmetic restated: class 0 mono (balance null →
+            # -1), class 1 identical stereo channels (balance 0), class
+            # 2 L/R amps 0.4/0.1 → 20*log10(4) = 12.0412 → band 12; the
+            # downmix passthrough/re-encode facts and the preserved
+            # frame count are engine-computed invariants pinned true
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) "
+            "AS n_channels, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 "
+            "ELSE 12 END AS INT) AS balance_band, "
+            "true AS downmix_ok, true AS samples_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "audio_f32_transcode": (
+            # float32 WAV carries int16 exactly (/32768 both ways):
+            # identical sample count + bit-identical RMS is an invariant
+            # of every row, as in the FLAC round trip
+            "SELECT doc_id, true AS lossless_ok, "
+            "'pcm_f32le' AS codec_out FROM documents WHERE doc_id < 300"
+        ),
         "audio_declip_repair": (
             # doc_id arithmetic restated: classes 1 and 2 (amp 1.4 / 2.0)
             # carry rail runs, class 0 (amp 0.3) is clean; the exact rail

@@ -2398,3 +2398,167 @@ def declip_audio(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# channel layout: stats + downmix (multi-channel WAV support)
+# ---------------------------------------------------------------------------
+
+_CHANNEL_KEYS = ("n_channels", "balance_db", "ch_rms_dbfs")
+AUDIO_CHANNELS_SCHEMA = (
+    "n_channels int, balance_db double, ch_rms_dbfs array<double>")
+
+
+def compute_channel_row(b: bytes | None, codec: str) -> dict[str, Any]:
+    """Channel-layout facts for one clip: n_channels from container
+    HEADERS (gx_spark.audio.payload_channels — works for every codec
+    including opus, whose packet contents are undecodable here), and for
+    decodable payloads the per-channel RMS in dBFS plus balance_db =
+    max - min channel RMS (the L/R imbalance a mixdown bug or dead mic
+    leaves behind).  balance_db is null for mono clips (no inter-channel
+    comparison exists) and when any channel is digital silence (its RMS
+    is undefined in dB)."""
+    from .audio import (DECODABLE_CODECS, WAV_FRAMED_CODECS, decode_payload,
+                        payload_channels, wav_decode_multi)
+
+    out: dict[str, Any] = {k: None for k in _CHANNEL_KEYS}
+    if b is None:
+        return out
+    bb = bytes(b)
+    ch = payload_channels(bb, codec)
+    out["n_channels"] = ch
+    try:
+        if codec in WAV_FRAMED_CODECS:
+            _, sr, pcm2 = wav_decode_multi(bb)
+        elif codec in DECODABLE_CODECS:
+            sr, mono = decode_payload(bb, codec)
+            pcm2 = mono.reshape(-1, 1)
+        else:
+            return out
+    except (ValueError, NotImplementedError):
+        return out
+    if pcm2.shape[0] == 0:
+        return out
+    x = pcm2.astype(np.float64) / 32768.0
+    ms = np.mean(x * x, axis=0)
+    rms_db = [10.0 * np.log10(m) if m > 0 else None for m in ms]
+    out["ch_rms_dbfs"] = rms_db
+    if pcm2.shape[1] >= 2 and all(r is not None for r in rms_db):
+        out["balance_db"] = float(max(rms_db) - min(rms_db))
+    return out
+
+
+def channel_stats(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-clip channel layout as flat columns (compute_channel_row);
+    map-only, binary pruned in the same projection — the corpus-audit
+    pass that answers "is this corpus actually mono?" before the mono
+    validation/feature pipeline runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+
+    @pandas_udf(AUDIO_CHANNELS_SCHEMA)
+    def _chan(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_channel_row as _ccr
+
+        cols: dict[str, list] = {k: [] for k in _CHANNEL_KEYS}
+        for bb, cc in zip(b, codec):
+            r = _ccr(bb, cc)
+            for k in _CHANNEL_KEYS:
+                cols[k].append(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    feat = _chan(F.col(bytes_col), F.col(codec_col)).alias("_ch")
+    projected = df.select(*keep, feat)
+    return projected.select(
+        *keep, *[F.col(f"_ch.{k}").alias(k) for k in _CHANNEL_KEYS])
+
+
+def downmix_audio(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Downmix multi-channel clips to mono — the normalization step that
+    makes a mixed-provenance corpus safe for the mono validation/feature
+    pipeline (wav_decode_full and every decode-requiring op enforce the
+    mono contract).  Channels are averaged per frame (float64 mean,
+    round-half-away, clipped to int16 — identical channels downmix
+    bit-identically) and re-encoded pcm_s16le.
+
+    Output schema = input schema + (n_channels_in int).  Mono clips pass
+    through with their ORIGINAL bytes and codec; undecodable rows (junk
+    headers or malformed multi-channel data) pass through with null
+    bytes (the trim_silence convention).  mapInPandas keeps payloads in
+    Arrow batches; map-only, no shuffle."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("n_channels_in", IntegerType())]
+    )
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import (WAV_FRAMED_CODECS, payload_channels,
+                                    wav_decode_multi, wav_encode)
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            chans: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                if bb is None:
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    chans.append(None)
+                    continue
+                raw = bytes(bb)
+                ch = payload_channels(raw, cc)
+                if ch is None:
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    chans.append(None)
+                    continue
+                if ch == 1 or cc not in WAV_FRAMED_CODECS:
+                    new_bytes.append(raw)
+                    new_codec.append(cc)
+                    chans.append(int(ch))
+                    continue
+                try:
+                    _, sr, pcm2 = wav_decode_multi(raw)
+                except (ValueError, NotImplementedError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    chans.append(None)
+                    continue
+                mono = np.clip(
+                    np.rint(pcm2.astype(np.float64).mean(axis=1)),
+                    -32768, 32767).astype(np.int16)
+                new_bytes.append(wav_encode(mono, sr))
+                new_codec.append("pcm_s16le")
+                chans.append(int(ch))
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            pdf[codec_col] = new_codec
+            pdf["n_channels_in"] = pd.array(chans, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

@@ -670,9 +670,39 @@ def _gallery_loudness():
          "out": {"success": False, "unexpected_count": 1}})
 
 
+def _gallery_channel_count():
+    """A mono clip vs an interleaved stereo WAV: the stereo payload
+    violates the default mono gate.  Decode-free — the expectation reads
+    a few header bytes JVM-side (channel_count_expr)."""
+    import numpy as np
+
+    from .audio import encode_payload, wav_encode_multi
+
+    sr = 8000
+    tone = np.rint(
+        0.3 * 32767 * np.sin(2 * np.pi * 440.0 * np.arange(800) / sr)
+    ).astype(np.int16)
+    mono = encode_payload(tone, sr, "pcm_s16le")
+    stereo = wav_encode_multi(np.stack([tone, tone], axis=1), sr)
+    return [{
+        "data": {
+            "clip_id": ["diag_mono", "diag_stereo"],
+            "bytes": [bytearray(mono), bytearray(stereo)],
+            "codec": ["pcm_s16le", "pcm_s16le"],
+        },
+        "schema": "clip_id string, bytes binary, codec string",
+        "tests": [{
+            "title": "a stereo payload violates the mono gate",
+            "in": {"n_channels": 1},
+            "out": {"success": False, "unexpected_count": 1},
+        }],
+    }]
+
+
 #: Lazy builders for examples whose payloads come from the in-repo codecs
 #: (numpy work happens only when diagnostics run).
 GALLERY_EXAMPLE_BUILDERS: dict = {
+    "expect_audio_channel_count_to_equal": _gallery_channel_count,
     "expect_audio_loudness_to_be_between": _gallery_loudness,
     "expect_audio_voiced_fraction_to_be_between": _gallery_voiced_fraction,
     "expect_audio_pitch_to_be_between": _gallery_pitch_between,

@@ -265,6 +265,8 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
     44-byte canonical header = 12 RIFF/WAVE + 24 fmt + 8 data):
 
     - pcm_s16le:            len == 44 + 2*n  (± tolerance_bytes)
+    - pcm_f32le:            len == 56 + 4*n  (± tolerance_bytes; IEEE-
+                            float WAV carries a mandatory fact chunk)
     - pcm_mulaw / pcm_alaw: len == 44 + n    (± tolerance_bytes, G.711 is
                             1 byte/sample)
     - adpcm_ima:            len == 60 + 256 * ceil(n / 505)
@@ -293,6 +295,7 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
 
     _WAV_BPS = {"pcm_s16le": 2, "pcm_mulaw": 1, "pcm_alaw": 1}
     _WAV_HEADER = 44
+    _F32_HEADER = 56     # RIFF 12 + fmt 24 + fact 12 (mandatory) + data 8
     _FLAC_HEADER = 42
     _ADPCM_HEADER = 60   # RIFF 12 + fmt 28 (16+2+2 ext) + fact 12 + data 8
     _ADPCM_BLOCK = 256
@@ -325,7 +328,8 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
         tol = int(cfg.kwargs.get("tolerance_bytes", 0))
         ratio = float(cfg.kwargs.get("max_flac_ratio", 1.02))
         b, sr, dur, codec = self._cols(cfg)
-        known = codec.isin(list(self._WAV_BPS) + ["flac", "adpcm_ima"])
+        known = codec.isin(
+            list(self._WAV_BPS) + ["flac", "adpcm_ima", "pcm_f32le"])
         # null bytes never reach here (map-metric missing-denominator)
         bad_geom = sr.isNull() | dur.isNull() | (sr <= 0) | (dur <= 0)
         n = self._n_samples(sr, dur)
@@ -344,10 +348,13 @@ class AudioPayloadSizeConsistent(ColumnMapExpectation):
             self._ADPCM_BLOCK) * F.floor(
             (n + F.lit(self._ADPCM_SPB - 1)) / F.lit(self._ADPCM_SPB))
         adpcm_bad = F.abs(ln - adpcm_expected) > F.lit(tol)
+        f32_expected = F.lit(self._F32_HEADER) + F.lit(4) * n
+        f32_bad = F.abs(ln - f32_expected) > F.lit(tol)
         return known & (
             bad_geom
             | F.when(codec == "flac", flac_bad)
             .when(codec == "adpcm_ima", adpcm_bad)
+            .when(codec == "pcm_f32le", f32_bad)
             .otherwise(wav_bad)
         )
 
@@ -564,3 +571,86 @@ class AudioLoudnessBetween(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.round(F.col(_LOUDNESS_COL)["lufs_integrated"], 2)
+
+
+# ---------------------------------------------------------------------------
+# channel count (decode-free header arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _u8(col: Column, pos: int) -> Column:
+    """Unsigned byte at 1-based position `pos` of a binary column,
+    JVM-side (hex of the one-byte slice, base-16 conv)."""
+    return F.conv(F.hex(F.substring(col, pos, 1)), 16, 10).cast("int")
+
+
+def channel_count_expr(b: Column, codec: Column) -> Column:
+    """Channel count from container headers as a pure-JVM expression —
+    the Catalyst twin of gx_spark.audio.payload_channels, for the
+    canonical layouts every mainstream encoder writes (WAV: fmt as the
+    first chunk after RIFF/WAVE; FLAC: STREAMINFO as the first metadata
+    block, which the spec mandates; Ogg-Opus: single-segment BOS page,
+    always true for a 19-byte OpusHead).  Null when the codec is unknown
+    or the header is not canonically parseable.
+
+    Byte offsets (1-based): WAV channels = u16le at 23; FLAC channels =
+    bits 1-3 of the STREAMINFO packing byte at 21, plus 1; OpusHead
+    channel byte at 38 (27-byte page header + 1 lacing byte + offset 9
+    into the head packet)."""
+    from ..audio import WAV_FRAMED_CODECS
+
+    wav_magic = (F.hex(F.substring(b, 1, 4)) == F.lit("52494646")) & (
+        F.hex(F.substring(b, 9, 8)) == F.lit("57415645666D7420"))
+    wav_ch = _u8(b, 23) + _u8(b, 24) * F.lit(256)
+    flac_magic = F.hex(F.substring(b, 1, 4)) == F.lit("664C6143")
+    flac_ch = (F.shiftright(_u8(b, 21), 1) % 8 + 1).cast("int")
+    opus_magic = (
+        (F.hex(F.substring(b, 1, 4)) == F.lit("4F676753"))
+        & (_u8(b, 27) == 1)
+        & (F.hex(F.substring(b, 29, 8)) == F.lit("4F70757348656164"))
+    )
+    opus_ch = _u8(b, 38)
+    return (
+        F.when(codec.isin(list(WAV_FRAMED_CODECS)) & wav_magic, wav_ch)
+        .when((codec == "flac") & flac_magic, flac_ch)
+        .when((codec == "opus") & opus_magic, opus_ch)
+    )
+
+
+@register_expectation("expect_audio_channel_count_to_equal")
+class AudioChannelCountEqual(ColumnMapExpectation):
+    """The channel-layout gate ("is this corpus actually mono?") —
+    unexpected when the container header's channel count differs from
+    `n_channels` (default 1), or when a known-codec payload's header is
+    not canonically parseable (a malformed header IS what this screen
+    exists to catch).  Like expect_audio_payload_size_to_be_consistent
+    this is decode-free, pure JVM arithmetic over a few header bytes
+    (channel_count_expr), so it rides the stage-1 agg scan with no Arrow
+    transfer and no Python worker — the metadata-speed first gate you
+    run before paying for the mono decode pipeline (which would merely
+    report multi-channel rows as undecodable).  Unknown codecs are
+    excluded (codec validity is the metadata check's concern); null
+    bytes are MISSING, not unexpected (the audio family's convention)."""
+
+    metric_name = "audio.channel_count"
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("bytes_column", "bytes"))
+        require_columns(ctx, cfg.kwargs.get("codec_column", "codec"))
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        from ..audio import WAV_FRAMED_CODECS
+
+        n = int(cfg.kwargs.get("n_channels", 1))
+        b = F.col(cfg.kwargs.get("column", "bytes"))
+        codec = F.col(cfg.kwargs.get("codec_column", "codec"))
+        known = codec.isin(list(WAV_FRAMED_CODECS) + ["flac", "opus"])
+        ch = channel_count_expr(b, codec)
+        return known & (ch.isNull() | (ch != F.lit(n)))
+
+    def observed_expr(self, cfg) -> Column:
+        return channel_count_expr(
+            F.col(cfg.kwargs.get("column", "bytes")),
+            F.col(cfg.kwargs.get("codec_column", "codec")))

@@ -181,3 +181,28 @@ def test_payload_size_adpcm_branch(spark):
     viol = {v["clip_id"] for v in b.violations_table().collect()}
     b.unpersist()
     assert viol == {"trunc_ad", "bad_dur_ad"}
+
+
+def test_payload_size_f32_branch(spark):
+    """pcm_f32le rows get exact float-container arithmetic: 1600 samples
+    -> 56 B framing (incl. the mandatory fact chunk) + 4 B/sample =
+    6456 B; truncation and label inflation both fire."""
+    n = SR * DUR // 1000
+    good = _clip("good_f32", "pcm_f32le")
+    assert len(good["bytes"]) == 56 + 4 * n == 6456
+    rows = [
+        good,
+        _clip("trunc_f32", "pcm_f32le",
+              bytes=_clip("trunc_f32", "pcm_f32le")["bytes"][:-400]),
+        _clip("bad_dur_f32", "pcm_f32le", dur_ms=DUR + 100),
+    ]
+    df = spark.createDataFrame([tuple(r[k] for k in (
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec")) for r in rows],
+        SCHEMA)
+    suite = ExpectationSuite("sz").add(
+        "expect_audio_payload_size_to_be_consistent")
+    b = validate(spark, df, suite,
+                 EngineOptions(unexpected_index_column_names=("clip_id",)))
+    viol = {v["clip_id"] for v in b.violations_table().collect()}
+    b.unpersist()
+    assert viol == {"trunc_f32", "bad_dur_f32"}
