@@ -1379,6 +1379,69 @@ def q_audio_f32_transcode(spark, sf_dir):
     )
 
 
+def q_audio_electrical_violations(spark, sf_dir):
+    """Electrical-defect gates (expectations/audio_exp.py
+    expect_audio_dc_offset_to_be_below /
+    expect_audio_hum_ratio_to_be_below riding ONE shared DC+hum decode,
+    gx_spark.audio_ops.compute_electrical_row): clips from documents
+    doc_id<400 as 300 ms 440 Hz tones (amp 0.3) with deterministic
+    defect classes — doc_id%4==1 adds 50 Hz mains hum at amp 0.15,
+    class 2 adds 60 Hz hum, class 3 adds a +10%-of-full-scale DC offset,
+    class 0 is clean.  300 ms at 16 kHz is an integer number of cycles
+    for 50/60/440 Hz, so the single-bin DFT probes are leakage-free:
+    hum_ratio = 0.15²/(0.15²+0.3²) = 0.2 exactly, banded to 1 decimal;
+    dc_frac = 0.1 banded to 2.  The violating ROW SET comes from the
+    engine's violations_table(); codecs alternate pcm_s16le/flac (both
+    lossless, so the arithmetic survives the container)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import electrical_features
+
+    sr = 16000
+    n = sr * 300 // 1000
+    t = np.arange(n) / sr
+    tone = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    hum50 = 0.15 * np.sin(2 * np.pi * 50.0 * t)
+    hum60 = 0.15 * np.sin(2 * np.pi * 60.0 * t)
+    wave = {0: tone, 1: tone + hum50, 2: tone + hum60, 3: tone + 0.1}
+    codecs = ["pcm_s16le", "flac"]
+    payload = {}
+    for c in range(4):
+        pcm = np.clip(np.rint(wave[c] * 32767), -32768, 32767).astype(
+            np.int16)
+        for k in range(2):
+            payload[(c, k)] = bytearray(encode_payload(pcm, sr, codecs[k]))
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 400")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, str(i), payload[(i % 4, i % 2)], codecs[i % 2]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, clip_id string, bytes binary, codec string")
+    b = validate(
+        spark, df,
+        ExpectationSuite("elec")
+        .add("expect_audio_dc_offset_to_be_below", max_frac=0.02)
+        .add("expect_audio_hum_ratio_to_be_below", max_ratio=0.01),
+        EngineOptions(unexpected_index_column_names=("clip_id",)),
+    )
+    viol = b.violations_table().select(
+        F.col("clip_id").cast("long").alias("doc_id"), "expectation_type")
+    bands = electrical_features(df, keep_cols=["doc_id"]).select(
+        "doc_id",
+        F.round("hum_ratio", 1).alias("hum_band"),
+        F.round("dc_frac", 2).alias("dc_band"),
+    )
+    return viol.join(bands, "doc_id").select(
+        "doc_id", "expectation_type",
+        F.when(F.col("expectation_type")
+               == "expect_audio_hum_ratio_to_be_below", F.col("hum_band"))
+         .otherwise(F.col("dc_band")).alias("band"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -2823,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_electrical_violations": q_audio_electrical_violations,
         "audio_channel_stats": q_audio_channel_stats,
         "audio_f32_transcode": q_audio_f32_transcode,
         "audio_declip_repair": q_audio_declip_repair,
@@ -3146,6 +3210,20 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_electrical_violations": (
+            # class arithmetic restated: hum classes 1/2 break the 1%
+            # hum gate at ratio 0.15^2/(0.15^2+0.3^2) = 0.2 (leakage-free
+            # at integer cycles); class 3 breaks the 2% DC gate at 0.1;
+            # class 0 is clean — bands are the engine-measured values
+            # rounded to the closed form
+            "SELECT doc_id, "
+            "'expect_audio_hum_ratio_to_be_below' AS expectation_type, "
+            "CAST(0.2 AS DOUBLE) AS band FROM documents "
+            "WHERE doc_id < 400 AND doc_id % 4 IN (1, 2) "
+            "UNION ALL SELECT doc_id, "
+            "'expect_audio_dc_offset_to_be_below', CAST(0.1 AS DOUBLE) "
+            "FROM documents WHERE doc_id < 400 AND doc_id % 4 = 3"
+        ),
         "audio_channel_stats": (
             # doc_id arithmetic restated: class 0 mono (balance null →
             # -1), class 1 identical stereo channels (balance 0), class

@@ -777,6 +777,26 @@ def main() -> None:
     assert int(dstats["n"]) == pipeline_n
     assert 0 < int(dstats["ok"]) <= pipeline_n
 
+    # r5: electrical QA over the same quarter shard — DC offset + mains
+    # hum (six single-bin DFT dots per clip); one map-only Arrow decode
+    from gx_spark.audio_ops import electrical_features
+
+    elec_runs = []
+    section_ctrl["audio_electrical"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_electrical"].append(hw_control())
+        t0 = time.time()
+        estats = electrical_features(pipe_df, keep_cols=["clip_id"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.abs(F.col("dc_frac"))).alias("dc_avg"),
+            F.max("hum_ratio").alias("hum_max"),
+        ).collect()[0]
+        elec_runs.append(time.time() - t0)
+    elec_dt = min(elec_runs)
+    timings["audio_electrical"] = round(elec_dt, 3)
+    assert int(estats["n"]) == pipeline_n
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -800,6 +820,7 @@ def main() -> None:
         "augmentation_clips_per_sec": round(pipeline_n / augment_dt, 1),
         "level_pitch_clips_per_sec": round(pipeline_n / level_dt, 1),
         "declip_clips_per_sec": round(pipeline_n / declip_dt, 1),
+        "electrical_clips_per_sec": round(pipeline_n / elec_dt, 1),
         "declip_totals": {
             "repaired_clips": int(dstats["repaired"] or 0),
             "repaired_samples": int(dstats["repaired_samples"] or 0),

@@ -2562,3 +2562,184 @@ def downmix_audio(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# electrical defects: DC offset + mains hum (Goertzel-style single-bin DFT)
+# ---------------------------------------------------------------------------
+
+_ELECTRICAL_KEYS = ("dc_frac", "hum_ratio", "hum_base_hz")
+AUDIO_ELECTRICAL_SCHEMA = (
+    "dc_frac double, hum_ratio double, hum_base_hz double")
+
+
+def compute_electrical_row(
+    b: bytes | None,
+    codec: str,
+    *,
+    mains: tuple[float, ...] = (50.0, 60.0),
+    n_harmonics: int = 3,
+) -> dict[str, Any]:
+    """Electrical-defect facts for one clip, from one decode:
+
+    - dc_frac: signed mean sample value / 32768 — a miswired ADC or a
+      bad high-pass leaves a constant offset that wastes headroom and
+      biases every downstream energy measure.
+    - hum_ratio: power at the mains fundamental and its first
+      n_harmonics-1 overtones (50 and 60 Hz grids both probed, max
+      wins), as a fraction of total AC power.  Each harmonic's power
+      comes from a single-bin DFT (the Goertzel quantity, evaluated as
+      one vectorized complex dot per frequency — O(n) per bin, no full
+      FFT): amplitude a = 2|Σ x·e^{-j2πft/sr}|/n, power a²/2.
+    - hum_base_hz: which grid won (null when hum_ratio is null).
+
+    DC is removed before the hum probe so a big offset cannot leak into
+    the low bins.  Undecodable or all-silent clips report nulls (their
+    ratio is undefined)."""
+    from .audio import DECODABLE_CODECS, decode_payload
+
+    out: dict[str, Any] = {k: None for k in _ELECTRICAL_KEYS}
+    if b is None or codec not in DECODABLE_CODECS:
+        return out
+    try:
+        sr, pcm = decode_payload(bytes(b), codec)
+    except (ValueError, NotImplementedError):
+        return out
+    n = len(pcm)
+    if n == 0 or sr <= 0:
+        return out
+    x = pcm.astype(np.float64) / 32768.0
+    dc = float(np.mean(x))
+    out["dc_frac"] = dc
+    xc = x - dc
+    ms = float(np.mean(xc * xc))
+    if ms <= 0.0:
+        return out
+    t = np.arange(n)
+    best_ratio, best_base = None, None
+    for base in mains:
+        p = 0.0
+        for k in range(1, n_harmonics + 1):
+            f = base * k
+            if f >= sr / 2.0:
+                break
+            z = np.exp((-2j * np.pi * f / sr) * t)
+            amp = 2.0 * abs(np.dot(xc, z)) / n
+            p += amp * amp / 2.0
+        ratio = p / ms
+        if best_ratio is None or ratio > best_ratio:
+            best_ratio, best_base = ratio, float(base)
+    out["hum_ratio"] = best_ratio
+    out["hum_base_hz"] = best_base
+    return out
+
+
+def electrical_features(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    mains: tuple[float, ...] = (50.0, 60.0),
+    n_harmonics: int = 3,
+) -> DataFrame:
+    """Per-clip DC offset + mains-hum columns (compute_electrical_row);
+    map-only, binary pruned in the same projection — the recording-chain
+    QA pass of an audio corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = _REPO_ROOT
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != bytes_col
+    ]
+    mains_t = tuple(float(m) for m in mains)
+    nh = int(n_harmonics)
+
+    @pandas_udf(AUDIO_ELECTRICAL_SCHEMA)
+    def _elec(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_electrical_row as _cer
+
+        cols: dict[str, list] = {k: [] for k in _ELECTRICAL_KEYS}
+        for bb, cc in zip(b, codec):
+            r = _cer(bb, cc, mains=mains_t, n_harmonics=nh)
+            for k in _ELECTRICAL_KEYS:
+                cols[k].append(r[k])
+        return pd.DataFrame(cols, copy=False)
+
+    feat = _elec(F.col(bytes_col), F.col(codec_col)).alias("_e")
+    projected = df.select(*keep, feat)
+    return projected.select(
+        *keep, *[F.col(f"_e.{k}").alias(k) for k in _ELECTRICAL_KEYS])
+
+
+def remove_dc_offset(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    min_frac: float = 0.001,
+) -> DataFrame:
+    """DC-offset repair — subtract the rounded mean sample value and
+    re-encode pcm_s16le (the declip_audio convention: clean clips pass
+    through with their ORIGINAL bytes, undecodable rows with null
+    bytes).  Offsets below min_frac of full scale are left alone; the
+    subtraction saturates at the int16 rails (a clip carrying signal
+    peaks plus a huge offset was already damaged).
+
+    Output schema = input schema + (dc_removed int: the subtracted
+    sample value, 0 for passthrough, null for undecodable).  Map-only,
+    no shuffle."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("dc_removed", IntegerType())]
+    )
+    repo_root = _REPO_ROOT
+    thr = float(min_frac)
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            removed: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                if bb is None:
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    removed.append(None)
+                    continue
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    removed.append(None)
+                    continue
+                dc = int(np.rint(np.mean(pcm))) if len(pcm) else 0
+                if abs(dc) < thr * 32768.0:
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                    removed.append(0)
+                    continue
+                y = np.clip(pcm.astype(np.int32) - dc,
+                            -32768, 32767).astype(np.int16)
+                new_bytes.append(wav_encode(y, sr))
+                new_codec.append("pcm_s16le")
+                removed.append(dc)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            pdf[codec_col] = new_codec
+            pdf["dc_removed"] = pd.array(removed, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

@@ -701,8 +701,57 @@ def _gallery_channel_count():
 
 #: Lazy builders for examples whose payloads come from the in-repo codecs
 #: (numpy work happens only when diagnostics run).
+def _electrical_rows():
+    import numpy as np
+
+    from .audio import encode_payload
+
+    sr = 8000
+    t = np.arange(sr * 400 // 1000) / sr
+    tone = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    hum = 0.15 * np.sin(2 * np.pi * 50.0 * t)
+
+    def clip(cid, x, off=0.0):
+        pcm = np.clip(np.rint((x + off) * 32767), -32768, 32767).astype(
+            np.int16)
+        return dict(clip_id=cid,
+                    bytes=bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                    codec="pcm_s16le")
+
+    return [clip("diag_clean", tone), clip("diag_dc", tone, off=0.1),
+            clip("diag_hum", tone + hum)]
+
+
+def _gallery_dc_offset():
+    rows = _electrical_rows()
+    return [{
+        "data": {k: [r[k] for r in rows[:2]] for k in rows[0]},
+        "schema": "clip_id string, bytes binary, codec string",
+        "tests": [{
+            "title": "a 10%-of-full-scale DC offset breaks the 2% gate",
+            "in": {"max_frac": 0.02},
+            "out": {"success": False, "unexpected_count": 1},
+        }],
+    }]
+
+
+def _gallery_hum_ratio():
+    rows = [_electrical_rows()[0], _electrical_rows()[2]]
+    return [{
+        "data": {k: [r[k] for r in rows] for k in rows[0]},
+        "schema": "clip_id string, bytes binary, codec string",
+        "tests": [{
+            "title": "planted 50 Hz hum at 20% of AC power breaks the gate",
+            "in": {"max_ratio": 0.01},
+            "out": {"success": False, "unexpected_count": 1},
+        }],
+    }]
+
+
 GALLERY_EXAMPLE_BUILDERS: dict = {
     "expect_audio_channel_count_to_equal": _gallery_channel_count,
+    "expect_audio_dc_offset_to_be_below": _gallery_dc_offset,
+    "expect_audio_hum_ratio_to_be_below": _gallery_hum_ratio,
     "expect_audio_loudness_to_be_between": _gallery_loudness,
     "expect_audio_voiced_fraction_to_be_between": _gallery_voiced_fraction,
     "expect_audio_pitch_to_be_between": _gallery_pitch_between,

@@ -654,3 +654,118 @@ class AudioChannelCountEqual(ColumnMapExpectation):
         return channel_count_expr(
             F.col(cfg.kwargs.get("column", "bytes")),
             F.col(cfg.kwargs.get("codec_column", "codec")))
+
+
+# ---------------------------------------------------------------------------
+# electrical defects (DC offset / mains hum — one shared decode column)
+# ---------------------------------------------------------------------------
+
+_ELECTRICAL_COL = "__electrical"
+
+
+def _electrical_params(cfg: ExpectationConfiguration) -> dict:
+    k = cfg.kwargs
+    return dict(
+        mains=tuple(float(m) for m in k.get("mains", (50.0, 60.0))),
+        n_harmonics=int(k.get("n_harmonics", 3)),
+    )
+
+
+def ensure_electrical_features(
+    ctx: MetricContext, cfg: ExpectationConfiguration,
+) -> None:
+    """Register the shared `__electrical` column (one DC+hum decode per
+    run; the ensure_audio_flags convention).  Probe-level params (mains
+    grids, harmonic count) must agree across the suite — thresholds are
+    per-expectation."""
+    k = cfg.kwargs
+    bcol = k.get("bytes_column", "bytes")
+    ccol = k.get("codec_column", "codec")
+    require_columns(ctx, bcol, ccol)
+    params = _electrical_params(cfg)
+    have = getattr(ctx, "_electrical_params", None)
+    if _ELECTRICAL_COL in ctx.derived:
+        if have != params:
+            raise ValueError(
+                "conflicting electrical probe params in one suite: "
+                f"{have} vs {params}")
+        return
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    keys = ("dc_frac", "hum_ratio", "hum_base_hz")
+
+    @pandas_udf("dc_frac double, hum_ratio double, hum_base_hz double")
+    def electrical_flags(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio_ops import compute_electrical_row as _cer
+
+        cols: dict[str, list] = {x: [] for x in keys}
+        for bb, cc in zip(b, codec):
+            r = _cer(bb, cc, **params)
+            for x in keys:
+                cols[x].append(r[x])
+        return pd.DataFrame(cols, copy=False)
+
+    ctx.derived[_ELECTRICAL_COL] = electrical_flags(F.col(bcol), F.col(ccol))
+    ctx._electrical_params = params
+
+
+@register_expectation("expect_audio_dc_offset_to_be_below")
+class AudioDcOffsetBelow(ColumnMapExpectation):
+    """Unexpected when |mean sample value| / 32768 reaches max_frac
+    (default 0.02) — a miswired ADC or missing high-pass leaves a
+    constant offset that wastes headroom and biases every energy-based
+    measure downstream.  Rides the shared electrical decode
+    (compute_electrical_row); undecodable/empty payloads have a null
+    offset and are excluded (metadata concerns)."""
+
+    metric_name = "audio.dc_offset"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_electrical_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = float(cfg.kwargs.get("max_frac", 0.02))
+        v = F.col(_ELECTRICAL_COL)["dc_frac"]
+        return v.isNotNull() & (F.abs(v) >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_ELECTRICAL_COL)["dc_frac"], 4)
+
+
+@register_expectation("expect_audio_hum_ratio_to_be_below")
+class AudioHumRatioBelow(ColumnMapExpectation):
+    """Unexpected when mains-hum power (the 50/60 Hz grids and their
+    first harmonics, max over grids) reaches max_ratio (default 0.01)
+    of the clip's AC power — ground loops and induced interference in
+    the recording chain.  Rides the same shared electrical decode as
+    the DC gate: both checks cost ONE decode together.  Undecodable or
+    silent clips have a null ratio and are excluded."""
+
+    metric_name = "audio.hum_ratio"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_electrical_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = float(cfg.kwargs.get("max_ratio", 0.01))
+        v = F.col(_ELECTRICAL_COL)["hum_ratio"]
+        return v.isNotNull() & (v >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(F.col(_ELECTRICAL_COL)["hum_ratio"], 4)
