@@ -1442,6 +1442,69 @@ def q_audio_electrical_violations(spark, sf_dir):
     )
 
 
+def q_audio_hum_repair(spark, sf_dir):
+    """Detection-gated mains-hum removal (gx_spark.audio_ops.remove_hum
+    — FFT-bin notch at the winning grid's harmonics, only when the
+    measured hum ratio reaches the gate): clips from documents
+    doc_id<300 as 300 ms 440 Hz tones, class doc_id%3 planting nothing /
+    50 Hz / 60 Hz hum at amp 0.15 (ratio exactly 0.2 at integer
+    cycles).  Pins: was_hummy from the op's own measured ratio;
+    ratio_band = round(ratio, 1) — 0.0 clean / 0.2 hummy; repaired_ok —
+    clean rows keep ORIGINAL bytes (md5), hummy rows re-encode
+    pcm_s16le and re-measure hum-free (< 1e-4); rms_band pins that the
+    notch removed ONLY the hum — every row's post-repair RMS is the
+    bare tone's -13.5 dBFS.  The oracle restates all four from doc_id
+    arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import (electrical_features,
+                                    extract_audio_features, remove_hum)
+
+    sr = 16000
+    n = sr * 300 // 1000
+    t = np.arange(n) / sr
+    tone = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    wave = {0: tone,
+            1: tone + 0.15 * np.sin(2 * np.pi * 50.0 * t),
+            2: tone + 0.15 * np.sin(2 * np.pi * 60.0 * t)}
+    codecs = ["pcm_s16le", "flac"]
+    payload = {}
+    for c in range(3):
+        pcm = np.clip(np.rint(wave[c] * 32767), -32768, 32767).astype(
+            np.int16)
+        for k in range(2):
+            payload[(c, k)] = bytearray(encode_payload(pcm, sr, codecs[k]))
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, payload[(i % 3, i % 2)], codecs[i % 2]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string"
+    ).withColumn("in_md5", F.md5("bytes"))
+    fixed = remove_hum(df).withColumn(
+        "md5_same", F.md5("bytes") == F.col("in_md5"))
+    post_hum = electrical_features(
+        fixed, keep_cols=["doc_id", "codec", "md5_same",
+                          "hum_removed_ratio"]).select(
+        "doc_id", "codec", "md5_same", "hum_removed_ratio",
+        F.col("hum_ratio").alias("post_ratio"))
+    post_rms = extract_audio_features(fixed, keep_cols=["doc_id"]).select(
+        "doc_id", F.round("rms_dbfs", 1).alias("rms_band"))
+    return post_hum.join(post_rms, "doc_id").select(
+        "doc_id",
+        (F.col("hum_removed_ratio") >= 0.01).alias("was_hummy"),
+        F.round("hum_removed_ratio", 1).alias("ratio_band"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("md5_same"))
+         .otherwise((F.col("codec") == "pcm_s16le")
+                    & (F.col("post_ratio") < 1e-4))
+         .alias("repaired_ok"),
+        "rms_band",
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -2886,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_hum_repair": q_audio_hum_repair,
         "audio_electrical_violations": q_audio_electrical_violations,
         "audio_channel_stats": q_audio_channel_stats,
         "audio_f32_transcode": q_audio_f32_transcode,
@@ -3210,6 +3274,17 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_hum_repair": (
+            # doc_id arithmetic restated: hum classes 1/2 measure ratio
+            # 0.2 and repair to pcm_s16le hum-free, class 0 is a byte
+            # passthrough; the notch surgically removes only the hum, so
+            # every row's post RMS is the bare 0.3-amp tone's -13.5 dBFS
+            "SELECT doc_id, (doc_id % 3 <> 0) AS was_hummy, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 0.0 ELSE 0.2 END "
+            "AS DOUBLE) AS ratio_band, true AS repaired_ok, "
+            "CAST(-13.5 AS DOUBLE) AS rms_band "
+            "FROM documents WHERE doc_id < 300"
+        ),
         "audio_electrical_violations": (
             # class arithmetic restated: hum classes 1/2 break the 1%
             # hum gate at ratio 0.15^2/(0.15^2+0.3^2) = 0.2 (leakage-free

@@ -2743,3 +2743,132 @@ def remove_dc_offset(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+def remove_hum_pcm(
+    pcm: np.ndarray,
+    sr: int,
+    *,
+    mains: tuple[float, ...] = (50.0, 60.0),
+    n_harmonics: int = 3,
+    min_ratio: float = 0.01,
+    notch_hz: float = 2.0,
+) -> tuple[np.ndarray, float | None]:
+    """Detection-gated mains-hum removal for one clip: measure the hum
+    ratio per grid (the compute_electrical_row quantity), and if the
+    winning grid reaches min_ratio, notch its fundamental and first
+    n_harmonics-1 overtones out of the real spectrum (zero every rFFT
+    bin within ±notch_hz of each harmonic — zero-phase spectral surgery,
+    one rfft/irfft round trip) and re-quantize.  Returns (int16 pcm,
+    pre-repair hum ratio); a clip below the gate comes back UNTOUCHED
+    (same array object) so callers can pass the original bytes through.
+    Detection-gating matters: notching both grids unconditionally would
+    also delete legitimate 50/60 Hz program content from clean clips."""
+    n = len(pcm)
+    if n == 0 or sr <= 0:
+        return pcm, None
+    x = pcm.astype(np.float64) / 32768.0
+    dc = float(np.mean(x))
+    xc = x - dc
+    ms = float(np.mean(xc * xc))
+    if ms <= 0.0:
+        return pcm, None
+    t = np.arange(n)
+    best_ratio, best_base = -1.0, None
+    for base in mains:
+        p = 0.0
+        for k in range(1, n_harmonics + 1):
+            f = base * k
+            if f >= sr / 2.0:
+                break
+            z = np.exp((-2j * np.pi * f / sr) * t)
+            amp = 2.0 * abs(np.dot(xc, z)) / n
+            p += amp * amp / 2.0
+        ratio = p / ms
+        if ratio > best_ratio:
+            best_ratio, best_base = ratio, base
+    if best_ratio < min_ratio:
+        return pcm, float(best_ratio)
+    spec = np.fft.rfft(x)
+    freqs = np.arange(len(spec)) * (sr / n)
+    kill = np.zeros(len(spec), dtype=bool)
+    for k in range(1, n_harmonics + 1):
+        f = best_base * k
+        if f >= sr / 2.0:
+            break
+        kill |= np.abs(freqs - f) <= notch_hz
+    spec[kill] = 0.0
+    y = np.clip(np.rint(np.fft.irfft(spec, n) * 32768.0),
+                -32768, 32767).astype(np.int16)
+    return y, float(best_ratio)
+
+
+def remove_hum(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    mains: tuple[float, ...] = (50.0, 60.0),
+    n_harmonics: int = 3,
+    min_ratio: float = 0.01,
+    notch_hz: float = 2.0,
+) -> DataFrame:
+    """Mains-hum repair — the waveform-restoration step for the
+    `hum_ratio` violators the electrical screen finds (remove_hum_pcm
+    per clip).  Output schema = input schema + (hum_removed_ratio
+    double: the pre-repair ratio for repaired rows, the measured
+    sub-gate ratio for passthrough rows, null for undecodable).  Clean
+    clips keep their ORIGINAL bytes and codec; repaired clips re-encode
+    pcm_s16le; undecodable rows pass through with null bytes (the
+    declip/trim convention).  Map-only, no shuffle."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("hum_removed_ratio", DoubleType())]
+    )
+    repo_root = _REPO_ROOT
+    mains_t = tuple(float(m) for m in mains)
+    nh, mr, nz = int(n_harmonics), float(min_ratio), float(notch_hz)
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import remove_hum_pcm as _rhp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            ratios: list[float | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                if bb is None:
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    ratios.append(None)
+                    continue
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    ratios.append(None)
+                    continue
+                y, ratio = _rhp(pcm, sr, mains=mains_t, n_harmonics=nh,
+                                min_ratio=mr, notch_hz=nz)
+                if y is pcm:
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                else:
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                ratios.append(ratio)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            pdf[codec_col] = new_codec
+            pdf["hum_removed_ratio"] = pd.array(ratios, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

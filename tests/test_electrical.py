@@ -168,3 +168,55 @@ def test_electrical_diagnostics_gallery(spark):
         rep = run_diagnostics(spark, name)
         assert rep["success"], (name, rep)
         assert rep["examples_passed"] == rep["examples_run"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# remove_hum (detection-gated FFT notch)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_hum_pcm_closed_form():
+    from gx_spark.audio_ops import remove_hum_pcm
+
+    x = _tone(0.3, 440.0) + _tone(0.15, 50.0)
+    pcm = np.clip(np.rint(x * 32767), -32768, 32767).astype(np.int16)
+    y, ratio = remove_hum_pcm(pcm, SR)
+    assert ratio == pytest.approx(0.2, abs=1e-3)
+    post = compute_electrical_row(encode_payload(y, SR, "pcm_s16le"),
+                                  "pcm_s16le")
+    assert post["hum_ratio"] < 1e-4          # hum gone
+    # the 440 Hz program content survives: RMS equals the tone's RMS
+    want = 10 * np.log10((0.3 * 32767 / 32768) ** 2 / 2)
+    got = 10 * np.log10(np.mean((y.astype(np.float64) / 32768.0) ** 2))
+    assert got == pytest.approx(want, abs=0.02)
+
+
+def test_remove_hum_gate_passthrough():
+    from gx_spark.audio_ops import remove_hum_pcm
+
+    pcm = np.clip(np.rint(_tone(0.3, 440.0) * 32767),
+                  -32768, 32767).astype(np.int16)
+    y, ratio = remove_hum_pcm(pcm, SR)
+    assert y is pcm and ratio < 1e-6  # below the gate: untouched object
+
+
+def test_remove_hum_spark_op(spark):
+    from gx_spark.audio_ops import remove_hum
+    from gx_spark.plancheck import formatted_plan
+
+    rows = [
+        (1, bytearray(_mk(_tone(0.3, 440.0))), "pcm_s16le"),
+        (2, bytearray(_mk(_tone(0.3, 440.0) + _tone(0.15, 60.0), "flac")),
+         "flac"),
+        (3, bytearray(b"junk"), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary, codec string")
+    out = {r["clip_id"]: r.asDict() for r in remove_hum(df).collect()}
+    assert bytes(out[1]["bytes"]) == bytes(rows[0][1])  # clean passthrough
+    assert out[1]["codec"] == "pcm_s16le"
+    assert out[2]["codec"] == "pcm_s16le"  # repaired re-encode
+    assert out[2]["hum_removed_ratio"] == pytest.approx(0.2, abs=1e-3)
+    post = compute_electrical_row(bytes(out[2]["bytes"]), "pcm_s16le")
+    assert post["hum_ratio"] < 1e-4
+    assert out[3]["bytes"] is None and out[3]["hum_removed_ratio"] is None
+    assert "Exchange" not in formatted_plan(remove_hum(df))
