@@ -1505,6 +1505,62 @@ def q_audio_hum_repair(spark, sf_dir):
     )
 
 
+def q_audio_reverb_echo(spark, sf_dir):
+    """Reverberation augmentation (gx_spark.audio_ops.augment_reverb —
+    synthetic-RIR convolution, the third standard ASR robustness step):
+    clips from documents doc_id<300 as 300 ms 400 Hz tones (period 40
+    samples).  Odd doc_ids get the closed-form "echo" RIR (direct path +
+    0.5 gain at 50 ms = 800 samples = 20 whole periods, so y = x for the
+    first 800 samples and exactly 1.5·x after — power ratio
+    (800 + 2.25·4000)/4800 → +3.1 dB, banded); even doc_ids run the
+    identity (gain 0) and must keep their ORIGINAL bytes.  Pins:
+    passthrough/re-encode facts incl. the applied wet level
+    (20·log10(0.5) → -6.0 banded), the exact Δ RMS band, and duration
+    preservation (full convolution trimmed to n)."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import augment_reverb, extract_audio_features
+
+    sr = 16000
+    n = sr * 300 // 1000
+    t = np.arange(n) / sr
+    pcm = np.clip(np.rint(0.3 * 32767 * np.sin(2 * np.pi * 400.0 * t)),
+                  -32768, 32767).astype(np.int16)
+    codecs = ["pcm_s16le", "flac"]
+    payload = {k: bytearray(encode_payload(pcm, sr, codecs[k]))
+               for k in range(2)}
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        rows.append((i, str(i), payload[(i // 2) % 2], codecs[(i // 2) % 2]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, clip_id string, bytes binary, codec string"
+    ).withColumn("in_md5", F.md5("bytes"))
+    even = augment_reverb(df.filter("doc_id % 2 = 0"), kind="echo",
+                          gain=0.0)
+    odd = augment_reverb(df.filter("doc_id % 2 = 1"), kind="echo",
+                         gain=0.5, delay_ms=50.0)
+    out = even.unionByName(odd).withColumn(
+        "md5_same", F.md5("bytes") == F.col("in_md5"))
+    rms_in = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("rms_dbfs").alias("r0"))
+    feats = extract_audio_features(
+        out, keep_cols=["doc_id", "codec", "md5_same", "reverb_wet_db"])
+    return feats.join(rms_in, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.col("md5_same") & F.col("reverb_wet_db").isNull())
+         .otherwise((F.col("codec") == "pcm_s16le")
+                    & (F.round("reverb_wet_db", 1) == -6.0))
+         .alias("passthrough_ok"),
+        F.round(F.col("rms_dbfs") - F.col("r0"), 1).alias("drms_band"),
+        (F.col("n_samples") == 4800).alias("n_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -2949,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
         "audio_electrical_violations": q_audio_electrical_violations,
         "audio_channel_stats": q_audio_channel_stats,
@@ -3274,6 +3331,17 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_reverb_echo": (
+            # doc_id arithmetic restated: even = identity passthrough
+            # (ΔRMS 0), odd = +0.5 echo at 20 whole periods — power
+            # ratio (800 + 2.25*4000)/4800 = +3.098 dB → band 3.1;
+            # duration always preserved
+            "SELECT doc_id, true AS passthrough_ok, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE "
+            "round(10*log10((800 + 2.25*4000)/4800.0), 1) END AS DOUBLE) "
+            "AS drms_band, true AS n_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
         "audio_hum_repair": (
             # doc_id arithmetic restated: hum classes 1/2 measure ratio
             # 0.2 and repair to pcm_s16le hum-free, class 0 is a byte

@@ -1665,6 +1665,10 @@ def mfcc_features(
 def augment_pipeline(
     df: DataFrame,
     *,
+    reverb_gain: float | None = None,
+    reverb_kind: str = "exp_decay",
+    rt60_ms: float = 300.0,
+    reverb_delay_ms: float = 50.0,
     snr_db: float | None = None,
     speed: float | None = None,
     target_ms: int | None = None,
@@ -1688,6 +1692,10 @@ def augment_pipeline(
     Stages run in chain order, each optional (None skips it, matching
     the chained op's absence):
 
+    - reverb_gain: synthetic-RIR convolution FIRST (room before
+                 microphone-chain noise — the physical order), the
+                 augment_reverb contract: per-row crc32(seed:rir:id)
+                 RIR stream, independent of the noise stream
     - snr_db:    white noise at exactly snr_db below the clip's own RMS,
                  per-row crc32(seed:id)-seeded — bit-identical at any
                  parallelism (augment_noise contract); silent clips pass
@@ -1709,7 +1717,8 @@ def augment_pipeline(
         raise ValueError("speed must be positive")
     if target_ms is not None and target_ms <= 0:
         raise ValueError("target_ms must be positive")
-    if snr_db is None and speed is None and target_ms is None:
+    if (snr_db is None and speed is None and target_ms is None
+            and reverb_gain is None):
         raise ValueError("enable at least one stage")
     fields = list(df.schema.fields)
     if snr_db is not None:
@@ -1724,7 +1733,9 @@ def augment_pipeline(
             sys.path.insert(0, repo_root)
         from gx_spark.audio import decode_payload, wav_encode
         from gx_spark.audio_ops import augment_noise_pcm as _anp
+        from gx_spark.audio_ops import make_rir as _mkr
         from gx_spark.audio_ops import resample_sinc as _rs
+        from gx_spark.audio_ops import reverb_pcm as _rvp
 
         for pdf in it:
             new_bytes: list[bytes | None] = []
@@ -1743,6 +1754,14 @@ def augment_pipeline(
                     continue
                 floor = None
                 reencoded = False
+                if reverb_gain is not None and reverb_gain > 0.0:
+                    rng = np.random.default_rng(
+                        zlib.crc32(f"{seed}:rir:{rid}".encode("utf-8")))
+                    h = _mkr(sr, kind=reverb_kind, rt60_ms=rt60_ms,
+                             delay_ms=reverb_delay_ms, gain=reverb_gain,
+                             rng=rng)
+                    pcm = _rvp(pcm, h)
+                    reencoded = True
                 if snr_db is not None:
                     rng = np.random.default_rng(
                         zlib.crc32(f"{seed}:{rid}".encode("utf-8")))
@@ -2869,6 +2888,157 @@ def remove_hum(
             pdf[bytes_col] = new_bytes
             pdf[codec_col] = new_codec
             pdf["hum_removed_ratio"] = pd.array(ratios, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# reverberation augmentation (synthetic RIR convolution)
+# ---------------------------------------------------------------------------
+
+
+def make_rir(
+    sr: int,
+    *,
+    kind: str = "exp_decay",
+    rt60_ms: float = 300.0,
+    delay_ms: float = 50.0,
+    gain: float = 0.5,
+    rng=None,
+) -> np.ndarray:
+    """Synthetic room impulse response, direct path normalized to 1.
+
+    - "echo": delay-and-attenuate slapback — h = δ[0] + gain·δ[D] with
+      D = delay_ms worth of samples.  Closed-form output (y[k] = x[k] +
+      gain·x[k-D]), so exact oracles exist.
+    - "exp_decay": the standard image-method surrogate — a seeded white
+      tail shaped by the -60 dB-at-rt60 exponential, tail energy
+      normalized to exactly gain² (so wet/dry power is gain²·‖x‖² for
+      white inputs; `rng` must be provided).
+
+    gain <= 0 returns the identity RIR [1] (callers pass the original
+    bytes through)."""
+    if gain <= 0.0:
+        return np.ones(1)
+    if kind == "echo":
+        d = max(1, int(round(sr * delay_ms / 1000.0)))
+        h = np.zeros(d + 1)
+        h[0] = 1.0
+        h[d] = gain
+        return h
+    if kind != "exp_decay":
+        raise ValueError(f"unknown RIR kind {kind!r}")
+    if rng is None:
+        raise ValueError("exp_decay RIR needs an rng")
+    rt60 = max(1, int(round(sr * rt60_ms / 1000.0)))
+    n_taps = rt60  # -60 dB point; later taps are inaudible
+    k = np.arange(1, n_taps + 1)
+    tail = rng.standard_normal(n_taps) * 10.0 ** (-3.0 * k / rt60)
+    e = float(np.dot(tail, tail))
+    if e > 0.0:
+        tail *= gain / e ** 0.5
+    h = np.empty(n_taps + 1)
+    h[0] = 1.0
+    h[1:] = tail
+    return h
+
+
+def reverb_pcm(pcm: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Convolve one clip with an RIR (FFT overlap-free full convolution,
+    output trimmed to the input length — training windows keep their
+    duration) and re-quantize with int16 saturation."""
+    n = len(pcm)
+    if n == 0 or len(h) == 1:
+        return pcm
+    x = pcm.astype(np.float64) / 32768.0
+    m = n + len(h) - 1
+    nfft = 1 << (m - 1).bit_length()
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft), nfft)[:n]
+    return np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def augment_reverb(
+    df: DataFrame,
+    *,
+    kind: str = "exp_decay",
+    rt60_ms: float = 300.0,
+    delay_ms: float = 50.0,
+    gain: float = 0.5,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    seed: int = 42,
+) -> DataFrame:
+    """Reverberation augmentation — the third standard ASR robustness
+    step beside additive noise and speed perturbation: each clip is
+    convolved with a synthetic RIR (make_rir).  For "exp_decay" the tail
+    is drawn per row from crc32(seed:id), so the output is BIT-IDENTICAL
+    at any parallelism or row order (the engine-wide determinism
+    contract); "echo" is deterministic by construction and shared.
+
+    Output schema = input + `reverb_wet_db double` (tail power below the
+    direct path, 10·log10(gain²); NULL for undecodable rows, which pass
+    through with null bytes).  gain <= 0 is the identity: ORIGINAL bytes
+    pass through with wet_db null.  Convolved rows re-encode pcm_s16le;
+    duration is preserved (full convolution trimmed to n).  mapInPandas,
+    map-only: payloads never enter a shuffle."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("reverb_wet_db", DoubleType())]
+    )
+    repo_root = _REPO_ROOT
+    params = dict(kind=kind, rt60_ms=float(rt60_ms),
+                  delay_ms=float(delay_ms), gain=float(gain))
+    wet_db = 20.0 * np.log10(gain) if gain > 0.0 else None
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import make_rir as _mk
+        from gx_spark.audio_ops import reverb_pcm as _rp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            wets: list[float | None] = []
+            for rid, bb, cc in zip(pdf[id_col], pdf[bytes_col],
+                                   pdf[codec_col]):
+                if bb is None:
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    wets.append(None)
+                    continue
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    wets.append(None)
+                    continue
+                # ":rir:" keeps the RIR stream independent of the noise
+                # stream an augment_noise(seed=...) chain would draw
+                rng = np.random.default_rng(
+                    zlib.crc32(f"{seed}:rir:{rid}".encode("utf-8")))
+                h = _mk(sr, rng=rng, **params)
+                if len(h) == 1:
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                    wets.append(None)
+                    continue
+                new_bytes.append(wav_encode(_rp(pcm, h), sr))
+                new_codec.append("pcm_s16le")
+                wets.append(wet_db)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            pdf[codec_col] = new_codec
+            pdf["reverb_wet_db"] = pd.array(wets, dtype="float64")
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
