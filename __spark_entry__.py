@@ -1561,6 +1561,51 @@ def q_audio_reverb_echo(spark, sf_dir):
     )
 
 
+def q_audio_pack_training_windows(spark, sf_dir):
+    """Sequence packing (gx_spark.audio_ops.pack_clips — the audio twin
+    of LM sequence packing: short utterances waste padded compute, so
+    the corpus is concatenated into fixed-budget windows before
+    training).  Assignment is the token_shards distributed prefix sum
+    over the LABELED durations (metadata speed, no decode); assembly
+    moves each payload across the wire exactly once.  Clips from
+    documents doc_id<240 (300 ms tones, pcm16/flac alternating, all
+    16 kHz) packed to 1200 ms windows with 100 ms silence separators:
+    every bin gets exactly 4 consecutive doc_ids, 4·4800 + 3·1600 =
+    24000 samples = 1500 ms.  samples_ok re-measures the packed payload
+    through the features decode.  The oracle restates the packing from
+    doc_id arithmetic (bin = doc_id div 4) including the id order."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, pack_clips
+
+    sr = 16000
+    t = np.arange(sr * 300 // 1000) / sr
+    codecs = ["pcm_s16le", "flac"]
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 240")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 200.0 + 10.0 * (i % 20)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, codecs[i % 2])),
+                     codecs[i % 2], 300))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string, dur_ms int")
+    packed = pack_clips(df, 1200, id_col="doc_id", gap_ms=100)
+    feats = extract_audio_features(
+        packed,
+        keep_cols=["bin", "n_clips", "n_bad", "sr_hz", "total_samples",
+                   "dur_ms", "clip_ids"])
+    return feats.select(
+        "bin", "n_clips", "n_bad", "sr_hz", "total_samples", "dur_ms",
+        "clip_ids",
+        (F.col("n_samples") == 24000).alias("samples_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3005,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_pack_training_windows": q_audio_pack_training_windows,
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
         "audio_electrical_violations": q_audio_electrical_violations,
@@ -3331,6 +3377,19 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_pack_training_windows": (
+            # packing restated from doc_id arithmetic: consecutive ids
+            # pack 4-per-bin (300 ms into a 1200 ms budget), 100 ms
+            # separators make 24000 samples = 1500 ms; clip_ids preserve
+            # global id order within the bin
+            "SELECT doc_id // 4 AS bin, CAST(4 AS INT) AS n_clips, "
+            "CAST(0 AS INT) AS n_bad, CAST(16000 AS INT) AS sr_hz, "
+            "CAST(24000 AS BIGINT) AS total_samples, "
+            "CAST(1500 AS INT) AS dur_ms, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS clip_ids, true AS samples_ok "
+            "FROM documents WHERE doc_id < 240 GROUP BY doc_id // 4"
+        ),
         "audio_reverb_echo": (
             # doc_id arithmetic restated: even = identity passthrough
             # (ΔRMS 0), odd = +0.5 echo at 20 whole periods — power

@@ -37,7 +37,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -3042,3 +3042,186 @@ def augment_reverb(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: short clips -> fixed-budget training windows
+# ---------------------------------------------------------------------------
+
+PACKED_SCHEMA = (
+    "bin long, n_clips int, n_bad int, sr_hz int, total_samples long, "
+    "dur_ms int, clip_ids string, bytes binary, codec string")
+
+
+def pack_clips(
+    df: DataFrame,
+    target_ms: int,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+    gap_ms: int = 0,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Sequence packing for ASR training: concatenate short clips into
+    ~target_ms windows (the audio twin of LM sequence packing — short
+    utterances waste padded compute, so corpora are packed before
+    training).  bin = floor(prefix_dur / target_ms) over the labeled
+    `dur_col` in global id order (next-fit: a bin may overflow by less
+    than one clip, never more).
+
+    The payload (the dominant bytes at 10^12-clip scale) crosses the
+    wire EXACTLY ONCE.  Three steps:
+
+    1. NARROW assignment pass — ops.prefix_totals (the token_shards
+       two-phase distributed prefix sum, exact LONG arithmetic) over
+       just (id, dur): column pruning keeps the binary column out of
+       this job entirely.
+    2. BIN-ALIGNED boundary pick, driver-side — ~n_ranges boundary bins
+       are chosen at row-quantiles of the bin column, and for each the
+       first member id and its exact start prefix are collected (tiny).
+       Because every payload-partition boundary coincides with a bin
+       START, no bin ever straddles two partitions.
+    3. PAYLOAD pass — pid is a literal CASE over the boundary ids
+       (map-side), ONE hash exchange moves each payload to its
+       partition, a per-pid window rebuilds the exact global prefix
+       from the literal start offsets, and a mapInPandas walks the
+       (pid, id)-sorted partition assembling each run of equal bins
+       locally: decode members in id order, concatenate with gap_ms of
+       digital silence between neighbours, re-encode pcm_s16le.  No
+       join, no second payload shuffle (plan-asserted in
+       tests/test_pack.py).
+
+    Bins whose members mix sample rates (resample_audio first — packing
+    across rates is undefined) or contain undecodable payloads emit
+    null bytes with n_bad > 0 rather than a silently broken window.
+    Output: (bin, n_clips, n_bad, sr_hz, total_samples, dur_ms,
+    clip_ids comma-joined in id order, bytes, codec)."""
+    from .ops import prefix_totals
+
+    T = int(target_ms)
+    pref = prefix_totals(
+        df.select(F.col(id_col), F.col(dur_col)), id_col, dur_col,
+        n_ranges=n_ranges,
+    ).withColumn("bin", F.expr(f"_prefix_tok div {T}").cast("long"))
+    # boundary bins at row-quantiles; dedup + drop bin 0 (pid 0 starts
+    # at prefix 0 unconditionally)
+    if n_ranges > 1:
+        qs = [i / n_ranges for i in range(1, n_ranges)]
+        cand = sorted({int(b) for b in pref.stat.approxQuantile(
+            "bin", qs, 0.001)} - {0})
+    else:
+        cand = []
+    if cand:
+        firsts = (
+            pref.filter(F.col("bin").isin([*cand]))
+            .groupBy("bin")
+            .agg(F.min("id").alias("first_id"),
+                 F.min("_prefix_tok").alias("start"))
+            .collect()
+        )
+        bmeta = sorted(
+            ((r["first_id"], int(r["start"])) for r in firsts),
+            key=lambda x: x[1])
+    else:
+        bmeta = []
+
+    pid = F.lit(0)
+    offsets = {0: 0}
+    for j, (fid, start) in enumerate(bmeta):
+        pid = F.when(F.col("_pkid") >= F.lit(fid),
+                     F.lit(j + 1)).otherwise(pid)
+        offsets[j + 1] = start
+    omap = F.create_map(
+        *[x for p, o in offsets.items()
+          for x in (F.lit(p), F.lit(o).cast("long"))])
+    w = (
+        Window.partitionBy("_ppid").orderBy(F.asc("_pkid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        df.select(
+            F.col(id_col).alias("_pkid"),
+            F.col(bytes_col).alias("_pbytes"),
+            F.col(codec_col).alias("_pcodec"),
+            F.col(dur_col).cast("long").alias("_ptok"),
+        )
+        .withColumn("_ppid", pid)
+        .repartition(len(bmeta) + 1, "_ppid")
+        .withColumn("_pcum", F.sum("_ptok").over(w))
+        .withColumn("_poff", omap[F.col("_ppid")])
+        .withColumn(
+            "bin",
+            F.expr(f"(_poff + _pcum - _ptok) div {T}").cast("long"))
+    )
+    repo_root = _REPO_ROOT
+    gap = int(gap_ms)
+
+    def _flush(b, ids, members):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+
+        parts: list[np.ndarray] = []
+        srs: set[int] = set()
+        n_bad = 0
+        for bb, cc in members:
+            if bb is None:
+                n_bad += 1
+                continue
+            try:
+                sr, pcm = decode_payload(bytes(bb), cc)
+            except (ValueError, NotImplementedError, TypeError):
+                n_bad += 1
+                continue
+            srs.add(int(sr))
+            parts.append(pcm)
+        if n_bad or len(srs) != 1 or not parts:
+            return (b, len(ids), n_bad,
+                    srs.pop() if len(srs) == 1 else None, None, None,
+                    ",".join(ids), None, "pcm_s16le")
+        sr = srs.pop()
+        sep = np.zeros(sr * gap // 1000, dtype=np.int16)
+        pieces: list[np.ndarray] = []
+        for i, p in enumerate(parts):
+            if i and len(sep):
+                pieces.append(sep)
+            pieces.append(p)
+        packed = np.concatenate(pieces)
+        return (b, len(parts), 0, sr, len(packed),
+                int(round(len(packed) * 1000.0 / sr)), ",".join(ids),
+                wav_encode(packed, sr), "pcm_s16le")
+
+    cols = ["bin", "n_clips", "n_bad", "sr_hz", "total_samples",
+            "dur_ms", "clip_ids", "bytes", "codec"]
+
+    def _assemble(batches):
+        # rows arrive (pid, id)-sorted, bins are non-decreasing and
+        # never straddle a partition: group consecutive equal bins,
+        # carrying the open bin across Arrow batch boundaries
+        cur = None
+        ids: list = []
+        mem: list = []
+        for pdf in batches:
+            out = []
+            for b, i, bb, cc in zip(pdf["bin"], pdf["_pkid"],
+                                    pdf["_pbytes"], pdf["_pcodec"]):
+                b = int(b)
+                if cur is not None and b != cur:
+                    out.append(_flush(cur, ids, mem))
+                    ids, mem = [], []
+                cur = b
+                ids.append(str(i))
+                mem.append((bb, cc))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if cur is not None:
+            yield pd.DataFrame([_flush(cur, ids, mem)], columns=cols)
+
+    return (
+        binned.select("bin", "_pkid", "_pbytes", "_pcodec")
+        .mapInPandas(_assemble, schema=PACKED_SCHEMA)
+    )

@@ -2571,6 +2571,21 @@ def token_shards(
     prefix sum loses integer precision past 2^53 cumulative tokens, which
     a 10^12-row corpus plausibly reaches — shard boundaries would drift
     off the exact integer oracle exactly where the budget matters."""
+    return prefix_totals(df, id_col, token_col, n_ranges=n_ranges).select(
+        "id",
+        F.expr(f"_prefix_tok div {int(shard_tokens)}")
+        .cast("long").alias("shard"),
+    )
+
+
+def prefix_totals(
+    df: DataFrame, id_col: str, token_col: str, n_ranges: int = 32,
+) -> DataFrame:
+    """The distributed prefix-sum core shared by `token_shards` and
+    `audio_ops.pack_clips`: (id, _prefix_tok) where _prefix_tok is the
+    EXCLUSIVE running total of `token_col` in global `id_col` order,
+    exact LONG arithmetic, one hash exchange (see token_shards' docstring
+    for the two-phase plan rationale)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(token_col).cast("long").alias("tok"))
     numeric = base.schema["id"].dataType.typeName() in (
@@ -2604,11 +2619,7 @@ def token_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prefix = omap[F.col("pid")] + F.sum("tok").over(w) - F.col("tok")
-    return ranged.select("id", prefix.alias("_prefix_tok")).select(
-        "id",
-        F.expr(f"_prefix_tok div {int(shard_tokens)}")
-        .cast("long").alias("shard"),
-    )
+    return ranged.select("id", prefix.alias("_prefix_tok"))
 
 
 # BPE pretokenizer, compiled by Python `re` ONLY — on both the train and
