@@ -1606,6 +1606,47 @@ def q_audio_pack_training_windows(spark, sf_dir):
     )
 
 
+def q_audio_tempo_stretch(spark, sf_dir):
+    """Pitch-preserving tempo augmentation (gx_spark.audio_ops.
+    tempo_stretch — WSOLA, Verhelst & Roelands 1993: the tempo half of
+    the Ko et al. recipe WITHOUT the pitch shift speed_perturb carries).
+    300 ms pure tones at 250+5·(doc_id%40) Hz, stretched 1.25x faster:
+    output is EXACTLY 3840 samples / 240 ms, the dominant frequency is
+    unchanged (a resample-based 1.25x would read 1.25·f), and COLA
+    windowing preserves RMS (0.3 FS sine = −13.47 dBFS) within 0.5 dB.
+    All three re-measured from the stretched payload through the
+    features decode; the oracle restates them per doc_id."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import extract_audio_features, tempo_stretch
+
+    sr = 16000
+    t = np.arange(sr * 300 // 1000) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 250.0 + 5.0 * (i % 40)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "flac")),
+                     "flac", 300))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string, dur_ms int")
+    out = tempo_stretch(df, 1.25)
+    feats = extract_audio_features(out, keep_cols=["doc_id", "dur_ms"])
+    f_expr = F.lit(250.0) + F.lit(5.0) * (F.col("doc_id") % 40)
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").alias("n_samples"),
+        F.col("dur_ms").cast("int").alias("dur_ms"),
+        (F.abs(F.col("dominant_hz") - f_expr) < 10.0).alias("pitch_ok"),
+        (F.abs(F.col("rms_dbfs") + 13.47) < 0.5).alias("rms_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3050,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_tempo_stretch": q_audio_tempo_stretch,
         "audio_pack_training_windows": q_audio_pack_training_windows,
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
@@ -3377,6 +3419,16 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_tempo_stretch": (
+            # WSOLA invariants restated per doc_id: exact 4800/1.25 =
+            # 3840-sample / 240 ms output, pitch and RMS preserved (the
+            # booleans are re-measured in-Spark from the stretched
+            # payload; the oracle pins them all-true with the exact
+            # sample count as a VALUE)
+            "SELECT doc_id, CAST(3840 AS BIGINT) AS n_samples, "
+            "CAST(240 AS INT) AS dur_ms, true AS pitch_ok, "
+            "true AS rms_ok FROM documents WHERE doc_id < 200"
+        ),
         "audio_pack_training_windows": (
             # packing restated from doc_id arithmetic: consecutive ids
             # pack 4-per-bin (300 ms into a 1200 ms budget), 100 ms

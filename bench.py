@@ -797,6 +797,32 @@ def main() -> None:
     timings["audio_electrical"] = round(elec_dt, 3)
     assert int(estats["n"]) == pipeline_n
 
+    # r5: sequence packing over the quarter shard's 16 kHz stratum (a
+    # real pipeline packs within a rate stratum — mixed-rate bins fail
+    # closed by design).  Assignment is a narrow metadata pass (binary
+    # column pruned); the payload crosses the wire exactly once into
+    # bin-aligned partitions (see audio_ops.pack_clips docstring).
+    from gx_spark.audio_ops import pack_clips
+
+    pack_src = pipe_df.where("sr_hz = 16000")
+    pack_n = pack_src.count()
+    pack_runs = []
+    section_ctrl["audio_packing"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_packing"].append(hw_control())
+        t0 = time.time()
+        pstats2 = pack_clips(pack_src, 30000, gap_ms=200).agg(
+            F.count(F.lit(1)).alias("bins"),
+            F.sum((F.col("bytes").isNotNull()).cast("long")).alias("ok"),
+            F.sum("n_clips").alias("clips"),
+            F.sum("total_samples").alias("samples"),
+        ).collect()[0]
+        pack_runs.append(time.time() - t0)
+    pack_dt = min(pack_runs)
+    timings["audio_packing"] = round(pack_dt, 3)
+    assert int(pstats2["bins"]) > 0 and int(pstats2["ok"]) > 0
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -821,6 +847,12 @@ def main() -> None:
         "level_pitch_clips_per_sec": round(pipeline_n / level_dt, 1),
         "declip_clips_per_sec": round(pipeline_n / declip_dt, 1),
         "electrical_clips_per_sec": round(pipeline_n / elec_dt, 1),
+        "packing_clips_per_sec": round(pack_n / pack_dt, 1),
+        "packing_totals": {
+            "input_clips": int(pack_n),
+            "bins": int(pstats2["bins"]), "ok_bins": int(pstats2["ok"]),
+            "packed_samples": int(pstats2["samples"] or 0),
+        },
         "declip_totals": {
             "repaired_clips": int(dstats["repaired"] or 0),
             "repaired_samples": int(dstats["repaired_samples"] or 0),
@@ -846,7 +878,11 @@ def main() -> None:
                              "audio_pipeline": [round(x, 3) for x in pipeline_runs],
                              "audio_validate_curate": [round(x, 3) for x in combined_runs],
                              "audio_segmentation": [round(x, 3) for x in segment_runs],
-                             "audio_augmentation": [round(x, 3) for x in augment_runs]},
+                             "audio_augmentation": [round(x, 3) for x in augment_runs],
+                             "audio_level_pitch": [round(x, 3) for x in level_runs],
+                             "audio_declip": [round(x, 3) for x in declip_runs],
+                             "audio_electrical": [round(x, 3) for x in elec_runs],
+                             "audio_packing": [round(x, 3) for x in pack_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
             "unit": "Melem/s",

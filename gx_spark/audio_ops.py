@@ -3225,3 +3225,123 @@ def pack_clips(
         binned.select("bin", "_pkid", "_pbytes", "_pcodec")
         .mapInPandas(_assemble, schema=PACKED_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# tempo stretch: pitch-PRESERVING time-scale modification (WSOLA)
+# ---------------------------------------------------------------------------
+
+
+def tempo_stretch_pcm(
+    pcm: np.ndarray, sr: int, factor: float,
+    frame_ms: float = 25.0, search_ms: float = 7.5,
+) -> np.ndarray:
+    """WSOLA time-scale modification (Verhelst & Roelands, ICASSP 1993):
+    change tempo by `factor` (>1 = faster/shorter) while PRESERVING
+    pitch — the complement of speed_perturb, whose resample shifts pitch
+    with tempo.  Deterministic pure numpy; no RNG, no state.
+
+    Periodic-Hann frames at 50% overlap (exact COLA: interior window
+    sums are identically 1) are copied from input positions chosen by
+    cross-correlation: frame k's nominal source is round(k*H*factor),
+    refined within ±search_ms to best continue the previous frame's
+    waveform (template = the previous source advanced by one synthesis
+    hop), which is what removes the pitch artifacts of naive hop
+    resampling.  Output length is EXACTLY round(n/factor); edge samples
+    are renormalized by the accumulated window sum.  Clips shorter than
+    one analysis window fall back to trim/zero-pad (pitch is undefined
+    below one frame)."""
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    x = pcm.astype(np.float64)
+    n = len(x)
+    n_out = int(round(n / factor))
+    if n_out <= 0:
+        return np.zeros(0, dtype=np.int16)
+    if factor == 1.0:
+        return pcm.copy()
+    N = max(32, int(round(sr * frame_ms / 1000.0)) & ~1)
+    H = N // 2
+    S = max(1, int(round(sr * search_ms / 1000.0)))
+    if n < N + 2 * S + 2 or n_out < N:
+        y = x[:n_out] if n >= n_out else np.pad(x, (0, n_out - n))
+        return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(N) / N)
+    n_frames = max(1, -(-(n_out - N) // H) + 1)
+    out = np.zeros(n_frames * H + N, dtype=np.float64)
+    wsum = np.zeros_like(out)
+    prev = 0
+    out[:N] += x[:N] * w
+    wsum[:N] += w
+    for k in range(1, n_frames):
+        pos = k * H
+        nominal = int(round(pos * factor))
+        lo = max(0, min(nominal - S, n - N))
+        hi = max(lo, min(nominal + S, n - N))
+        tmpl = x[prev + H: prev + H + H]
+        if hi > lo:
+            c = lo + int(np.argmax(
+                np.correlate(x[lo: hi + H], tmpl, "valid")))
+        else:
+            c = lo
+        out[pos: pos + N] += x[c: c + N] * w
+        wsum[pos: pos + N] += w
+        prev = c
+    y = out[:n_out] / np.maximum(wsum[:n_out], 1e-8)
+    return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def tempo_stretch(
+    df: DataFrame,
+    factor: float,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Tempo augmentation WITHOUT pitch shift (WSOLA, tempo_stretch_pcm)
+    — `factor`x faster playback, duration scaled by exactly 1/factor,
+    dominant frequency unchanged (speed_perturb scales it by `factor`;
+    tests pin the contrast on pure tones).  Output re-encodes pcm_s16le
+    at the original sr; dur_ms (when present) recomputed; undecodable
+    rows pass through with null bytes.  mapInPandas, map-only — payloads
+    never shuffle, the same embarrassingly-parallel shape as every other
+    augmentation here."""
+    from pyspark.sql.types import StructType
+
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    out_schema = StructType(list(df.schema.fields))
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import tempo_stretch_pcm as _ts
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            new_dur: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                    y = _ts(pcm, sr, factor)
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                    new_dur.append(int(round(len(y) * 1000.0 / sr)))
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    new_dur.append(None)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            if "dur_ms" in pdf.columns:
+                pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
