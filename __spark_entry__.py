@@ -1647,6 +1647,44 @@ def q_audio_tempo_stretch(spark, sf_dir):
     )
 
 
+def q_audio_pack_stratified(spark, sf_dir):
+    """Stratified sequence packing with transcript carry-through
+    (gx_spark.audio_ops.pack_clips stratify_col/transcript_col): clips
+    alternate 16 kHz / 8 kHz, so unstratified packing would fail every
+    bin mixed-rate; stratifying on the rate packs each stratum in its
+    own id order (bins renumbered per stratum) and joins the members'
+    transcripts in the same order as the audio.  The oracle restates
+    the per-stratum membership from doc_id arithmetic: stratum by
+    parity, position = doc_id div 2, bin = position div 4, transcripts
+    and ids string_agg'd in doc_id order."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import pack_clips
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 240")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        sr = 16000 if i % 2 == 0 else 8000
+        t = np.arange(sr * 300 // 1000) / sr
+        f = 200.0 + 10.0 * (i % 20)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le", 300, sr, f"w{i}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string, dur_ms int, "
+              "sr_hz int, transcript string")
+    packed = pack_clips(
+        df, 1200, id_col="doc_id", stratify_col="sr_hz",
+        transcript_col="transcript")
+    return packed.select(
+        "stratum", "bin", "n_clips", "n_bad", "sr_hz", "total_samples",
+        "clip_ids", "transcript")
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3091,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_pack_stratified": q_audio_pack_stratified,
         "audio_tempo_stretch": q_audio_tempo_stretch,
         "audio_pack_training_windows": q_audio_pack_training_windows,
         "audio_reverb_echo": q_audio_reverb_echo,
@@ -3419,6 +3458,27 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_pack_stratified": (
+            # per-stratum packing restated from doc_id arithmetic:
+            # stratum = rate by parity, position within stratum =
+            # doc_id div 2, bin = position div 4 (300 ms into 1200 ms),
+            # ids/transcripts agg'd in doc_id order; 120 clips per
+            # stratum -> 30 full bins of 4, total = 4 * sr * 3/10
+            "SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 "
+            "END AS VARCHAR) AS stratum, "
+            "(doc_id // 2) // 4 AS bin, CAST(4 AS INT) AS n_clips, "
+            "CAST(0 AS INT) AS n_bad, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END "
+            "AS INT) AS sr_hz, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 19200 ELSE 9600 END "
+            "AS BIGINT) AS total_samples, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS clip_ids, "
+            "string_agg('w' || CAST(doc_id AS VARCHAR), ' ' "
+            "ORDER BY doc_id) AS transcript "
+            "FROM documents WHERE doc_id < 240 "
+            "GROUP BY doc_id % 2, (doc_id // 2) // 4"
+        ),
         "audio_tempo_stretch": (
             # WSOLA invariants restated per doc_id: exact 4800/1.25 =
             # 3840-sample / 240 ms output, pitch and RMS preserved (the

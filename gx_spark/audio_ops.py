@@ -3053,6 +3053,9 @@ PACKED_SCHEMA = (
     "dur_ms int, clip_ids string, bytes binary, codec string")
 
 
+_PACK_NULL_STRATUM = "\x00__null__"
+
+
 def pack_clips(
     df: DataFrame,
     target_ms: int,
@@ -3063,57 +3066,87 @@ def pack_clips(
     dur_col: str = "dur_ms",
     gap_ms: int = 0,
     n_ranges: int = 32,
+    transcript_col: str | None = None,
+    transcript_sep: str = " ",
+    stratify_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for ASR training: concatenate short clips into
     ~target_ms windows (the audio twin of LM sequence packing — short
     utterances waste padded compute, so corpora are packed before
     training).  bin = floor(prefix_dur / target_ms) over the labeled
-    `dur_col` in global id order (next-fit: a bin may overflow by less
-    than one clip, never more).
+    `dur_col` in id order (next-fit: a bin may overflow by less than
+    one clip, never more).
+
+    `stratify_col` packs each stratum independently (the realistic
+    shape — you pack within a sample-rate or language stratum, never
+    across), with per-stratum bin numbering and a `stratum` output
+    column; the distinct stratum values must be driver-collectable
+    (sample rates, languages — dozens, not millions).  `transcript_col`
+    carries the training labels through packing: decoded members'
+    transcripts are joined by `transcript_sep` in the same id order as
+    the audio, emitted as a `transcript` column.
 
     The payload (the dominant bytes at 10^12-clip scale) crosses the
     wire EXACTLY ONCE.  Three steps:
 
     1. NARROW assignment pass — ops.prefix_totals (the token_shards
        two-phase distributed prefix sum, exact LONG arithmetic) over
-       just (id, dur): column pruning keeps the binary column out of
-       this job entirely.
-    2. BIN-ALIGNED boundary pick, driver-side — ~n_ranges boundary bins
-       are chosen at row-quantiles of the bin column, and for each the
-       first member id and its exact start prefix are collected (tiny).
-       Because every payload-partition boundary coincides with a bin
-       START, no bin ever straddles two partitions.
-    3. PAYLOAD pass — pid is a literal CASE over the boundary ids
-       (map-side), ONE hash exchange moves each payload to its
-       partition, a per-pid window rebuilds the exact global prefix
-       from the literal start offsets, and a mapInPandas walks the
-       (pid, id)-sorted partition assembling each run of equal bins
-       locally: decode members in id order, concatenate with gap_ms of
-       digital silence between neighbours, re-encode pcm_s16le.  No
-       join, no second payload shuffle (plan-asserted in
+       just (id, dur) per stratum: column pruning keeps the binary
+       column out of this job entirely.
+    2. BIN-ALIGNED boundary pick, driver-side — per stratum, ~n_ranges
+       boundary bins are chosen at row-quantiles of the bin column, and
+       for each the first member id and its exact start prefix are
+       collected (tiny).  Because every payload-partition boundary
+       coincides with a bin START, no bin ever straddles two
+       partitions; strata get disjoint pid ranges, so they never share
+       a prefix chain.
+    3. PAYLOAD pass — pid is a literal CASE over (stratum, boundary
+       ids) (map-side), ONE hash exchange moves each payload to its
+       partition, a per-pid window rebuilds the exact per-stratum
+       prefix from the literal start offsets, and a mapInPandas walks
+       the (pid, id)-sorted partition assembling each run of equal
+       (stratum, bin) locally: decode members in id order, concatenate
+       with gap_ms of digital silence between neighbours, re-encode
+       pcm_s16le.  No join, no second payload shuffle (plan-asserted in
        tests/test_pack.py).
 
-    Bins whose members mix sample rates (resample_audio first — packing
-    across rates is undefined) or contain undecodable payloads emit
-    null bytes with n_bad > 0 rather than a silently broken window.
-    Output: (bin, n_clips, n_bad, sr_hz, total_samples, dur_ms,
-    clip_ids comma-joined in id order, bytes, codec)."""
+    Bins whose members mix DECODED sample rates (stratify on the sr
+    label, or resample_audio first) or contain undecodable payloads
+    emit null bytes with n_bad > 0 rather than a silently broken
+    window.  Output: (bin, n_clips, n_bad, sr_hz, total_samples,
+    dur_ms, clip_ids comma-joined in id order, bytes, codec
+    [, stratum][, transcript])."""
     from .ops import prefix_totals
 
     T = int(target_ms)
-    pref = prefix_totals(
-        df.select(F.col(id_col), F.col(dur_col)), id_col, dur_col,
-        n_ranges=n_ranges,
-    ).withColumn("bin", F.expr(f"_prefix_tok div {T}").cast("long"))
-    # boundary bins at row-quantiles; dedup + drop bin 0 (pid 0 starts
-    # at prefix 0 unconditionally)
-    if n_ranges > 1:
-        qs = [i / n_ranges for i in range(1, n_ranges)]
-        cand = sorted({int(b) for b in pref.stat.approxQuantile(
-            "bin", qs, 0.001)} - {0})
+    strat_expr = (
+        F.coalesce(F.col(stratify_col).cast("string"),
+                   F.lit(_PACK_NULL_STRATUM))
+        if stratify_col is not None else F.lit("")
+    )
+    if stratify_col is not None:
+        strata = sorted(
+            r["_pstr"] for r in df.select(strat_expr.alias("_pstr"))
+            .distinct().collect())
     else:
-        cand = []
-    if cand:
+        strata = [""]
+
+    def _boundaries(narrow: DataFrame) -> list[tuple]:
+        """[(first_id, start_prefix)] of the chosen boundary bins for
+        one stratum, ascending by start prefix."""
+        pref = prefix_totals(
+            narrow, id_col, dur_col, n_ranges=n_ranges,
+        ).withColumn("bin", F.expr(f"_prefix_tok div {T}").cast("long"))
+        # boundary bins at row-quantiles; dedup + drop bin 0 (the
+        # stratum's pid 0 starts at prefix 0 unconditionally)
+        if n_ranges > 1:
+            qs = [i / n_ranges for i in range(1, n_ranges)]
+            cand = sorted({int(b) for b in pref.stat.approxQuantile(
+                "bin", qs, 0.001)} - {0})
+        else:
+            cand = []
+        if not cand:
+            return []
         firsts = (
             pref.filter(F.col("bin").isin([*cand]))
             .groupBy("bin")
@@ -3121,18 +3154,26 @@ def pack_clips(
                  F.min("_prefix_tok").alias("start"))
             .collect()
         )
-        bmeta = sorted(
-            ((r["first_id"], int(r["start"])) for r in firsts),
-            key=lambda x: x[1])
-    else:
-        bmeta = []
+        return sorted(((r["first_id"], int(r["start"])) for r in firsts),
+                      key=lambda x: x[1])
 
-    pid = F.lit(0)
-    offsets = {0: 0}
-    for j, (fid, start) in enumerate(bmeta):
-        pid = F.when(F.col("_pkid") >= F.lit(fid),
-                     F.lit(j + 1)).otherwise(pid)
-        offsets[j + 1] = start
+    narrow_all = df.select(
+        strat_expr.alias("_pstr"), F.col(id_col), F.col(dur_col))
+    offsets: dict[int, int] = {}
+    pid = F.lit(-1)
+    base = 0
+    for s in strata:
+        nb = (narrow_all.filter(F.col("_pstr") == s)
+              .select(id_col, dur_col))
+        bmeta = _boundaries(nb)
+        inner = F.lit(base)
+        offsets[base] = 0
+        for j, (fid, start) in enumerate(bmeta):
+            inner = F.when(F.col("_pkid") >= F.lit(fid),
+                           F.lit(base + j + 1)).otherwise(inner)
+            offsets[base + j + 1] = start
+        pid = F.when(F.col("_pstr") == s, inner).otherwise(pid)
+        base += len(bmeta) + 1
     omap = F.create_map(
         *[x for p, o in offsets.items()
           for x in (F.lit(p), F.lit(o).cast("long"))])
@@ -3140,15 +3181,19 @@ def pack_clips(
         Window.partitionBy("_ppid").orderBy(F.asc("_pkid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    tx_expr = (F.coalesce(F.col(transcript_col).cast("string"), F.lit(""))
+               if transcript_col is not None else F.lit(""))
     binned = (
         df.select(
+            strat_expr.alias("_pstr"),
             F.col(id_col).alias("_pkid"),
             F.col(bytes_col).alias("_pbytes"),
             F.col(codec_col).alias("_pcodec"),
             F.col(dur_col).cast("long").alias("_ptok"),
+            tx_expr.alias("_ptx"),
         )
         .withColumn("_ppid", pid)
-        .repartition(len(bmeta) + 1, "_ppid")
+        .repartition(base, "_ppid")
         .withColumn("_pcum", F.sum("_ptok").over(w))
         .withColumn("_poff", omap[F.col("_ppid")])
         .withColumn(
@@ -3157,8 +3202,11 @@ def pack_clips(
     )
     repo_root = _REPO_ROOT
     gap = int(gap_ms)
+    with_stratum = stratify_col is not None
+    with_tx = transcript_col is not None
+    sep_tx = str(transcript_sep)
 
-    def _flush(b, ids, members):
+    def _flush(s, b, ids, members):
         import sys
 
         if repo_root not in sys.path:
@@ -3166,9 +3214,10 @@ def pack_clips(
         from gx_spark.audio import decode_payload, wav_encode
 
         parts: list[np.ndarray] = []
+        txs: list[str] = []
         srs: set[int] = set()
         n_bad = 0
-        for bb, cc in members:
+        for bb, cc, tx in members:
             if bb is None:
                 n_bad += 1
                 continue
@@ -3179,10 +3228,18 @@ def pack_clips(
                 continue
             srs.add(int(sr))
             parts.append(pcm)
+            txs.append(tx)
+        extra: tuple = ()
+        if with_stratum:
+            extra += (None if s == _PACK_NULL_STRATUM else s,)
         if n_bad or len(srs) != 1 or not parts:
+            if with_tx:
+                extra += (None,)
             return (b, len(ids), n_bad,
                     srs.pop() if len(srs) == 1 else None, None, None,
-                    ",".join(ids), None, "pcm_s16le")
+                    ",".join(ids), None, "pcm_s16le") + extra
+        if with_tx:
+            extra += (sep_tx.join(txs),)
         sr = srs.pop()
         sep = np.zeros(sr * gap // 1000, dtype=np.int16)
         pieces: list[np.ndarray] = []
@@ -3193,37 +3250,48 @@ def pack_clips(
         packed = np.concatenate(pieces)
         return (b, len(parts), 0, sr, len(packed),
                 int(round(len(packed) * 1000.0 / sr)), ",".join(ids),
-                wav_encode(packed, sr), "pcm_s16le")
+                wav_encode(packed, sr), "pcm_s16le") + extra
 
     cols = ["bin", "n_clips", "n_bad", "sr_hz", "total_samples",
             "dur_ms", "clip_ids", "bytes", "codec"]
+    out_schema = PACKED_SCHEMA
+    if with_stratum:
+        cols.append("stratum")
+        out_schema += ", stratum string"
+    if with_tx:
+        cols.append("transcript")
+        out_schema += ", transcript string"
 
     def _assemble(batches):
-        # rows arrive (pid, id)-sorted, bins are non-decreasing and
-        # never straddle a partition: group consecutive equal bins,
+        # rows arrive (pid, id)-sorted; within a task bins never
+        # straddle a partition, but two pids (so two strata) can hash
+        # into one task — group on the (stratum, bin) PAIR transition,
         # carrying the open bin across Arrow batch boundaries
         cur = None
         ids: list = []
         mem: list = []
         for pdf in batches:
             out = []
-            for b, i, bb, cc in zip(pdf["bin"], pdf["_pkid"],
-                                    pdf["_pbytes"], pdf["_pcodec"]):
-                b = int(b)
-                if cur is not None and b != cur:
-                    out.append(_flush(cur, ids, mem))
+            for s, b, i, bb, cc, tx in zip(
+                    pdf["_pstr"], pdf["bin"], pdf["_pkid"],
+                    pdf["_pbytes"], pdf["_pcodec"], pdf["_ptx"]):
+                key = (s, int(b))
+                if cur is not None and key != cur:
+                    out.append(_flush(cur[0], cur[1], ids, mem))
                     ids, mem = [], []
-                cur = b
+                cur = key
                 ids.append(str(i))
-                mem.append((bb, cc))
+                mem.append((bb, cc, tx))
             if out:
                 yield pd.DataFrame(out, columns=cols)
         if cur is not None:
-            yield pd.DataFrame([_flush(cur, ids, mem)], columns=cols)
+            yield pd.DataFrame([_flush(cur[0], cur[1], ids, mem)],
+                               columns=cols)
 
     return (
-        binned.select("bin", "_pkid", "_pbytes", "_pcodec")
-        .mapInPandas(_assemble, schema=PACKED_SCHEMA)
+        binned.select("_pstr", "bin", "_pkid", "_pbytes", "_pcodec",
+                      "_ptx")
+        .mapInPandas(_assemble, schema=out_schema)
     )
 
 

@@ -95,3 +95,56 @@ def test_pack_plan_single_payload_shuffle(spark):
     # plans list each node twice: tree + detail)
     assert plan.count("Exchange") <= 2
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pack_transcripts_follow_audio(spark):
+    rows = [_clip(i) + (f"word{i}",) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, SCHEMA + ", transcript string")
+    out = {r["bin"]: r for r in pack_clips(
+        df, 1200, transcript_col="transcript").collect()}
+    assert out[0]["transcript"] == "word0 word1 word2 word3"
+    assert out[1]["transcript"] == "word4 word5 word6 word7"
+    # a bad member fails the bin closed: transcript null too
+    rows2 = [_clip(0) + ("a",), (1, bytearray(b"junk"), "pcm_s16le",
+                                 300, "b"), _clip(2) + ("c",),
+             _clip(3) + ("d",)]
+    r2 = pack_clips(spark.createDataFrame(rows2, SCHEMA + ", transcript "
+                    "string"), 1200, transcript_col="transcript"
+                    ).collect()[0]
+    assert r2["bytes"] is None and r2["transcript"] is None
+
+
+def test_pack_stratified_by_rate(spark):
+    # 6 clips at 16 kHz interleaved with 6 at 8 kHz: stratified packing
+    # fills per-stratum bins in per-stratum id order — no mixed-rate
+    # failures, bin numbering restarts per stratum
+    rows = []
+    for i in range(12):
+        sr = 16000 if i % 2 == 0 else 8000
+        rows.append(_clip(i, sr=sr) + (sr,))
+    df = spark.createDataFrame(rows, SCHEMA + ", sr_hz int")
+    out = pack_clips(df, 1200, stratify_col="sr_hz").collect()
+    by = {(r["stratum"], r["bin"]): r for r in out}
+    assert set(by) == {("16000", 0), ("16000", 1), ("8000", 0),
+                       ("8000", 1)}
+    for (s, b), r in by.items():
+        assert r["n_bad"] == 0 and r["sr_hz"] == int(s)
+        # members are the stratum's ids in order: 6 clips of 300 ms per
+        # stratum pack 4 into bin 0 and the remaining 2 into bin 1
+        start = 0 if s == "16000" else 1
+        n_in_bin = 4 if b == 0 else 2
+        want = [str(start + 2 * (4 * b + k)) for k in range(n_in_bin)]
+        assert r["clip_ids"] == ",".join(want)
+        assert r["n_clips"] == n_in_bin
+        assert r["total_samples"] == n_in_bin * (int(s) * 300 // 1000)
+
+
+def test_pack_stratified_null_stratum(spark):
+    rows = [_clip(i) + (None if i < 4 else "en",) for i in range(8)]
+    df = spark.createDataFrame(rows, SCHEMA + ", lang string")
+    out = pack_clips(df, 1200, stratify_col="lang").collect()
+    strata = {r["stratum"]: r for r in out}
+    assert set(strata) == {None, "en"}
+    assert strata[None]["clip_ids"] == "0,1,2,3"
+    assert strata["en"]["clip_ids"] == "4,5,6,7"
