@@ -797,22 +797,24 @@ def main() -> None:
     timings["audio_electrical"] = round(elec_dt, 3)
     assert int(estats["n"]) == pipeline_n
 
-    # r5: sequence packing over the quarter shard's 16 kHz stratum (a
-    # real pipeline packs within a rate stratum — mixed-rate bins fail
-    # closed by design).  Assignment is a narrow metadata pass (binary
-    # column pruned); the payload crosses the wire exactly once into
-    # bin-aligned partitions (see audio_ops.pack_clips docstring).
+    # r5: sequence packing over the WHOLE quarter shard, stratified on
+    # the rate label (a real pipeline packs within a rate stratum —
+    # mixed-DECODED-rate bins still fail closed, catching label lies).
+    # Assignment is a narrow metadata pass (binary column pruned); the
+    # payload crosses the wire exactly once into bin-aligned partitions
+    # (see audio_ops.pack_clips docstring).
     from gx_spark.audio_ops import pack_clips
 
-    pack_src = pipe_df.where("sr_hz = 16000")
-    pack_n = pack_src.count()
+    pack_src = pipe_df
+    pack_n = pipeline_n
     pack_runs = []
     section_ctrl["audio_packing"] = []
     for _ in range(2):
         jvm_gc()
         section_ctrl["audio_packing"].append(hw_control())
         t0 = time.time()
-        pstats2 = pack_clips(pack_src, 30000, gap_ms=200).agg(
+        pstats2 = pack_clips(pack_src, 30000, gap_ms=200,
+                             stratify_col="sr_hz").agg(
             F.count(F.lit(1)).alias("bins"),
             F.sum((F.col("bytes").isNotNull()).cast("long")).alias("ok"),
             F.sum("n_clips").alias("clips"),

@@ -1670,6 +1670,7 @@ def augment_pipeline(
     rt60_ms: float = 300.0,
     reverb_delay_ms: float = 50.0,
     snr_db: float | None = None,
+    tempo: float | None = None,
     speed: float | None = None,
     target_ms: int | None = None,
     id_col: str = "clip_id",
@@ -1700,8 +1701,12 @@ def augment_pipeline(
                  per-row crc32(seed:id)-seeded — bit-identical at any
                  parallelism (augment_noise contract); silent clips pass
                  through the stage unchanged with a NULL floor
+    - tempo:     WSOLA pitch-PRESERVING time-scale modification
+                 (tempo_stretch contract: n_out = round(n/tempo)
+                 exactly, dominant frequency unchanged)
     - speed:     sinc resample by 1/speed, relabeled at the original sr
-                 (speed_perturb contract: n_out = round(n/speed) exactly)
+                 (speed_perturb contract: n_out = round(n/speed)
+                 exactly, pitch scales with tempo)
     - target_ms: truncate / zero-pad the tail to the exact window
                  (pad_or_trim contract)
 
@@ -1715,10 +1720,12 @@ def augment_pipeline(
 
     if speed is not None and speed <= 0:
         raise ValueError("speed must be positive")
+    if tempo is not None and tempo <= 0:
+        raise ValueError("tempo must be positive")
     if target_ms is not None and target_ms <= 0:
         raise ValueError("target_ms must be positive")
-    if (snr_db is None and speed is None and target_ms is None
-            and reverb_gain is None):
+    if (snr_db is None and tempo is None and speed is None
+            and target_ms is None and reverb_gain is None):
         raise ValueError("enable at least one stage")
     fields = list(df.schema.fields)
     if snr_db is not None:
@@ -1736,6 +1743,7 @@ def augment_pipeline(
         from gx_spark.audio_ops import make_rir as _mkr
         from gx_spark.audio_ops import resample_sinc as _rs
         from gx_spark.audio_ops import reverb_pcm as _rvp
+        from gx_spark.audio_ops import tempo_stretch_pcm as _ts
 
         for pdf in it:
             new_bytes: list[bytes | None] = []
@@ -1768,6 +1776,12 @@ def augment_pipeline(
                     pcm, floor = _anp(pcm, snr_db, rng)
                     reencoded = floor is not None
                 dur: int | None = None
+                if tempo is not None:
+                    # the chained tempo_stretch re-encodes even at 1.0;
+                    # mirror it so fused == chained stays bit-identical
+                    pcm = _ts(pcm, sr, tempo)
+                    dur = int(round(len(pcm) * 1000.0 / sr))
+                    reencoded = True
                 if speed is not None:
                     n_out = int(round(len(pcm) / speed))
                     pcm = _rs(pcm, sr, max(1, int(round(sr / speed))),
@@ -1797,7 +1811,8 @@ def augment_pipeline(
             if codec_col in pdf.columns:
                 pdf[codec_col] = new_codec
             if "dur_ms" in pdf.columns and (
-                    speed is not None or target_ms is not None):
+                    tempo is not None or speed is not None
+                    or target_ms is not None):
                 pdf["dur_ms"] = pd.array(new_dur, dtype="Int32")
             if snr_db is not None:
                 pdf["noise_rms_dbfs"] = pd.array(floors, dtype="float64")

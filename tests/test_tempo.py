@@ -84,3 +84,25 @@ def test_tempo_map_only_plan(spark):
         [(i, bytearray(encode_payload(pcm, SR, "pcm_s16le")),
           "pcm_s16le", 300) for i in range(4)], SCHEMA)
     assert "Exchange" not in formatted_plan(tempo_stretch(df, 1.1))
+
+
+def test_fused_pipeline_tempo_stage_bit_identical(spark):
+    # fused noise -> tempo -> window == the chained three ops, byte for
+    # byte (same contract the speed stage is pinned to)
+    from gx_spark.audio_ops import augment_noise, augment_pipeline, pad_or_trim
+
+    rows = []
+    for i in range(6):
+        pcm = _tone(220.0 + 40 * i, 900)
+        rows.append((i, bytearray(encode_payload(pcm, SR, "flac")),
+                     "flac", 900))
+    df = spark.createDataFrame(rows, SCHEMA)
+    fused = augment_pipeline(
+        df, snr_db=20.0, tempo=1.25, target_ms=600, seed=7)
+    chained = pad_or_trim(
+        tempo_stretch(augment_noise(df, 20.0, seed=7), 1.25), 600)
+    f = {r["clip_id"]: bytes(r["bytes"]) for r in fused.collect()}
+    c = {r["clip_id"]: bytes(r["bytes"]) for r in chained.collect()}
+    assert f == c
+    d = {r["clip_id"]: r["dur_ms"] for r in fused.collect()}
+    assert all(v == 600 for v in d.values())
