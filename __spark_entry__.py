@@ -1685,6 +1685,52 @@ def q_audio_pack_stratified(spark, sf_dir):
         "clip_ids", "transcript")
 
 
+def q_audio_specaugment(spark, sf_dir):
+    """SpecAugment (gx_spark.audio_ops.specaugment — Park et al. 2019
+    time/frequency masking on the 25/10 log-mel front end, done at
+    corpus-prep time).  1 s 16 kHz tones give exactly 98 frames x 26
+    bands; the mask bookkeeping (masked_frames / masked_bands /
+    masked_cell_frac) is recounted from the EMITTED matrix with
+    JVM-side higher-order functions (a masked row/col is exactly
+    -80 dB everywhere; natural cells clamp at -100), the stripe-width
+    caps bound the counts, and the oracle restates the exact frame
+    arithmetic plus the all-true invariants."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import specaugment
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 200.0 + 7.0 * (i % 40)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    out = specaugment(df, id_col="doc_id", keep_cols=["doc_id"])
+    mf = F.expr("size(filter(logmel, r -> forall(r, c -> c = -80.0D)))")
+    mb = F.expr("size(filter(sequence(0, n_mels - 1), j -> "
+                "forall(logmel, r -> r[j] = -80.0D)))")
+    exact = ((mf * F.col("n_mels") + mb * F.col("n_frames") - mf * mb)
+             / (F.col("n_frames") * F.col("n_mels")))
+    return out.select(
+        "doc_id", "n_frames", "n_mels",
+        (mf == F.col("masked_frames")).alias("frames_ok"),
+        (mb == F.col("masked_bands")).alias("bands_ok"),
+        (F.abs(exact - F.col("masked_cell_frac")) < 1e-12).alias(
+            "frac_ok"),
+        ((F.col("masked_frames") <= 20)
+         & (F.col("masked_bands") <= 8)).alias("caps_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3129,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_specaugment": q_audio_specaugment,
         "audio_pack_stratified": q_audio_pack_stratified,
         "audio_tempo_stretch": q_audio_tempo_stretch,
         "audio_pack_training_windows": q_audio_pack_training_windows,
@@ -3458,6 +3505,16 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_specaugment": (
+            # frame arithmetic restated: 1 s at 16 kHz, 25/10 ms
+            # windows -> 1 + (16000-400)//160 = 98 frames, 26 HTK
+            # bands; mask bookkeeping invariants recounted in-Spark
+            # from the emitted matrix, pinned all-true
+            "SELECT doc_id, CAST(98 AS BIGINT) AS n_frames, "
+            "CAST(26 AS INT) AS n_mels, true AS frames_ok, "
+            "true AS bands_ok, true AS frac_ok, true AS caps_ok "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "audio_pack_stratified": (
             # per-stratum packing restated from doc_id arithmetic:
             # stratum = rate by parity, position within stratum =

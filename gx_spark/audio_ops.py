@@ -3428,3 +3428,144 @@ def tempo_stretch(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment: deterministic time/frequency masking on log-mel features
+# ---------------------------------------------------------------------------
+
+SPECAUG_SCHEMA = (
+    "n_frames long, n_mels int, masked_frames int, masked_bands int, "
+    "masked_cell_frac double, logmel array<array<double>>")
+
+_SPECAUG_KEYS = ("n_frames", "n_mels", "masked_frames", "masked_bands",
+                 "masked_cell_frac", "logmel")
+
+
+def specaugment(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    n_mels: int = 26,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    time_masks: int = 2,
+    max_time_frames: int = 10,
+    freq_masks: int = 2,
+    max_freq_bands: int = 4,
+    floor_db: float = -80.0,
+    seed: int = 42,
+) -> DataFrame:
+    """SpecAugment (Park et al., Interspeech 2019): the standard ASR
+    feature-space augmentation — random time and frequency stripes of
+    the log-mel matrix replaced by a floor value, done at corpus-prep
+    time so the training job reads augmented features directly.
+
+    Per clip: decode once, 25/10 ms periodic-Hann log-mel (the
+    mel_features front end), then `time_masks` stripes of width
+    uniform[0, max_time_frames] over frames and `freq_masks` stripes of
+    width uniform[0, max_freq_bands] over bands are set to EXACTLY
+    `floor_db`.  The mask RNG is crc32(seed:id)-seeded per row —
+    bit-identical at any parallelism/partitioning, the augment_noise
+    determinism contract.  Natural cells are clamped at -100 dB
+    (1e-10 power), so a cell equal to floor_db identifies a masked
+    cell exactly — tests and the driver oracle recount masked frames /
+    bands from the emitted matrix with JVM-side higher-order functions
+    and match them against the bookkeeping columns:
+
+    - masked_frames / masked_bands: count of DISTINCT masked frame rows
+      / band columns (stripes may overlap)
+    - masked_cell_frac: exact covered-cell fraction,
+      (mf*n_mels + mb*nf - mf*mb) / (nf*n_mels)
+
+    Undecodable rows and clips shorter than one frame emit null
+    features.  Map-only mapInPandas — one Arrow decode, no shuffle."""
+    import zlib
+
+    if not (0 < n_mels and max_freq_bands * freq_masks < n_mels):
+        raise ValueError("freq masks must not cover every band")
+    repo_root = _REPO_ROOT
+    keeps = list(keep_cols or [])
+    # build output schema from kept input fields + the feature columns
+    from pyspark.sql.types import StructType
+
+    kept_fields = [f for f in df.schema.fields if f.name in keeps]
+    feat = StructType.fromDDL(SPECAUG_SCHEMA)
+    out_schema = StructType(kept_fields + list(feat.fields))
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload
+
+        for pdf in it:
+            rows = {k: [] for k in _SPECAUG_KEYS}
+            for rid, bb, cc in zip(pdf[id_col], pdf[bytes_col],
+                                   pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    sr, pcm = 0, None
+                nf = 0
+                if pcm is not None and sr > 0:
+                    win = max(1, sr * frame_ms // 1000)
+                    hop = max(1, sr * hop_ms // 1000)
+                    n = len(pcm)
+                    nf = 0 if n < win else 1 + (n - win) // hop
+                if nf == 0:
+                    for k in _SPECAUG_KEYS:
+                        rows[k].append(None)
+                    rows["n_mels"][-1] = int(n_mels)
+                    continue
+                x = pcm.astype(np.float64) / 32768.0
+                idx = (np.arange(nf)[:, None] * hop
+                       + np.arange(win)[None, :])
+                hann = 0.5 - 0.5 * np.cos(
+                    2.0 * np.pi * np.arange(win) / win)
+                nfft = 1 << max(1, int(win - 1).bit_length())
+                pwr = np.abs(np.fft.rfft(x[idx] * hann, nfft,
+                                         axis=1)) ** 2
+                fb = mel_filterbank(sr, nfft, n_mels)
+                mel = 10.0 * np.log10(np.maximum(pwr @ fb.T, 1e-10))
+                rng = np.random.default_rng(
+                    zlib.crc32(f"{seed}:{rid}".encode("utf-8")))
+                trows: set[int] = set()
+                for _ in range(int(time_masks)):
+                    wlen = int(rng.integers(0, max_time_frames + 1))
+                    start = int(rng.integers(0, max(1, nf - wlen + 1)))
+                    wlen = min(wlen, nf - start)
+                    mel[start:start + wlen, :] = floor_db
+                    trows.update(range(start, start + wlen))
+                bcols: set[int] = set()
+                for _ in range(int(freq_masks)):
+                    wlen = int(rng.integers(0, max_freq_bands + 1))
+                    start = int(rng.integers(
+                        0, max(1, n_mels - wlen + 1)))
+                    wlen = min(wlen, n_mels - start)
+                    mel[:, start:start + wlen] = floor_db
+                    bcols.update(range(start, start + wlen))
+                mf, mb = len(trows), len(bcols)
+                rows["n_frames"].append(int(nf))
+                rows["n_mels"].append(int(n_mels))
+                rows["masked_frames"].append(mf)
+                rows["masked_bands"].append(mb)
+                rows["masked_cell_frac"].append(
+                    (mf * n_mels + mb * nf - mf * mb)
+                    / float(nf * n_mels))
+                rows["logmel"].append([list(r) for r in mel])
+            out = pdf[keeps].copy() if keeps else pd.DataFrame(
+                index=pdf.index)
+            for k in _SPECAUG_KEYS:
+                out[k] = rows[k]
+            yield out
+
+    sel = list(keeps)
+    for c in (id_col, bytes_col, codec_col):
+        if c not in sel:
+            sel.append(c)
+    return df.select(*sel).mapInPandas(_batches, schema=out_schema)
