@@ -1731,6 +1731,57 @@ def q_audio_specaugment(spark, sf_dir):
     )
 
 
+def q_audio_cmvn(spark, sf_dir):
+    """Corpus CMVN (gx_spark.audio_ops.cmvn_stats/apply_cmvn — the
+    classic ASR front-end normalization, computed as map-side per-clip
+    partials merged by ONE 26-row aggregate: the north rule's
+    treeAggregate shape in DataFrame form).  200 half-second tones at
+    varied freqs/amps -> exactly 48 frames each, 9600 total; after
+    applying the stats, the per-band corpus mean is 0 and the std is 1
+    (bands with zero raw variance normalize to 0 by the eps guard and
+    are excused via a driver-side literal).  Both re-measured in-Spark
+    from the normalized matrices; the oracle restates the frame
+    arithmetic and pins the invariants all-true per band."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import apply_cmvn, cmvn_stats, specaugment
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 150.0 + 9.0 * (i % 50)
+        a = 0.1 + 0.02 * (i % 8)
+        pcm = np.rint(a * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    n, means, stds = cmvn_stats(df)
+    feats = specaugment(df, id_col="doc_id", keep_cols=["doc_id"],
+                        time_masks=0, freq_masks=0)
+    zero_var = [b for b, s in enumerate(stds) if s < 1e-9]
+    normed = apply_cmvn(feats, means, stds)
+    cells = (
+        normed.select(F.explode("logmel").alias("frame"))
+        .select(F.posexplode("frame").alias("band", "v"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.avg("v").alias("m"), F.var_pop("v").alias("vv"))
+    )
+    return cells.select(
+        "band", "n_frames",
+        (F.abs(F.col("m")) < 1e-8).alias("mean_ok"),
+        ((F.abs(F.sqrt("vv") - 1.0) < 1e-6)
+         | F.col("band").isin([*zero_var] or [-1])).alias("std_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3175,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_cmvn": q_audio_cmvn,
         "audio_specaugment": q_audio_specaugment,
         "audio_pack_stratified": q_audio_pack_stratified,
         "audio_tempo_stretch": q_audio_tempo_stretch,
@@ -3505,6 +3557,14 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_cmvn": (
+            # frame arithmetic restated: 200 clips x (1+(8000-400)//160)
+            # = 48 frames = 9600 per band, normalization invariants
+            # pinned all-true for every one of the 26 HTK bands
+            "SELECT CAST(i AS INT) AS band, "
+            "CAST(9600 AS BIGINT) AS n_frames, true AS mean_ok, "
+            "true AS std_ok FROM generate_series(0, 25) t(i)"
+        ),
         "audio_specaugment": (
             # frame arithmetic restated: 1 s at 16 kHz, 25/10 ms
             # windows -> 1 + (16000-400)//160 = 98 frames, 26 HTK

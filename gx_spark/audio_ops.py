@@ -3569,3 +3569,154 @@ def specaugment(
         if c not in sel:
             sel.append(c)
     return df.select(*sel).mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# CMVN: corpus-level cepstral/filterbank mean-variance normalization
+# ---------------------------------------------------------------------------
+
+CMVN_PARTIAL_SCHEMA = (
+    "n_frames long, band_sum array<double>, band_sumsq array<double>")
+
+
+def cmvn_partials(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    keep_cols: list[str] | None = None,
+    n_mels: int = 26,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Per-clip CMVN partials: frame count plus per-band Σx and Σx² of
+    the 25/10 log-mel matrix (one Arrow decode, map-only).  These are
+    the mergeable sufficient statistics of corpus-level mean/variance —
+    the DataFrame form of a treeAggregate: every clip contributes a
+    26-element partial, Catalyst's partial+final HashAggregate merges
+    them map-side, and only (band, sum, sumsq, n) scalars ever shuffle.
+    Undecodable / sub-frame clips emit n_frames=0 with zero vectors."""
+    from pyspark.sql.types import StructType
+
+    kept = [f for f in df.schema.fields
+            if f.name in (keep_cols or [])]
+    out_schema = StructType(
+        kept + list(StructType.fromDDL(CMVN_PARTIAL_SCHEMA).fields))
+    keeps = [f.name for f in kept]
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload
+
+        for pdf in it:
+            ns, sums, sqs = [], [], []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    sr, pcm = 0, None
+                nf = 0
+                if pcm is not None and sr > 0:
+                    win = max(1, sr * frame_ms // 1000)
+                    hop = max(1, sr * hop_ms // 1000)
+                    n = len(pcm)
+                    nf = 0 if n < win else 1 + (n - win) // hop
+                if nf == 0:
+                    ns.append(0)
+                    sums.append([0.0] * n_mels)
+                    sqs.append([0.0] * n_mels)
+                    continue
+                x = pcm.astype(np.float64) / 32768.0
+                idx = (np.arange(nf)[:, None] * hop
+                       + np.arange(win)[None, :])
+                hann = 0.5 - 0.5 * np.cos(
+                    2.0 * np.pi * np.arange(win) / win)
+                nfft = 1 << max(1, int(win - 1).bit_length())
+                pwr = np.abs(np.fft.rfft(x[idx] * hann, nfft,
+                                         axis=1)) ** 2
+                fb = mel_filterbank(sr, nfft, n_mels)
+                mel = 10.0 * np.log10(np.maximum(pwr @ fb.T, 1e-10))
+                ns.append(int(nf))
+                sums.append([float(v) for v in mel.sum(axis=0)])
+                sqs.append([float(v) for v in (mel * mel).sum(axis=0)])
+            out = pdf[keeps].copy() if keeps else pd.DataFrame(
+                index=pdf.index)
+            out["n_frames"] = ns
+            out["band_sum"] = sums
+            out["band_sumsq"] = sqs
+            yield out
+
+    sel = list(keeps)
+    for c in (bytes_col, codec_col):
+        if c not in sel:
+            sel.append(c)
+    return df.select(*sel).mapInPandas(_batches, schema=out_schema)
+
+
+def cmvn_stats(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    n_mels: int = 26,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+) -> tuple[int, list[float], list[float]]:
+    """Corpus CMVN statistics: (total_frames, per-band means, per-band
+    POPULATION stds) of the log-mel features over every decodable clip.
+    One pass: cmvn_partials map-side, then a single 26-row aggregate
+    (posexplode of the partial vectors -> groupBy(band).sum — map-side
+    partial aggregation means only n_partitions x 26 scalar triples
+    cross the wire, the treeAggregate merge in DataFrame form)."""
+    parts = cmvn_partials(
+        df, bytes_col=bytes_col, codec_col=codec_col, n_mels=n_mels,
+        frame_ms=frame_ms, hop_ms=hop_ms)
+    agg = (
+        parts.select(
+            "n_frames",
+            F.posexplode("band_sum").alias("band", "s"),
+            F.col("band_sumsq"))
+        .select("n_frames", "band", "s",
+                F.col("band_sumsq")[F.col("band")].alias("q"))
+        .groupBy("band")
+        .agg(F.sum("n_frames").alias("n"), F.sum("s").alias("s"),
+             F.sum("q").alias("q"))
+        .collect()
+    )
+    rows = sorted(agg, key=lambda r: r["band"])
+    n = int(rows[0]["n"]) if rows else 0
+    means, stds = [], []
+    for r in rows:
+        m = r["s"] / n if n else 0.0
+        v = max(r["q"] / n - m * m, 0.0) if n else 0.0
+        means.append(float(m))
+        stds.append(float(v ** 0.5))
+    return n, means, stds
+
+
+def apply_cmvn(
+    df: DataFrame,
+    means: list[float],
+    stds: list[float],
+    *,
+    logmel_col: str = "logmel",
+    eps: float = 1e-8,
+) -> DataFrame:
+    """Normalize a log-mel matrix column by corpus CMVN statistics:
+    cell[j] -> (cell[j] - means[j]) / max(stds[j], eps).  The stats are
+    literal arrays (broadcast by value inside the plan — no join, no
+    shuffle); the transform is JVM-side nested higher-order functions,
+    no Python in the hot path."""
+    marr = F.array(*[F.lit(float(m)) for m in means])
+    sarr = F.array(*[F.lit(max(float(s), eps)) for s in stds])
+    return df.withColumn(
+        logmel_col,
+        F.transform(
+            F.col(logmel_col),
+            lambda row: F.zip_with(
+                F.zip_with(row, marr, lambda c, m: c - m),
+                sarr, lambda d, s: d / s)))
