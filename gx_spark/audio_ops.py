@@ -3720,3 +3720,98 @@ def apply_cmvn(
             lambda row: F.zip_with(
                 F.zip_with(row, marr, lambda c, m: c - m),
                 sarr, lambda d, s: d / s)))
+
+
+# ---------------------------------------------------------------------------
+# declick: isolated-impulse (click/pop) detection and repair
+# ---------------------------------------------------------------------------
+
+
+def declick_pcm(
+    pcm: np.ndarray, thr_frac: float = 0.2
+) -> tuple[np.ndarray, int]:
+    """Click/pop repair on one int16 clip: a sample whose residual
+    against the 5-point running median exceeds `thr_frac` of full scale
+    is an isolated impulse (vinyl tick, packet glitch, sensor pop) and
+    is replaced BY that median.  The median is robust to the impulse
+    itself, so the estimate under a true click is the local waveform;
+    smooth program material (speech/tones) has per-sample curvature
+    orders of magnitude below 20% FS and passes through bit-identical.
+    Returns (repaired int16 copy, n_clicks)."""
+    n = len(pcm)
+    if n < 5:
+        return pcm.copy(), 0
+    x = pcm.astype(np.float64)
+    # 5-point running median via a (n-4, 5) stride-free window stack
+    w = np.stack([x[i:n - 4 + i] for i in range(5)], axis=1)
+    med = np.median(w, axis=1)
+    resid = np.abs(x[2:n - 2] - med)
+    thr = float(thr_frac) * 32767.0
+    hits = np.nonzero(resid > thr)[0]
+    if not len(hits):
+        return pcm.copy(), 0
+    y = x.copy()
+    y[hits + 2] = med[hits]
+    out = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+    return out, int(len(hits))
+
+
+def declick_audio(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    thr_frac: float = 0.2,
+) -> DataFrame:
+    """Click/pop repair across a corpus (declick_pcm) — the restoration
+    companion to declip_audio (rail runs), remove_hum (tonal
+    interference), and the DC repair: impulsive defects that a
+    validation pass flags get repaired rather than dropped.
+
+    Output schema = input + (n_clicks long).  Clean clips pass through
+    with their ORIGINAL bytes and codec (n_clicks 0); repaired clips
+    re-encode pcm_s16le; undecodable rows pass through with null bytes
+    (the trim_silence convention).  mapInPandas, map-only — payloads
+    never shuffle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("n_clicks", LongType())])
+    repo_root = _REPO_ROOT
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import declick_pcm as _dcp
+
+        for pdf in it:
+            new_bytes: list[bytes | None] = []
+            new_codec: list[str] = []
+            counts: list[int | None] = []
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    new_bytes.append(None)
+                    new_codec.append(cc)
+                    counts.append(None)
+                    continue
+                y, k = _dcp(pcm, thr_frac)
+                if k == 0:
+                    new_bytes.append(bytes(bb))
+                    new_codec.append(cc)
+                else:
+                    new_bytes.append(wav_encode(y, sr))
+                    new_codec.append("pcm_s16le")
+                counts.append(k)
+            pdf = pdf.copy()
+            pdf[bytes_col] = new_bytes
+            if codec_col in pdf.columns:
+                pdf[codec_col] = new_codec
+            pdf["n_clicks"] = pd.array(counts, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
