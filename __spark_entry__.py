@@ -1826,6 +1826,55 @@ def q_audio_declick(spark, sf_dir):
     )
 
 
+def q_audio_denoise(spark, sf_dir):
+    """Spectral-subtraction noise reduction (gx_spark.audio_ops.
+    denoise_audio — Boll 1979: noise profile from the quietest-decile
+    frames, per-bin oversubtracted Wiener gain, exact COLA resynthesis).
+    Gated tones (250 ms bursts) under per-doc deterministic white noise
+    at -30.5 dBFS: the gaps sit ABOVE the -40 dBFS silence gate before
+    denoising and BELOW it after, so the features' silence_ratio flips
+    from ~0 to the gap fraction — re-measured from both payloads through
+    the same decode.  Length is preserved exactly.  The oracle restates
+    the invariants per doc_id."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import denoise_audio, extract_audio_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    gate = ((t * 1000) // 250) % 2 == 0
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 160")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 220.0 + 8.0 * (i % 25)
+        rng = np.random.default_rng(1000 + i)
+        pcm = np.clip(np.rint(
+            0.3 * 32767 * np.sin(2 * np.pi * f * t) * gate
+            + rng.normal(0, 0.03 * 32767, sr)),
+            -32768, 32767).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    before = extract_audio_features(df, keep_cols=["doc_id"]).select(
+        "doc_id", F.col("silence_ratio").alias("sil_before"))
+    after = extract_audio_features(
+        denoise_audio(df), keep_cols=["doc_id"]).select(
+        "doc_id", "n_samples",
+        F.col("silence_ratio").alias("sil_after"))
+    j = after.join(F.broadcast(before), "doc_id")
+    return j.select(
+        "doc_id",
+        (F.col("n_samples") == sr).alias("len_ok"),
+        (F.col("sil_before") < 0.05).alias("gaps_loud_before"),
+        ((F.col("sil_after") > 0.25)
+         & (F.col("sil_after") < 0.60)).alias("gaps_silent_after"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3270,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_denoise": q_audio_denoise,
         "audio_declick": q_audio_declick,
         "audio_cmvn": q_audio_cmvn,
         "audio_specaugment": q_audio_specaugment,
@@ -3602,6 +3652,15 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_denoise": (
+            # suppression invariants re-measured from the payloads
+            # through the features decode: -30.5 dBFS gap noise is not
+            # silence before (< 0.05) and is after (gap fraction band),
+            # length preserved exactly; pinned all-true per doc_id
+            "SELECT doc_id, true AS len_ok, true AS gaps_loud_before, "
+            "true AS gaps_silent_after "
+            "FROM documents WHERE doc_id < 160"
+        ),
         "audio_declick": (
             # click counts restated from doc_id arithmetic (doc_id%5
             # injected impulses, all found, none invented); length and
