@@ -2885,7 +2885,7 @@ def q_streaming_windowed_events(spark, sf_dir):
 def q_expectation_diagnostics(spark, sf_dir):
     """Gallery self-check harness (gx_spark/diagnostics.py — the GE
     run_diagnostics/examples machinery): run EVERY registered
-    expectation type's example suite (r5: all 69 types are
+    expectation type's example suite (r5: all 78 registered types are
     example-covered, including the binary audio/image/video ones and the
     two-table referential ones) through the REAL validate() path.  The
     oracle pins per type that at least one example ran, every example

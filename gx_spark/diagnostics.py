@@ -748,8 +748,40 @@ def _gallery_hum_ratio():
     }]
 
 
+def _gallery_click_count():
+    import numpy as np
+
+    from .audio import encode_payload
+
+    sr = 8000
+    t = np.arange(sr * 400 // 1000) / sr
+    tone = np.rint(0.3 * 32767 * np.sin(2 * np.pi * 440.0 * t)).astype(
+        np.int16)
+    clicked = tone.copy()
+    for p in (500, 1200, 2100):
+        clicked[p] = 32000 if clicked[p] < 0 else -32000
+    rows = [
+        dict(clip_id="diag_clean",
+             bytes=bytearray(encode_payload(tone, sr, "pcm_s16le")),
+             codec="pcm_s16le"),
+        dict(clip_id="diag_clicked",
+             bytes=bytearray(encode_payload(clicked, sr, "pcm_s16le")),
+             codec="pcm_s16le"),
+    ]
+    return [{
+        "data": {k: [r[k] for r in rows] for k in rows[0]},
+        "schema": "clip_id string, bytes binary, codec string",
+        "tests": [{
+            "title": "three planted impulses break the any-click gate",
+            "in": {"max_clicks": 1},
+            "out": {"success": False, "unexpected_count": 1},
+        }],
+    }]
+
+
 GALLERY_EXAMPLE_BUILDERS: dict = {
     "expect_audio_channel_count_to_equal": _gallery_channel_count,
+    "expect_audio_click_count_to_be_below": _gallery_click_count,
     "expect_audio_dc_offset_to_be_below": _gallery_dc_offset,
     "expect_audio_hum_ratio_to_be_below": _gallery_hum_ratio,
     "expect_audio_loudness_to_be_between": _gallery_loudness,

@@ -769,3 +769,87 @@ class AudioHumRatioBelow(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.round(F.col(_ELECTRICAL_COL)["hum_ratio"], 4)
+
+
+# ---------------------------------------------------------------------------
+# impulsive-defect gate (clicks/pops)
+# ---------------------------------------------------------------------------
+
+_CLICK_COL = "__clicks"
+
+
+def ensure_click_features(
+    ctx: MetricContext, cfg: ExpectationConfiguration,
+) -> None:
+    """Register the shared `__clicks` column: per-row isolated-impulse
+    count from the declick detector (audio_ops.declick_pcm, detection
+    only — nothing is re-encoded here), one decode per run.  The
+    detector threshold must agree across the suite."""
+    k = cfg.kwargs
+    bcol = k.get("bytes_column", "bytes")
+    ccol = k.get("codec_column", "codec")
+    require_columns(ctx, bcol, ccol)
+    thr = float(k.get("thr_frac", 0.2))
+    have = getattr(ctx, "_click_thr", None)
+    if _CLICK_COL in ctx.derived:
+        if have != thr:
+            raise ValueError(
+                "conflicting click-detector thr_frac in one suite: "
+                f"{have} vs {thr}")
+        return
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    @pandas_udf("bigint")
+    def click_flags(b: pd.Series, codec: pd.Series) -> pd.Series:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload
+        from gx_spark.audio_ops import declick_pcm
+
+        out: list = []
+        for bb, cc in zip(b, codec):
+            try:
+                _sr, pcm = decode_payload(bytes(bb), cc)
+            except (ValueError, NotImplementedError, TypeError):
+                out.append(None)
+                continue
+            out.append(declick_pcm(pcm, thr)[1])
+        return pd.Series(out, dtype="Int64")
+
+    ctx.derived[_CLICK_COL] = click_flags(F.col(bcol), F.col(ccol))
+    ctx._click_thr = thr
+
+
+@register_expectation("expect_audio_click_count_to_be_below")
+class AudioClickCountBelow(ColumnMapExpectation):
+    """Unexpected when the clip's isolated-impulse count (samples whose
+    residual against the robust 5-point running median exceeds
+    thr_frac of full scale — vinyl ticks, packet glitches, sensor
+    pops) reaches max_clicks (default 1: any click flags the row).
+    The restoration companion op is audio_ops.declick_audio; this gate
+    is the validation half, one decode per run.  Undecodable payloads
+    have a null count and are excluded (metadata concerns)."""
+
+    metric_name = "audio.click_count"
+    count_via_violations = True
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("bytes_column", "bytes"))
+        ensure_click_features(ctx, cfg)
+        return super().plan(ctx, cfg, index)
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = int(cfg.kwargs.get("max_clicks", 1))
+        v = F.col(_CLICK_COL)
+        return v.isNotNull() & (v >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.col(_CLICK_COL)

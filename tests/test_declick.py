@@ -79,3 +79,26 @@ def test_df_map_only_plan(spark):
         [(0, bytearray(encode_payload(_tone(), SR, "pcm_s16le")),
           "pcm_s16le")], SCHEMA)
     assert "Exchange" not in formatted_plan(declick_audio(df))
+
+
+def test_click_expectation_and_gallery(spark):
+    import gx_spark
+    from gx_spark.diagnostics import run_diagnostics
+
+    pcm = _tone()
+    rows = [
+        (0, bytearray(encode_payload(pcm, SR, "pcm_s16le")), "pcm_s16le"),
+        (1, bytearray(encode_payload(_inject(pcm, [900, 4100]),
+                                     SR, "pcm_s16le")), "pcm_s16le"),
+        (2, bytearray(b"junk"), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    suite = gx_spark.ExpectationSuite("clicks")
+    suite.add("expect_audio_click_count_to_be_below", max_clicks=1)
+    b = gx_spark.validate(spark, df, suite)
+    r = b.suite_result.results[0]
+    # clip 1 flagged, undecodable clip 2 excluded from the denominator
+    assert r.success is False
+    assert r.result["unexpected_count"] == 1
+    d = run_diagnostics(spark, "expect_audio_click_count_to_be_below")
+    assert d["success"] and d["examples_passed"] == d["examples_run"] >= 1
