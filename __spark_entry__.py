@@ -1875,6 +1875,41 @@ def q_audio_denoise(spark, sf_dir):
     )
 
 
+def q_audio_pack_resample(spark, sf_dir):
+    """Resample-at-pack (gx_spark.audio_ops.pack_clips resample_to —
+    the realistic mixed-rate-corpus policy: every member is sinc-
+    resampled to the window rate at assembly instead of failing the
+    bin closed).  Clips alternate 16 kHz / 8 kHz in one UNstratified
+    stream; with resample_to=16000 each 300 ms member contributes
+    exactly 4800 samples regardless of source rate (the resample_sinc
+    round(n*L/M) contract), so every bin of 4 is exactly 19200 samples
+    = 1200 ms.  The oracle restates the packing and the resampled
+    sample arithmetic from doc_id alone."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import pack_clips
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 240")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        sr = 16000 if i % 2 == 0 else 8000
+        t = np.arange(sr * 300 // 1000) / sr
+        f = 200.0 + 10.0 * (i % 20)
+        pcm = np.rint(0.3 * 32767 * np.sin(2 * np.pi * f * t)).astype(
+            np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le", 300))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string, dur_ms int")
+    packed = pack_clips(df, 1200, id_col="doc_id", resample_to=16000)
+    return packed.select(
+        "bin", "n_clips", "n_bad", "sr_hz", "total_samples", "dur_ms",
+        "clip_ids")
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3319,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_pack_resample": q_audio_pack_resample,
         "audio_denoise": q_audio_denoise,
         "audio_declick": q_audio_declick,
         "audio_cmvn": q_audio_cmvn,
@@ -3652,6 +3688,18 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_pack_resample": (
+            # packing + resample arithmetic restated: 4 consecutive ids
+            # per bin, every member exactly 4800 samples at 16 kHz after
+            # resample (300 ms at either source rate), 19200 = 1200 ms
+            "SELECT doc_id // 4 AS bin, CAST(4 AS INT) AS n_clips, "
+            "CAST(0 AS INT) AS n_bad, CAST(16000 AS INT) AS sr_hz, "
+            "CAST(19200 AS BIGINT) AS total_samples, "
+            "CAST(1200 AS INT) AS dur_ms, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS clip_ids "
+            "FROM documents WHERE doc_id < 240 GROUP BY doc_id // 4"
+        ),
         "audio_denoise": (
             # suppression invariants re-measured from the payloads
             # through the features decode: -30.5 dBFS gap noise is not

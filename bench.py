@@ -797,12 +797,13 @@ def main() -> None:
     timings["audio_electrical"] = round(elec_dt, 3)
     assert int(estats["n"]) == pipeline_n
 
-    # r5: sequence packing over the WHOLE quarter shard, stratified on
-    # the rate label (a real pipeline packs within a rate stratum —
-    # mixed-DECODED-rate bins still fail closed, catching label lies).
-    # Assignment is a narrow metadata pass (binary column pruned); the
-    # payload crosses the wire exactly once into bin-aligned partitions
-    # (see audio_ops.pack_clips docstring).
+    # r5: sequence packing over the WHOLE quarter shard with the
+    # realistic corpus policy — stratified on the rate label, every
+    # window normalized to 16 kHz at assembly (resample-at-pack), and
+    # undecodable members dropped (n_bad-counted) instead of discarding
+    # the window.  Assignment is a narrow metadata pass (binary column
+    # pruned); the payload crosses the wire exactly once into
+    # bin-aligned partitions (see audio_ops.pack_clips docstring).
     from gx_spark.audio_ops import pack_clips
 
     pack_src = pipe_df
@@ -814,7 +815,8 @@ def main() -> None:
         section_ctrl["audio_packing"].append(hw_control())
         t0 = time.time()
         pstats2 = pack_clips(pack_src, 30000, gap_ms=200,
-                             stratify_col="sr_hz").agg(
+                             stratify_col="sr_hz",
+                             resample_to=16000, skip_bad=True).agg(
             F.count(F.lit(1)).alias("bins"),
             F.sum((F.col("bytes").isNotNull()).cast("long")).alias("ok"),
             F.sum("n_clips").alias("clips"),
@@ -824,6 +826,24 @@ def main() -> None:
     pack_dt = min(pack_runs)
     timings["audio_packing"] = round(pack_dt, 3)
     assert int(pstats2["bins"]) > 0 and int(pstats2["ok"]) > 0
+
+    # r5: corpus CMVN over the quarter shard — per-clip log-mel partials
+    # from one decode, merged by a single 26-row aggregate (map-side
+    # partial aggregation: only scalar triples shuffle — the north
+    # rule's treeAggregate shape in DataFrame form)
+    from gx_spark.audio_ops import cmvn_stats
+
+    cmvn_runs = []
+    section_ctrl["audio_cmvn"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_cmvn"].append(hw_control())
+        t0 = time.time()
+        cm_n, cm_means, _cm_stds = cmvn_stats(pipe_df)
+        cmvn_runs.append(time.time() - t0)
+    cmvn_dt = min(cmvn_runs)
+    timings["audio_cmvn"] = round(cmvn_dt, 3)
+    assert cm_n > 0 and len(cm_means) == 26
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -850,6 +870,8 @@ def main() -> None:
         "declip_clips_per_sec": round(pipeline_n / declip_dt, 1),
         "electrical_clips_per_sec": round(pipeline_n / elec_dt, 1),
         "packing_clips_per_sec": round(pack_n / pack_dt, 1),
+        "cmvn_clips_per_sec": round(pipeline_n / cmvn_dt, 1),
+        "cmvn_frames_total": int(cm_n),
         "packing_totals": {
             "input_clips": int(pack_n),
             "bins": int(pstats2["bins"]), "ok_bins": int(pstats2["ok"]),
@@ -884,7 +906,8 @@ def main() -> None:
                              "audio_level_pitch": [round(x, 3) for x in level_runs],
                              "audio_declip": [round(x, 3) for x in declip_runs],
                              "audio_electrical": [round(x, 3) for x in elec_runs],
-                             "audio_packing": [round(x, 3) for x in pack_runs]},
+                             "audio_packing": [round(x, 3) for x in pack_runs],
+                             "audio_cmvn": [round(x, 3) for x in cmvn_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
             "unit": "Melem/s",

@@ -3084,6 +3084,8 @@ def pack_clips(
     transcript_col: str | None = None,
     transcript_sep: str = " ",
     stratify_col: str | None = None,
+    resample_to: int | None = None,
+    skip_bad: bool = False,
 ) -> DataFrame:
     """Sequence packing for ASR training: concatenate short clips into
     ~target_ms windows (the audio twin of LM sequence packing — short
@@ -3125,12 +3127,16 @@ def pack_clips(
        pcm_s16le.  No join, no second payload shuffle (plan-asserted in
        tests/test_pack.py).
 
-    Bins whose members mix DECODED sample rates (stratify on the sr
-    label, or resample_audio first) or contain undecodable payloads
-    emit null bytes with n_bad > 0 rather than a silently broken
-    window.  Output: (bin, n_clips, n_bad, sr_hz, total_samples,
-    dur_ms, clip_ids comma-joined in id order, bytes, codec
-    [, stratum][, transcript])."""
+    Fail-closed rails (both relaxable): bins whose members mix DECODED
+    sample rates emit null bytes with n_bad > 0 rather than a silently
+    broken window — `resample_to` instead sinc-resamples every member
+    to that rate at assembly (resample-at-pack, the realistic policy
+    for mixed-rate corpora); bins containing undecodable payloads also
+    fail closed — `skip_bad=True` instead drops the bad members (still
+    counted in n_bad) and packs the rest, so one corrupt clip doesn't
+    discard a whole training window.  Output: (bin, n_clips, n_bad,
+    sr_hz, total_samples, dur_ms, clip_ids comma-joined in id order,
+    bytes, codec [, stratum][, transcript])."""
     from .ops import prefix_totals
 
     T = int(target_ms)
@@ -3221,12 +3227,16 @@ def pack_clips(
     with_tx = transcript_col is not None
     sep_tx = str(transcript_sep)
 
+    target_sr = int(resample_to) if resample_to else None
+    drop_bad = bool(skip_bad)
+
     def _flush(s, b, ids, members):
         import sys
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
         from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import resample_sinc as _rs
 
         parts: list[np.ndarray] = []
         txs: list[str] = []
@@ -3241,13 +3251,16 @@ def pack_clips(
             except (ValueError, NotImplementedError, TypeError):
                 n_bad += 1
                 continue
+            if target_sr is not None and sr != target_sr:
+                pcm = _rs(pcm, sr, target_sr)
+                sr = target_sr
             srs.add(int(sr))
             parts.append(pcm)
             txs.append(tx)
         extra: tuple = ()
         if with_stratum:
             extra += (None if s == _PACK_NULL_STRATUM else s,)
-        if n_bad or len(srs) != 1 or not parts:
+        if (n_bad and not drop_bad) or len(srs) != 1 or not parts:
             if with_tx:
                 extra += (None,)
             return (b, len(ids), n_bad,
@@ -3263,7 +3276,7 @@ def pack_clips(
                 pieces.append(sep)
             pieces.append(p)
         packed = np.concatenate(pieces)
-        return (b, len(parts), 0, sr, len(packed),
+        return (b, len(parts), n_bad, sr, len(packed),
                 int(round(len(packed) * 1000.0 / sr)), ",".join(ids),
                 wav_encode(packed, sr), "pcm_s16le") + extra
 

@@ -148,3 +148,23 @@ def test_pack_stratified_null_stratum(spark):
     assert set(strata) == {None, "en"}
     assert strata[None]["clip_ids"] == "0,1,2,3"
     assert strata["en"]["clip_ids"] == "4,5,6,7"
+
+
+def test_pack_resample_at_pack_and_skip_bad(spark):
+    # mixed 16k/8k members + one undecodable: resample_to unifies the
+    # rate at assembly (8 kHz 2400-sample members become exactly 4800),
+    # skip_bad drops the corrupt member but keeps the window
+    rows = [_clip(0), _clip(1, sr=8000),
+            (2, bytearray(b"junk"), "pcm_s16le", 300), _clip(3)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    r = pack_clips(df, 1200, resample_to=16000, skip_bad=True,
+                   gap_ms=0).collect()[0]
+    assert r["n_clips"] == 3 and r["n_bad"] == 1
+    assert r["sr_hz"] == 16000
+    assert r["total_samples"] == 3 * 4800
+    assert r["clip_ids"] == "0,1,2,3"  # membership includes the bad id
+    sr, pcm = decode_payload(bytes(r["bytes"]), r["codec"])
+    assert sr == 16000 and len(pcm) == 3 * 4800
+    # default rails unchanged: same input fails closed
+    r2 = pack_clips(df, 1200).collect()[0]
+    assert r2["bytes"] is None and r2["n_bad"] == 1
