@@ -3355,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 1: new or changed in r5 --
         "audio_pack_resample": q_audio_pack_resample,
+        "expectation_diagnostics": q_expectation_diagnostics,
         "audio_denoise": q_audio_denoise,
         "audio_declick": q_audio_declick,
         "audio_cmvn": q_audio_cmvn,
@@ -3362,6 +3363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pack_stratified": q_audio_pack_stratified,
         "audio_tempo_stretch": q_audio_tempo_stretch,
         "audio_pack_training_windows": q_audio_pack_training_windows,
+        # -- tier 2: rotated back in (oldest driver evidence first) --
+        "not_null_orders_custkey": q_not_null_orders_custkey,
+        "in_set_returnflag": q_in_set_returnflag,
+        "regex_event_type": q_regex_event_type,
+        "between_quantity": q_between_quantity,
+        "value_length_name": q_value_length_name,
+        "mean_extendedprice": q_mean_extendedprice,
+        "stdev_acctbal": q_stdev_acctbal,
+        "minmax_sum_tax": q_minmax_sum_tax,
+        "distinct_count_mktsegment": q_distinct_count_mktsegment,
+        "value_counts_linestatus": q_value_counts_linestatus,
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
         "audio_electrical_violations": q_audio_electrical_violations,
@@ -3395,21 +3407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_transcode_roundtrip": q_audio_transcode_roundtrip,
         "ngram_counts_documents": q_ngram_counts_documents,
         "pii_documents": q_pii_documents,
-        "expectation_diagnostics": q_expectation_diagnostics,
         "image_metadata_violations": q_image_metadata_violations,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
-        # -- tier 2: rotated back in (oldest driver evidence first) --
-        "not_null_orders_custkey": q_not_null_orders_custkey,
-        "in_set_returnflag": q_in_set_returnflag,
-        "regex_event_type": q_regex_event_type,
-        "between_quantity": q_between_quantity,
-        "value_length_name": q_value_length_name,
-        "mean_extendedprice": q_mean_extendedprice,
-        "stdev_acctbal": q_stdev_acctbal,
-        "minmax_sum_tax": q_minmax_sum_tax,
-        "distinct_count_mktsegment": q_distinct_count_mktsegment,
-        "value_counts_linestatus": q_value_counts_linestatus,
         # -- tier 3: r4-verified, distinct heavy code paths keep slots --
         "audio_flac_violations": q_audio_flac_violations,
         "audio_opus_container_violations": q_audio_opus_container_violations,
