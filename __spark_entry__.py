@@ -1910,6 +1910,56 @@ def q_audio_pack_resample(spark, sf_dir):
         "clip_ids")
 
 
+def q_audio_repair_pipeline(spark, sf_dir):
+    """Fused waveform restoration (gx_spark.audio_ops.repair_pipeline —
+    DC -> declip -> declick -> hum notch in ONE decode/encode, the
+    repair twin of augment_pipeline, bit-identical to chaining the
+    standalone ops by test).  Each doc carries exactly one defect class
+    from doc_id%4 (clean / +10% DC / 4x rail-clipped / 3 impulses); the
+    per-stage stats must attribute every defect to ITS stage and
+    nothing else, and untouched clips must keep their ORIGINAL flac
+    bytes (codec column proves passthrough).  The oracle restates the
+    class arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import repair_pipeline
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 220.0 + 6.0 * (i % 30)
+        tone = 0.3 * np.sin(2 * np.pi * f * t)
+        cls = i % 4
+        if cls == 1:
+            x = tone + 0.1
+        elif cls == 2:
+            x = 4.0 * tone
+        else:
+            x = tone
+        pcm = np.clip(np.rint(x * 32767), -32768, 32767).astype(np.int16)
+        if cls == 3:
+            for k in range(3):
+                p = 1000 + 700 * k + 7 * (i % 37)
+                pcm[p] = 32000 if pcm[p] < 0 else -32000
+        rows.append((i, bytearray(encode_payload(pcm, sr, "flac")),
+                     "flac"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    out = repair_pipeline(df)
+    return out.select(
+        "doc_id",
+        (F.col("dc_removed") != 0).alias("dc_fixed"),
+        (F.col("n_clipped") > 0).alias("clip_fixed"),
+        F.col("n_clicks").alias("n_clicks"),
+        "codec",
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3354,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_repair_pipeline": q_audio_repair_pipeline,
         "audio_pack_resample": q_audio_pack_resample,
         "expectation_diagnostics": q_expectation_diagnostics,
         "audio_denoise": q_audio_denoise,
@@ -3688,6 +3739,18 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_repair_pipeline": (
+            # defect-class arithmetic restated: doc_id%4 selects the
+            # single planted defect; each stage fixes exactly its own
+            # class, clean clips keep the ORIGINAL flac bytes
+            "SELECT doc_id, doc_id % 4 = 1 AS dc_fixed, "
+            "doc_id % 4 = 2 AS clip_fixed, "
+            "CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) "
+            "AS n_clicks, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'flac' ELSE 'pcm_s16le' END "
+            "AS codec "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "audio_pack_resample": (
             # packing + resample arithmetic restated: 4 consecutive ids
             # per bin, every member exactly 4800 samples at 16 kHz after

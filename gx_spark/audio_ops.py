@@ -3931,3 +3931,162 @@ def denoise_audio(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# fused repair pipeline: every waveform restoration in ONE decode/encode
+# ---------------------------------------------------------------------------
+
+
+def repair_pipeline(
+    df: DataFrame,
+    *,
+    dc: bool = True,
+    declip: bool = True,
+    declick: bool = True,
+    hum: bool = True,
+    denoise: bool = False,
+    dc_min_frac: float = 0.001,
+    rail_frac: float = 0.999,
+    out_peak: float = 0.97,
+    click_thr_frac: float = 0.2,
+    mains: tuple[float, ...] = (50.0, 60.0),
+    n_harmonics: int = 3,
+    hum_min_ratio: float = 0.01,
+    notch_hz: float = 2.0,
+    noise_quantile: float = 0.1,
+    oversub: float = 3.0,
+    floor_gain: float = 0.05,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Fused waveform-restoration chain: DC removal -> declip ->
+    declick -> hum notch -> (optional) denoise in ONE decode/encode
+    pass — the repair twin of augment_pipeline.  Composing
+    remove_dc_offset / declip_audio / declick_audio / remove_hum /
+    denoise_audio as separate ops is semantically identical but pays
+    one Arrow payload round trip and one decode/encode per stage; at
+    10^12 clips the intermediate payload traffic IS the cost.  This op
+    is BIT-IDENTICAL to the chained composition (pinned by test):
+    every stage applies the same *_pcm function the standalone op
+    uses, on the exact int16 grid the chained form would re-decode
+    (pcm16 WAV round-trips losslessly), with the same detection gates —
+    a clip no stage touches keeps its ORIGINAL bytes and codec.
+
+    Output schema = input + the enabled stages' stat columns
+    (dc_removed int, n_clipped long + declip_gain_db double,
+    n_clicks long, hum_removed_ratio double — denoise adds none and
+    always re-encodes).  Undecodable rows pass through with null bytes
+    and null stats.  mapInPandas, map-only — payloads never shuffle."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType)
+
+    fields = list(df.schema.fields)
+    if dc:
+        fields.append(StructField("dc_removed", IntegerType()))
+    if declip:
+        fields += [StructField("n_clipped", LongType()),
+                   StructField("declip_gain_db", DoubleType())]
+    if declick:
+        fields.append(StructField("n_clicks", LongType()))
+    if hum:
+        fields.append(StructField("hum_removed_ratio", DoubleType()))
+    if not (dc or declip or declick or hum or denoise):
+        raise ValueError("enable at least one stage")
+    out_schema = StructType(fields)
+    repo_root = _REPO_ROOT
+    mains_t = tuple(float(m) for m in mains)
+
+    def _batches(it):
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from gx_spark.audio import decode_payload, wav_encode
+        from gx_spark.audio_ops import declick_pcm as _dkp
+        from gx_spark.audio_ops import declip_pcm as _dcp
+        from gx_spark.audio_ops import denoise_pcm as _dnp
+        from gx_spark.audio_ops import remove_hum_pcm as _rhp
+
+        for pdf in it:
+            nb: list = []
+            ncod: list = []
+            stats: dict[str, list] = {
+                "dc_removed": [], "n_clipped": [], "declip_gain_db": [],
+                "n_clicks": [], "hum_removed_ratio": []}
+            for bb, cc in zip(pdf[bytes_col], pdf[codec_col]):
+                try:
+                    if bb is None:
+                        raise ValueError("null payload")
+                    sr, pcm = decode_payload(bytes(bb), cc)
+                except (ValueError, NotImplementedError, TypeError):
+                    nb.append(None)
+                    ncod.append(cc)
+                    for k in stats:
+                        stats[k].append(None)
+                    continue
+                acted = False
+                dcv = 0
+                if dc:
+                    m = int(np.rint(np.mean(pcm))) if len(pcm) else 0
+                    if abs(m) >= dc_min_frac * 32768.0:
+                        pcm = np.clip(pcm.astype(np.int32) - m,
+                                      -32768, 32767).astype(np.int16)
+                        dcv = m
+                        acted = True
+                stats["dc_removed"].append(dcv)
+                n_clip, gdb = 0, 0.0
+                if declip:
+                    y, n_clip, g = _dcp(pcm, rail_frac, out_peak)
+                    if n_clip:
+                        pcm, gdb = y, g
+                        acted = True
+                stats["n_clipped"].append(n_clip)
+                stats["declip_gain_db"].append(gdb)
+                kk = 0
+                if declick:
+                    y, kk = _dkp(pcm, click_thr_frac)
+                    if kk:
+                        pcm = y
+                        acted = True
+                stats["n_clicks"].append(kk)
+                ratio = None
+                if hum:
+                    y, ratio = _rhp(pcm, sr, mains=mains_t,
+                                    n_harmonics=int(n_harmonics),
+                                    min_ratio=float(hum_min_ratio),
+                                    notch_hz=float(notch_hz))
+                    if y is not pcm:
+                        pcm = y
+                        acted = True
+                stats["hum_removed_ratio"].append(ratio)
+                if denoise:
+                    pcm = _dnp(pcm, sr, noise_quantile=noise_quantile,
+                               oversub=oversub, floor_gain=floor_gain)
+                    acted = True
+                if acted:
+                    nb.append(wav_encode(pcm, sr))
+                    ncod.append("pcm_s16le")
+                else:
+                    nb.append(bytes(bb))
+                    ncod.append(cc)
+            pdf = pdf.copy()
+            pdf[bytes_col] = nb
+            pdf[codec_col] = ncod
+            if dc:
+                pdf["dc_removed"] = pd.array(
+                    stats["dc_removed"], dtype="Int32")
+            if declip:
+                pdf["n_clipped"] = pd.array(
+                    stats["n_clipped"], dtype="Int64")
+                pdf["declip_gain_db"] = pd.array(
+                    stats["declip_gain_db"], dtype="float64")
+            if declick:
+                pdf["n_clicks"] = pd.array(
+                    stats["n_clicks"], dtype="Int64")
+            if hum:
+                pdf["hum_removed_ratio"] = pd.array(
+                    stats["hum_removed_ratio"], dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
