@@ -1960,6 +1960,52 @@ def q_audio_repair_pipeline(spark, sf_dir):
     )
 
 
+def q_audio_qa_fused(spark, sf_dir):
+    """Fused QA pass (gx_spark.audio_ops.qa_features — BS.1770 loudness
+    + ACF pitch + DC/hum probes from ONE decode; values pinned
+    identical to the standalone ops by test).  One defect class per doc
+    from doc_id%3 (clean / +5% DC / 50 Hz hum at 1/9 of tone power);
+    the fused pass must attribute each to its probe family, track the
+    tone pitch within 5 Hz, land the 0.3-FS tone in a wide LUFS band,
+    and report the exact 7-block / 49-frame grid arithmetic."""
+    import numpy as np
+
+    from gx_spark.audio import encode_payload
+    from gx_spark.audio_ops import qa_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    docs = _load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 180")
+    rows = []
+    for r in docs.collect():
+        i = int(r.doc_id)
+        f = 300.0 + 7.0 * (i % 20)
+        x = 0.3 * np.sin(2 * np.pi * f * t)
+        cls = i % 3
+        if cls == 1:
+            x = x + 0.05
+        elif cls == 2:
+            x = x + 0.1 * np.sin(2 * np.pi * 50.0 * t)
+        pcm = np.clip(np.rint(x * 32767), -32768, 32767).astype(np.int16)
+        rows.append((i, bytearray(encode_payload(pcm, sr, "pcm_s16le")),
+                     "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, bytes binary, codec string")
+    out = qa_features(df, keep_cols=["doc_id"])
+    f_expr = F.lit(300.0) + F.lit(7.0) * (F.col("doc_id") % 20)
+    return out.select(
+        "doc_id", "n_blocks", "n_frames",
+        (F.abs(F.col("dc_frac")) > 0.02).alias("dc_hit"),
+        (F.col("hum_ratio") > 0.01).alias("hum_hit"),
+        ((F.col("voiced_frac") > 0.9)
+         & (F.abs(F.col("f0_median_hz") - f_expr) < 5.0)).alias(
+            "pitch_ok"),
+        ((F.col("lufs_integrated") > -20.0)
+         & (F.col("lufs_integrated") < -5.0)).alias("lufs_ok"),
+    )
+
+
 def q_speaking_rate_violations(spark, sf_dir):
     """Transcript/duration alignment screen (gx_spark.expectations.
     audio_exp.SpeakingRateBetween — the standard ASR-curation chars-per-
@@ -3404,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "audio_qa_fused": q_audio_qa_fused,
         "audio_repair_pipeline": q_audio_repair_pipeline,
         "audio_pack_resample": q_audio_pack_resample,
         "expectation_diagnostics": q_expectation_diagnostics,
@@ -3739,6 +3786,17 @@ def oracle_sql() -> dict[str, str]:
     mel_dom = " ".join(
         f"WHEN {i} THEN {v}" for i, v in enumerate(_MEL_CLASS_DOM))
     return {
+        "audio_qa_fused": (
+            # grid arithmetic restated: 1 s at 16 kHz -> 7 gated
+            # loudness blocks (400/100 ms) and 49 pitch frames
+            # (40/20 ms); probe attribution from doc_id%3; pitch and
+            # loudness invariants pinned all-true
+            "SELECT doc_id, CAST(7 AS BIGINT) AS n_blocks, "
+            "CAST(49 AS BIGINT) AS n_frames, "
+            "doc_id % 3 = 1 AS dc_hit, doc_id % 3 = 2 AS hum_hit, "
+            "true AS pitch_ok, true AS lufs_ok "
+            "FROM documents WHERE doc_id < 180"
+        ),
         "audio_repair_pipeline": (
             # defect-class arithmetic restated: doc_id%4 selects the
             # single planted defect; each stage fixes exactly its own

@@ -827,6 +827,30 @@ def main() -> None:
     timings["audio_packing"] = round(pack_dt, 3)
     assert int(pstats2["bins"]) > 0 and int(pstats2["ok"]) > 0
 
+    # r5: the same level+pitch QA as audio_level_pitch PLUS the
+    # electrical probes, fused into ONE decode (qa_features) — compare
+    # this wall against audio_level_pitch + audio_electrical above: the
+    # gap is pure repeated decode + Arrow transfer, the fusion argument
+    # measured
+    from gx_spark.audio_ops import qa_features
+
+    qa_runs = []
+    section_ctrl["audio_qa_fused"] = []
+    for _ in range(2):
+        jvm_gc()
+        section_ctrl["audio_qa_fused"].append(hw_control())
+        t0 = time.time()
+        qstats = qa_features(pipe_df, keep_cols=["clip_id"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("lufs_integrated").alias("lufs_avg"),
+            F.avg("voiced_frac").alias("voiced_avg"),
+            F.max("hum_ratio").alias("hum_max"),
+        ).collect()[0]
+        qa_runs.append(time.time() - t0)
+    qa_dt = min(qa_runs)
+    timings["audio_qa_fused"] = round(qa_dt, 3)
+    assert int(qstats["n"]) == pipeline_n
+
     # r5: corpus CMVN over the quarter shard — per-clip log-mel partials
     # from one decode, merged by a single 26-row aggregate (map-side
     # partial aggregation: only scalar triples shuffle — the north
@@ -870,6 +894,7 @@ def main() -> None:
         "declip_clips_per_sec": round(pipeline_n / declip_dt, 1),
         "electrical_clips_per_sec": round(pipeline_n / elec_dt, 1),
         "packing_clips_per_sec": round(pack_n / pack_dt, 1),
+        "qa_fused_clips_per_sec": round(pipeline_n / qa_dt, 1),
         "cmvn_clips_per_sec": round(pipeline_n / cmvn_dt, 1),
         "cmvn_frames_total": int(cm_n),
         "packing_totals": {
@@ -907,6 +932,7 @@ def main() -> None:
                              "audio_declip": [round(x, 3) for x in declip_runs],
                              "audio_electrical": [round(x, 3) for x in elec_runs],
                              "audio_packing": [round(x, 3) for x in pack_runs],
+                             "audio_qa_fused": [round(x, 3) for x in qa_runs],
                              "audio_cmvn": [round(x, 3) for x in cmvn_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
