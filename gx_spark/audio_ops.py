@@ -4122,10 +4122,13 @@ def qa_features(
     loudness block (compute_loudness_row), the framewise-ACF pitch
     tracker (compute_pitch_row), and the DC/mains-hum probes
     (compute_electrical_row) all ride ONE Arrow decode per clip — the
-    validate_and_extract_audio fusion argument applied to the QA trio
-    (the standalone ops decode three times; at 10^12 clips the repeated
-    decode + Arrow transfer IS the cost, measured ~2x on the bench's
-    quarter shard).  Column values are IDENTICAL to the standalone ops'
+    validate_and_extract_audio fusion shape applied to the QA trio.
+    Honest numbers: these probes are COMPUTE-dominated, so fusing away
+    two of three decodes saves ~8% wall on the bench shard (22.8 s vs
+    24.7 s separate, both in BENCH), not the ~2x the decode-dominated
+    feature/fingerprint fusion gets — the win here is one pipeline
+    stage and one pass over the table.  Column values are IDENTICAL to
+    the standalone ops'
     (same row functions via their `decoded=` hand-off, test-pinned).
     Map-only, binary pruned in the same select — no shuffle."""
     from pyspark.sql.types import StructType
