@@ -3016,7 +3016,7 @@ def q_streaming_windowed_events(spark, sf_dir):
 def q_expectation_diagnostics(spark, sf_dir):
     """Gallery self-check harness (gx_spark/diagnostics.py — the GE
     run_diagnostics/examples machinery): run EVERY registered
-    expectation type's example suite (r5: all 78 registered types are
+    expectation type's example suite (r5: all 79 registered types are
     example-covered, including the binary audio/image/video ones and the
     two-table referential ones) through the REAL validate() path.  The
     oracle pins per type that at least one example ran, every example
@@ -3426,6 +3426,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return bundle.results_df(spark)
 
 
+def q_oov_stats_documents(spark, sf_dir):
+    """Lexicon-coverage screen (gx_spark/ops.py oov_stats — the ASR-corpus
+    gate for wrong-language / OCR-garbage transcripts): tokens are
+    normalize_text-normalized (lower / [a-z0-9'] / collapse), the lexicon
+    is corpus-derived (frequency >= 2, so hapaxes are OOV), scoring
+    broadcast-joins the lexicon and partial-aggregates to one row per doc.
+    The oracle replays the identical regex (Java/RE2 common subset, 'g'
+    flag on the DuckDB side), frequency rule, and rate arithmetic."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.oov_stats(docs, "doc_id", "text", min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness run checks the FIRST 50
     # entries of this dict against oracle_sql() at sf0.01.  Entries are
@@ -3450,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "oov_stats_documents": q_oov_stats_documents,
         "audio_qa_fused": q_audio_qa_fused,
         "audio_repair_pipeline": q_audio_repair_pipeline,
         "audio_pack_resample": q_audio_pack_resample,
@@ -4808,6 +4821,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(line, chr(10) ORDER BY line_no) "
             "FILTER (WHERE kept), '') AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "oov_stats_documents": (
+            # same normalization regex (RE2/Java common subset; DuckDB
+            # needs the 'g' flag, Spark is global by default), same
+            # corpus-lexicon rule (count >= 2), same 6dp rate; empty /
+            # NULL docs preserved with 0 counts and NULL rate
+            "WITH t AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split(trim(regexp_replace(lower(text), "
+            "'[^a-z0-9'']+', ' ', 'g')), ' ')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "f AS (SELECT w FROM t GROUP BY w HAVING count(*) >= 2), "
+            "s AS (SELECT t.doc_id, count(*) AS n_tokens, "
+            "count(*) FILTER (WHERE f.w IS NULL) AS n_oov "
+            "FROM t LEFT JOIN f ON t.w = f.w GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov, "
+            "ROUND(s.n_oov / CAST(s.n_tokens AS DOUBLE), 6) AS oov_rate "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "unigram_logprob_documents": (
             # Lidstone alpha=0.5 unigram LM over the whole corpus;

@@ -779,7 +779,25 @@ def _gallery_click_count():
     }]
 
 
+def _gallery_oov_rate():
+    rows = [
+        dict(clip_id="diag_in_lex", transcript="The cat sat, the DOG ran."),
+        dict(clip_id="diag_oov", transcript="zzyx qwfp the grblt vohm"),
+    ]
+    return [{
+        "data": {k: [r[k] for r in rows] for k in rows[0]},
+        "schema": "clip_id string, transcript string",
+        "tests": [{
+            "title": "4/5 tokens outside the lexicon break the gate",
+            "in": {"lexicon": ["the", "cat", "sat", "dog", "ran"],
+                   "max_rate": 0.5},
+            "out": {"success": False, "unexpected_count": 1},
+        }],
+    }]
+
+
 GALLERY_EXAMPLE_BUILDERS: dict = {
+    "expect_transcript_oov_rate_to_be_below": _gallery_oov_rate,
     "expect_audio_channel_count_to_equal": _gallery_channel_count,
     "expect_audio_click_count_to_be_below": _gallery_click_count,
     "expect_audio_dc_offset_to_be_below": _gallery_dc_offset,

@@ -853,3 +853,57 @@ class AudioClickCountBelow(ColumnMapExpectation):
 
     def observed_expr(self, cfg) -> Column:
         return F.col(_CLICK_COL)
+
+
+@register_expectation("expect_transcript_oov_rate_to_be_below")
+class TranscriptOovRateBelow(ColumnMapExpectation):
+    """Lexicon-coverage gate: the fraction of a transcript's normalized
+    tokens (ops.normalize_text — lower / [a-z0-9'] / collapse) that are
+    NOT in the user-supplied `lexicon` list must stay below `max_rate`
+    (default 0.5).  Wrong-language rows, OCR garbage, and mojibake all
+    surface as high OOV.  A transcript that normalizes to nothing (no
+    lexical content at all) is also unexpected — rate undefined means the
+    pair cannot be validated against the lexicon.
+
+    Pure JVM higher-order functions (split / filter / array_contains):
+    no UDF, no decode, rides the stage-1 agg scan.  The lexicon travels
+    as a literal array, so this form suits bounded vocabularies (up to
+    ~10^4 words); corpus-derived lexicons at web scale go through
+    ops.oov_stats, which broadcasts the vocabulary as a table instead."""
+
+    metric_name = "audio.transcript_oov_rate"
+
+    def plan(self, ctx, cfg, index):
+        cfg.kwargs.setdefault(
+            "column", cfg.kwargs.get("transcript_column", "transcript"))
+        if not cfg.kwargs.get("lexicon"):
+            raise ValueError(
+                "expect_transcript_oov_rate_to_be_below requires a "
+                "non-empty `lexicon` list")
+        return super().plan(ctx, cfg, index)
+
+    def _toks(self, cfg) -> Column:
+        from ..ops import normalize_text
+
+        col = cfg.kwargs.get("column", "transcript")
+        return F.filter(
+            F.split(normalize_text(F.col(col)), " "),
+            lambda w: w != F.lit(""),
+        )
+
+    def _rate(self, cfg) -> Column:
+        lex = F.array(*[
+            F.lit(str(w).lower()) for w in cfg.kwargs["lexicon"]])
+        toks = self._toks(cfg)
+        oov = F.size(F.filter(
+            toks, lambda w: ~F.array_contains(lex, w)))
+        n = F.size(toks)
+        return F.when(n > 0, oov.cast("double") / n.cast("double"))
+
+    def unexpected_condition(self, cfg, ctx) -> Column:
+        thr = float(cfg.kwargs.get("max_rate", 0.5))
+        rate = self._rate(cfg)
+        return rate.isNull() | (rate >= F.lit(thr))
+
+    def observed_expr(self, cfg) -> Column:
+        return F.round(self._rate(cfg), 4)

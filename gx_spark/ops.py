@@ -2761,3 +2761,110 @@ def bpe_encode(
         F.col(id_col).alias("id"),
         encode(F.col(text_col)).alias("tokens"),
     ).withColumn("n_bpe_tokens", F.size("tokens"))
+
+
+# ---------------------------------------------------------------------------
+# transcript normalization + lexicon coverage (OOV rate)
+# ---------------------------------------------------------------------------
+
+def normalize_text(text_col: Column | str) -> Column:
+    """Kaldi/ESPnet-style transcript normalization as one JVM expression:
+    lowercase, collapse every run of characters outside [a-z0-9'] to a
+    single space, trim.  Apostrophes survive so contractions ("don't")
+    stay one token.  The regex uses only the Java-regex/RE2 common
+    subset, so the DuckDB oracle replays it verbatim (with the 'g' flag —
+    Spark's regexp_replace is global by default, DuckDB's is not).
+
+    Ref parity: great_expectations has no text normalizer; this is the
+    standard ASR-corpus prep step the validation engine's transcript
+    checks (WER, speaking-rate, OOV) assume upstream.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9']+", " "))
+
+
+def normalize_transcript(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document normalized transcript + token count.
+
+    Returns (doc_id, norm_text, n_tokens).  Empty/whitespace-only (or
+    all-punctuation) transcripts normalize to '' with n_tokens=0; NULL
+    stays NULL with n_tokens=0.
+
+    Scale shape: map-only — a projection of two JVM expressions, no
+    shuffle, no UDF; rides whole-stage codegen and prunes every other
+    column at the scan.
+    """
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        F.when(F.coalesce(norm, F.lit("")) == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    lexicon: DataFrame | None = None,
+) -> DataFrame:
+    """Lexicon coverage / out-of-vocabulary rate per document — the ASR
+    screen for transcripts that do not match the target language or
+    lexicon (OCR garbage, wrong-language rows, encoding mojibake all
+    surface as high OOV against a corpus- or user-supplied vocabulary).
+
+    Tokens come from normalize_text (lower / [a-z0-9'] / collapse).  The
+    lexicon is either the caller's single-column DataFrame ('w') or, by
+    default, corpus-derived: every normalized token with corpus frequency
+    >= min_count (hapaxes are OOV).  Returns
+    (doc_id, n_tokens, n_oov, oov_rate[6dp]); empty docs keep
+    n_tokens=0 / n_oov=0 / NULL rate.
+
+    Scale shape: the frequency table is one groupBy(token) with map-side
+    partial counts (wire ~= vocab per map task, not corpus tokens); the
+    scoring pass BROADCASTS the lexicon (a 10^7-word vocab is ~100 MB —
+    still broadcastable; beyond that AQE falls back to a token-keyed
+    shuffle join) and the per-doc rollup partial-aggregates to one row
+    per document.  No sort, no window, no Python.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    if lexicon is None:
+        lexicon = (
+            toks.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= int(min_count))
+            .select("w")
+        )
+    lex = lexicon.select(F.col("w"), F.lit(True).alias("_in_lex"))
+    scored = (
+        toks.join(F.broadcast(lex), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_in_lex").isNull(), 1)), F.lit(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
