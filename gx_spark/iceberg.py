@@ -42,6 +42,14 @@ read as a broadcast anti-join) and equality (content=2 files storing key
 tuples + field ids, null-safe matching, strict sequence scoping via era
 grouping).
 
+Also supported (round 5): MERGE INTO (`merge_into` — single-snapshot MoR
+upsert: an equality-delete manifest + a data manifest committed atomically
+at one sequence number, the default 'update'/'insert' mode never scanning
+the target), named refs (`create_tag`/`create_branch`/`drop_ref`, readable
+via `read(ref=)`, protected from `expire_snapshots`), and metadata tables
+(`meta_df(spark, 'snapshots'|'history'|'manifests'|'files'|'delete_files'|
+'partitions'|'refs')`).
+
 Intentionally out of scope (documented, not hidden): non-identity
 transforms (bucket/truncate/days), column-id field
 mapping inside parquet (files are written by Spark with names, read back
@@ -400,6 +408,7 @@ class IcebergLiteTable:
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
+            "refs": {},
         }
         t._write_metadata(meta, 1)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -425,11 +434,71 @@ class IcebergLiteTable:
         sid = self.metadata["current-snapshot-id"]
         return None if sid == -1 else sid
 
+    @property
+    def refs(self) -> dict[str, dict]:
+        """Named refs (Iceberg's branches and tags): {name: {'snapshot-id',
+        'type'}}.  'main' is implicit — it always tracks the current
+        snapshot (maintained at every commit)."""
+        out = dict(self.metadata.get("refs") or {})
+        cur = self.current_snapshot_id()
+        if cur is not None:
+            out.setdefault("main", {"snapshot-id": cur, "type": "branch"})
+        return out
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a named TAG to a snapshot (current if omitted) — Iceberg's
+        `ALTER TABLE .. CREATE TAG`.  Tagged snapshots are protected from
+        expire_snapshots; readers address them with read(ref=name)."""
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a named BRANCH at a snapshot (current if omitted).
+        Branch refs here are readable pointers (read(ref=name)) protected
+        from expiry; writes always advance main — divergent branch writes
+        are out of scope and documented so."""
+        self._set_ref(name, snapshot_id, "branch")
+
+    def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+        if name == "main":
+            raise ValueError("'main' is implicit and cannot be redefined")
+        meta = dict(self.metadata)
+        sid = snapshot_id if snapshot_id is not None else (
+            self.current_snapshot_id())
+        if sid is None:
+            raise ValueError("cannot create a ref on an empty table")
+        if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+            raise ValueError(f"unknown snapshot id {sid}")
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": sid, "type": kind}
+        meta["refs"] = refs
+        self._write_metadata(meta, self._current_version() + 1)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the implicit main branch")
+        meta = dict(self.metadata)
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"no such ref {name!r}")
+        del refs[name]
+        meta["refs"] = refs
+        self._write_metadata(meta, self._current_version() + 1)
+
     def _resolve_snapshot(self, snapshot_id: int | None = None,
-                          as_of_ms: int | None = None) -> dict | None:
+                          as_of_ms: int | None = None,
+                          ref: str | None = None) -> dict | None:
         snaps = self.metadata["snapshots"]
         if not snaps:
             return None
+        if ref is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError("ref= excludes snapshot_id=/as_of_ms=")
+            r = self.refs.get(ref)
+            if r is None:
+                raise ValueError(f"no such ref {ref!r}")
+            snapshot_id = r["snapshot-id"]
         if snapshot_id is not None:
             for s in snaps:
                 if s["snapshot-id"] == snapshot_id:
@@ -472,11 +541,23 @@ class IcebergLiteTable:
                 if snap.get("summary", {}).get("operation-id") == operation_id:
                     return int(snap["snapshot-id"])
         meta, seq, snap_id, now_ms = self._begin(now_ms)
+        entries = self._write_data_files(df, snap_id, seq, sort_by=sort_by)
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="append",
+                                    operation_id=operation_id)
+
+    def _write_data_files(self, df, snap_id: int, seq: int,
+                          sort_by: list[str] | None = None) -> list[dict]:
+        """Write df as the data files of a not-yet-committed snapshot and
+        return their manifest entries (shared by append and merge_into).
+
+        Data files land in hive layout under data/snap-<id>/ — Spark's
+        native partitioned write (scales with the cluster; no driver data
+        path).  Manifest entries come from the written files' footers
+        (record counts from parquet metadata — no data read) plus the
+        dir-encoded partition tuples."""
         pcols = self.partition_cols
         pnames = [c for c, _ in pcols]
-
-        # 1. data files: hive layout under data/snap-<id>/ — Spark's native
-        # partitioned write (scales with the cluster; no driver data path).
         out_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
         if sort_by:
             n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -490,14 +571,7 @@ class IcebergLiteTable:
         if pnames:
             writer = writer.partitionBy(*pnames)
         writer.parquet(out_dir)
-
-        # 2. manifest entries from the written files' footers (record counts
-        # from parquet metadata — no data read) + dir-encoded partition
-        # tuples; 3-4. manifest avro + manifest list avro + metadata commit
-        entries = self._scan_dir_entries(out_dir, pcols, snap_id, seq)
-        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
-                                    operation="append",
-                                    operation_id=operation_id)
+        return self._scan_dir_entries(out_dir, pcols, snap_id, seq)
 
     def _scan_dir_entries(self, d: str, pcols, snap_id: int, seq: int) -> list[dict]:
         """Manifest entries for every parquet file under `d`: record counts
@@ -730,29 +804,153 @@ class IcebergLiteTable:
         distinct + write instead of sorting in a single task.  read()
         unions all files of one commit back into a single broadcast
         anti-join, so commit fan-out never multiplies join count."""
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        entries = self._write_eq_delete_files(spark, keys_df, columns,
+                                              snap_id, seq)
+        if not entries:
+            return None
+        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
+                                    operation="delete", content=1)
+
+    def _write_eq_delete_files(self, spark, keys_df,
+                               columns: list[str] | None,
+                               snap_id: int, seq: int) -> list[dict]:
+        """Write the content=2 equality-delete files of a not-yet-committed
+        snapshot and return their manifest entries (shared by
+        equality_delete and merge_into).  Returns [] for an empty key set
+        (the dir is cleaned up)."""
         columns = columns or list(keys_df.columns)
         by_name = {f["name"]: f for f in self.schema_fields}
         for c in columns:
             if c not in by_name:
                 raise ValueError(f"no column {c!r} in table schema")
-        meta, seq, snap_id, now_ms = self._begin(now_ms)
         out_dir = os.path.join(self.data_dir, f"eqdeletes-{snap_id}")
         keys = keys_df.select(*columns).repartition(
             max(1, spark.sparkContext.defaultParallelism), *columns).distinct()
-        keys.write.mode("error").parquet(out_dir)
+        # overwrite, not error: see _write_data_files — the dir is uniquely
+        # owned by this uncommitted sequence; a crashed attempt may have
+        # left it behind and the retry must redo it
+        keys.write.mode("overwrite").parquet(out_dir)
         entries = self._scan_nonempty_entries(out_dir, snap_id, seq)
         if sum(e["data_file"]["record_count"] for e in entries) == 0:
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
-            return None
+            return []
         pnames = [c for c, _ in self.partition_cols]
         for e in entries:
             e["data_file"]["content"] = 2  # EQUALITY_DELETES
             e["data_file"]["partition"] = {c: None for c in pnames}
             e["data_file"]["equality_ids"] = [by_name[c]["id"] for c in columns]
-        return self._commit_entries(meta, entries, snap_id, seq, now_ms,
-                                    operation="delete", content=1)
+        return entries
+
+    def merge_into(self, spark, source_df, on: list[str],
+                   when_matched: str = "update",
+                   when_not_matched: str = "insert",
+                   now_ms: int | None = None,
+                   operation_id: str | None = None) -> int | None:
+        """MERGE INTO (Iceberg's row-level merge-on-read upsert): apply
+        `source_df` to the table keyed on the `on` columns, in ONE atomic
+        commit — a single 'overwrite' snapshot carrying an equality-delete
+        manifest and a data manifest at the same sequence number, so the
+        merge's own inserts survive its own deletes (eq deletes apply
+        strictly below their sequence).  No existing data file is ever
+        rewritten; matched rows are masked by content=2 delete files and
+        replacements appended, exactly the Flink/Spark MoR upsert shape.
+
+        when_matched: 'update' (replace the row with the source row),
+        'delete', or 'none'.  when_not_matched: 'insert' or 'none'.
+
+        The default upsert ('update'/'insert') NEVER SCANS THE TARGET:
+        every source key is written as an equality delete (keys absent
+        from the table delete nothing) and every source row appended —
+        pure source-sized work plus metadata, the property that makes
+        continuous CDC ingestion into a 10^12-row table feasible.  Modes
+        that must distinguish matched from unmatched ('none'/'insert'
+        insert-if-absent, 'update'/'none' update-only, 'delete'+'insert')
+        do ONE column-pruned scan of the target's key columns and a
+        broadcast-friendly semi/anti join against the (small) source.
+
+        operation_id: idempotency token, as in append() — a replayed merge
+        whose operation_id already committed is a no-op returning the
+        existing snapshot id (the checkpoint/resume contract).
+
+        Returns the new snapshot id, or None if the merge is a no-op
+        (e.g. empty source)."""
+        if when_matched not in ("update", "delete", "none"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "none"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_matched == "none" and when_not_matched == "none":
+            raise ValueError("merge with no active clause")
+        by_name = {f["name"]: f for f in self.schema_fields}
+        for c in on:
+            if c not in by_name:
+                raise ValueError(f"merge key {c!r} not in table schema")
+            if c not in source_df.columns:
+                raise ValueError(f"merge key {c!r} not in source")
+        if operation_id is not None:
+            for snap in self.metadata["snapshots"]:
+                if snap.get("summary", {}).get("operation-id") == operation_id:
+                    return int(snap["snapshot-id"])
+
+        inserts_need_full_row = (
+            when_not_matched == "insert" or when_matched == "update")
+        if inserts_need_full_row:
+            missing = [f["name"] for f in self.schema_fields
+                       if f["name"] not in source_df.columns]
+            if missing:
+                raise ValueError(f"source missing table columns {missing}")
+            src_full = source_df.select(
+                *[f["name"] for f in self.schema_fields])
+
+        # matched/unmatched split — only when a clause is asymmetric.
+        # The key scan is column-pruned to the `on` columns (Catalyst
+        # prunes the parquet scan) and deduplicated before the join.
+        tgt_keys = None
+        if ((when_matched == "update" and when_not_matched == "none")
+                or when_matched == "none"
+                or (when_matched == "delete" and when_not_matched == "insert")):
+            tgt_keys = self.read(spark).select(*on).distinct()
+
+        delete_keys = None
+        insert_df = None
+        if when_matched == "update":
+            if when_not_matched == "insert":      # classic upsert
+                delete_keys = source_df.select(*on)
+                insert_df = src_full
+            else:                                 # update-only
+                matched = src_full.join(tgt_keys, on, "left_semi")
+                delete_keys = matched.select(*on)
+                insert_df = matched
+        elif when_matched == "delete":
+            delete_keys = source_df.select(*on)
+            if when_not_matched == "insert":
+                insert_df = src_full.join(tgt_keys, on, "left_anti")
+        else:                                     # insert-if-absent
+            insert_df = src_full.join(tgt_keys, on, "left_anti")
+
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        groups: list[tuple[list[dict], int]] = []
+        if delete_keys is not None:
+            del_entries = self._write_eq_delete_files(
+                spark, delete_keys, on, snap_id, seq)
+            if del_entries:
+                groups.append((del_entries, 1))
+        if insert_df is not None:
+            data_entries = self._write_data_files(insert_df, snap_id, seq)
+            if sum(e["data_file"]["record_count"] for e in data_entries):
+                groups.append((data_entries, 0))
+            else:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.data_dir, f"snap-{snap_id}"),
+                              ignore_errors=True)
+        if not groups:
+            return None
+        return self._commit_manifest_groups(
+            meta, groups, snap_id, seq, now_ms, operation="overwrite",
+            operation_id=operation_id)
 
     def rewrite_data_files(self, spark, target_files: int | None = None,
                            now_ms: int | None = None) -> int | None:
@@ -814,6 +1012,11 @@ class IcebergLiteTable:
             keep = [s for s in snaps[-max(keep_last, 1):]]
             if not any(s["snapshot-id"] == current for s in keep):
                 keep = [s for s in snaps if s["snapshot-id"] == current] + keep
+        # named tags/branches protect their snapshots from expiry
+        ref_ids = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+        kept_set = {s["snapshot-id"] for s in keep}
+        keep = [s for s in snaps
+                if s["snapshot-id"] in kept_set or s["snapshot-id"] in ref_ids]
         keep_ids = {s["snapshot-id"] for s in keep}
         expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
         stats = {"expired_snapshots": len(expired), "deleted_data_files": 0,
@@ -865,35 +1068,64 @@ class IcebergLiteTable:
                         seq: int, now_ms: int, operation: str,
                         content: int = 0, replace: bool = False,
                         operation_id: str | None = None) -> int:
+        return self._commit_manifest_groups(
+            meta, [(entries, content)], snap_id, seq, now_ms, operation,
+            replace=replace, operation_id=operation_id)
+
+    def _commit_manifest_groups(self, meta: dict,
+                                groups: list[tuple[list[dict], int]],
+                                snap_id: int, seq: int, now_ms: int,
+                                operation: str, replace: bool = False,
+                                operation_id: str | None = None) -> int:
+        """Commit ONE snapshot carrying any number of manifests — e.g.
+        merge_into's (equality-delete manifest, data manifest) pair, which
+        the spec models as a single 'overwrite' snapshot.  `groups` is a
+        list of (manifest entries, manifest content) where content 0 =
+        data, 1 = deletes; every group commits at the SAME sequence
+        number, which is what makes a merge's inserts survive its own
+        equality deletes (eq deletes apply strictly below their
+        sequence)."""
         pcols = self.partition_cols
-        total_rows = sum(e["data_file"]["record_count"] for e in entries)
-        man_path = os.path.join(self.meta_dir, f"manifest-{snap_id}-0.avro")
-        write_ocf(man_path, _manifest_entry_schema(pcols), entries,
-                  extra_meta={"schema": json.dumps(
-                      meta["schemas"][meta["current-schema-id"]]).encode(),
-                      "partition-spec-id": b"0",
-                      "content": b"deletes" if content else b"data"})
+        summary: dict[str, str] = {"operation": operation}
+        if operation_id:
+            summary["operation-id"] = operation_id
+        new_manifests = []
+        for gi, (entries, content) in enumerate(groups):
+            total_rows = sum(e["data_file"]["record_count"] for e in entries)
+            man_path = os.path.join(self.meta_dir,
+                                    f"manifest-{snap_id}-{gi}.avro")
+            write_ocf(man_path, _manifest_entry_schema(pcols), entries,
+                      extra_meta={"schema": json.dumps(
+                          meta["schemas"][meta["current-schema-id"]]).encode(),
+                          "partition-spec-id": b"0",
+                          "content": b"deletes" if content else b"data"})
+            new_manifests.append({
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
+            if content:
+                summary["added-delete-files"] = str(len(entries))
+                summary["added-position-deletes"] = str(total_rows)
+            else:
+                summary["added-data-files"] = str(len(entries))
+                summary["added-records"] = str(total_rows)
         prev_manifests = []
         if meta["snapshots"] and not replace:
             _, prev_manifests = read_ocf(self._resolve_snapshot()["manifest-list"])
-        new_manifest = {
-            "manifest_path": man_path,
-            "manifest_length": os.path.getsize(man_path),
-            "partition_spec_id": 0,
-            "content": content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
         write_ocf(list_path, _MANIFEST_LIST_SCHEMA,
-                  [new_manifest] + prev_manifests)
+                  new_manifests + prev_manifests)
         snap = {
             "snapshot-id": snap_id,
             "parent-snapshot-id": meta["current-snapshot-id"]
@@ -901,14 +1133,7 @@ class IcebergLiteTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
-            "summary": {"operation": operation,
-                        **({"operation-id": operation_id}
-                           if operation_id else {}),
-                        **({"added-delete-files": str(len(entries)),
-                            "added-position-deletes": str(total_rows)}
-                           if content else
-                           {"added-data-files": str(len(entries)),
-                            "added-records": str(total_rows)})},
+            "summary": summary,
             "schema-id": meta["current-schema-id"],
         }
         meta["snapshots"] = meta["snapshots"] + [snap]
@@ -917,8 +1142,92 @@ class IcebergLiteTable:
         meta["current-snapshot-id"] = snap_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
+        # the main branch ref tracks the current snapshot (Iceberg's
+        # implicit main branch); named tags/branches are never moved here
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
         self._write_metadata(meta, self._current_version() + 1)
         return snap_id
+
+    # -- metadata tables ------------------------------------------------
+
+    def meta_df(self, spark, name: str, snapshot_id: int | None = None,
+                ref: str | None = None):
+        """Metadata tables (Iceberg's `table$snapshots` family) as Spark
+        DataFrames: 'snapshots', 'history', 'manifests', 'files',
+        'delete_files', 'partitions', 'refs'.  Timestamps are exposed as
+        epoch-millis longs (committed_at_ms) to keep results timezone-
+        stable.  Rows are built from the same driver-side manifest
+        planning read() already does — metadata is per-FILE, orders of
+        magnitude smaller than data, the same asymmetry real Iceberg's
+        metadata tables rely on."""
+        from pyspark.sql import functions as F
+
+        meta = self.metadata
+        if name == "snapshots":
+            rows = [(s["timestamp-ms"], s["snapshot-id"],
+                     s.get("parent-snapshot-id"), s["sequence-number"],
+                     s["summary"].get("operation"),
+                     {k: str(v) for k, v in s["summary"].items()
+                      if k != "operation"})
+                    for s in meta["snapshots"]]
+            return spark.createDataFrame(rows, (
+                "committed_at_ms long, snapshot_id long, parent_id long, "
+                "sequence_number long, operation string, "
+                "summary map<string,string>"))
+        if name == "history":
+            ancestors: set[int] = set()
+            by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+            cur = meta["current-snapshot-id"]
+            while cur in by_id:
+                ancestors.add(cur)
+                cur = by_id[cur].get("parent-snapshot-id")
+            rows = [(h["timestamp-ms"], h["snapshot-id"],
+                     by_id.get(h["snapshot-id"], {}).get("parent-snapshot-id"),
+                     h["snapshot-id"] in ancestors)
+                    for h in meta["snapshot-log"]]
+            return spark.createDataFrame(rows, (
+                "made_current_at_ms long, snapshot_id long, parent_id long, "
+                "is_current_ancestor boolean"))
+        if name == "manifests":
+            snap = self._resolve_snapshot(snapshot_id, ref=ref)
+            manifests = [] if snap is None else read_ocf(
+                snap["manifest-list"])[1]
+            rows = [(m["manifest_path"], m["manifest_length"],
+                     m["partition_spec_id"], m.get("content", 0),
+                     m["sequence_number"], m["added_snapshot_id"],
+                     m["added_files_count"], m["added_rows_count"])
+                    for m in manifests]
+            return spark.createDataFrame(rows, (
+                "path string, length long, partition_spec_id int, "
+                "content int, sequence_number long, added_snapshot_id long, "
+                "added_files_count int, added_rows_count long"))
+        if name in ("files", "delete_files", "partitions"):
+            plan = (self.plan_files(snapshot_id, ref=ref)
+                    if name != "delete_files"
+                    else self.plan_delete_files(snapshot_id, ref=ref))
+            rows = [(f.content, f.file_path, "PARQUET", f.record_count,
+                     f.file_size_in_bytes,
+                     {k: (None if v is None else str(v))
+                      for k, v in (f.partition or {}).items()},
+                     f.sequence_number)
+                    for f in plan]
+            df = spark.createDataFrame(rows, (
+                "content int, file_path string, file_format string, "
+                "record_count long, file_size_in_bytes long, "
+                "partition map<string,string>, sequence_number long"))
+            if name != "partitions":
+                return df
+            return (df.groupBy("partition")
+                    .agg(F.sum("record_count").alias("record_count"),
+                         F.count(F.lit(1)).alias("file_count")))
+        if name == "refs":
+            rows = [(n, r["type"], r["snapshot-id"])
+                    for n, r in sorted(self.refs.items())]
+            return spark.createDataFrame(rows, (
+                "name string, type string, snapshot_id long"))
+        raise ValueError(f"unknown metadata table {name!r}")
 
     # -- scan planning ------------------------------------------------------
 
@@ -929,6 +1238,7 @@ class IcebergLiteTable:
         partition_filter: dict[str, Any] | None = None,
         added_after_snapshot_id: int | None = None,
         value_filter: dict[str, tuple] | None = None,
+        ref: str | None = None,
     ) -> list[DataFileInfo]:
         """Metadata-only scan planning: resolve snapshot -> manifest list ->
         manifests -> data files, pruning whole files by their partition
@@ -939,8 +1249,10 @@ class IcebergLiteTable:
         files whose manifest column bounds (parquet-footer min/max recorded
         at commit — the spec's lower/upper bounds) cannot overlap the
         range: Iceberg data skipping, before Spark sees a file name.
-        Files without recorded bounds for the column are kept."""
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        Files without recorded bounds for the column are kept.
+
+        `ref=` addresses a named tag/branch (see create_tag)."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
         min_seq = None
@@ -988,6 +1300,7 @@ class IcebergLiteTable:
         self,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> list[DataFileInfo]:
         """Delete files (content=1 manifests) in the resolved snapshot —
         both kinds, distinguished by DataFileInfo.content: 1 = position
@@ -995,7 +1308,7 @@ class IcebergLiteTable:
         so applying globally is equivalent), 2 = equality deletes (apply
         to data files with sequence STRICTLY below theirs; read() does the
         era grouping)."""
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
         _, manifests = read_ocf(snap["manifest-list"])
@@ -1029,6 +1342,7 @@ class IcebergLiteTable:
         partition_filter: dict[str, Any] | None = None,
         added_after_snapshot_id: int | None = None,
         value_filter: dict[str, tuple] | None = None,
+        ref: str | None = None,
     ):
         """Spark DataFrame over the planned files.  Partition columns are
         restored from the hive dirs via basePath (grouped per snapshot dir —
@@ -1041,15 +1355,15 @@ class IcebergLiteTable:
         opened) and applies the equivalent row filter, so semantics are
         exactly BETWEEN."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
-                                added_after_snapshot_id, value_filter)
+                                added_after_snapshot_id, value_filter, ref)
         ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
         if not files:
             return spark.createDataFrame([], ddl)
         if value_filter:
             return self._apply_value_filter(
-                self._read_planned(spark, files, snapshot_id, as_of_ms),
+                self._read_planned(spark, files, snapshot_id, as_of_ms, ref),
                 value_filter)
-        return self._read_planned(spark, files, snapshot_id, as_of_ms)
+        return self._read_planned(spark, files, snapshot_id, as_of_ms, ref)
 
     @staticmethod
     def _apply_value_filter(df, value_filter: dict[str, tuple]):
@@ -1062,8 +1376,9 @@ class IcebergLiteTable:
                 df = df.filter(F.col(c) <= hi)
         return df
 
-    def _read_planned(self, spark, files, snapshot_id=None, as_of_ms=None):
-        dels = self.plan_delete_files(snapshot_id, as_of_ms)
+    def _read_planned(self, spark, files, snapshot_id=None, as_of_ms=None,
+                      ref=None):
+        dels = self.plan_delete_files(snapshot_id, as_of_ms, ref)
         if not dels:
             return self._files_df(spark, files).select(
                 *[f["name"] for f in self.schema_fields])
