@@ -2790,6 +2790,59 @@ def q_iceberg_schema_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_merge_refs(spark, sf_dir):
+    """Iceberg MERGE INTO + named refs + metadata tables (iceberg.py
+    merge_into / create_tag / meta_df): orders appended and tagged 'v1',
+    then a classic upsert — every o_custkey%3==0 row re-priced (+1000)
+    and 7 brand-new rows inserted — committed as ONE atomic MoR snapshot
+    (equality-delete manifest + data manifest at the same sequence, so
+    the merge's own inserts survive its own deletes; the target is never
+    scanned).  Checks the merged state, the tag's frozen pre-merge image
+    (read(ref=)), and the snapshots/refs/delete_files metadata tables.
+    Oracle recomputes every figure from orders arithmetic."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_merge_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        t.append(orders.coalesce(4))
+        t.create_tag("v1")
+        upd = orders.filter("o_custkey % 3 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0)
+        ins = spark.createDataFrame(
+            [(9_000_000_000 + i, i + 1, 100.5 * (i + 1)) for i in range(7)],
+            orders.schema)
+        t.merge_into(spark, upd.unionByName(ins).coalesce(2),
+                     on=["o_orderkey"])
+        m = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.sum((F.col("o_orderkey") >= 9_000_000_000).cast("long"))
+            .alias("ins")).first()
+        tag = t.read(spark, ref="v1").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        n_snaps = t.meta_df(spark, "snapshots").count()
+        n_refs = t.meta_df(spark, "refs").count()
+        del_records = int(t.meta_df(spark, "delete_files")
+                          .agg(F.sum("record_count")).first()[0])
+        return _row(
+            spark,
+            "merged_count long, merged_sum double, inserted_survivors long, "
+            "tag_count long, tag_sum double, n_snapshots long, n_refs long, "
+            "delete_records long",
+            [int(m["c"]), float(m["s"]), int(m["ins"]),
+             int(tag["c"]), float(tag["s"]), n_snaps, n_refs, del_records],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (ops.bpe_token_count): GPT-2-style
     pretokenizer alternation, lookahead-free so the Java-regex Spark count
@@ -3462,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "iceberg_merge_refs": q_iceberg_merge_refs,
         "oov_stats_documents": q_oov_stats_documents,
         "audio_qa_fused": q_audio_qa_fused,
         "audio_repair_pipeline": q_audio_repair_pipeline,
@@ -3535,11 +3589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "curation_pipeline_documents": q_curation_pipeline,
         "bpe_token_stats_documents": q_bpe_token_stats,
-        "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window (r4-verified; displaced by the
         # five newest r5 queries chunk/adpcm/spectral/pitch/
-        # augment_pipeline) --
+        # augment_pipeline; winnowing slid out when iceberg_merge_refs
+        # entered tier 1 — r4 hash-green, rotates back in r6) --
+        "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
         "audio_quality_violations": q_audio_quality_violations,
         "audio_trim_bounds": q_audio_trim_bounds,
@@ -4506,6 +4561,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS price_sum, "
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
+        ),
+        "iceberg_merge_refs": (
+            # upsert re-prices custkey%3==0 rows (+1000) and inserts 7 new
+            # rows summing to 100.5*28; the tag freezes the pre-merge
+            # image; snapshots = append + merge (create_tag commits no
+            # snapshot); refs = implicit main + v1; the eq-delete manifest
+            # holds one key per SOURCE row (matched or not)
+            "SELECT (count(*) + 7)::BIGINT AS merged_count, "
+            "ROUND(SUM(CASE WHEN o_custkey % 3 = 0 THEN o_totalprice + 1000 "
+            "ELSE o_totalprice END) + 2814.0, 2) AS merged_sum, "
+            "7::BIGINT AS inserted_survivors, "
+            "count(*)::BIGINT AS tag_count, "
+            "ROUND(SUM(o_totalprice), 2) AS tag_sum, "
+            "2::BIGINT AS n_snapshots, 2::BIGINT AS n_refs, "
+            "(SUM(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END) + 7)"
+            "::BIGINT AS delete_records FROM orders"
         ),
         "expectation_diagnostics": _diagnostics_oracle_sql(),
         "curation_pipeline_documents": (
