@@ -2843,6 +2843,60 @@ def q_iceberg_merge_refs(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_wap_audit(spark, sf_dir):
+    """Write-audit-publish gate (gx_spark/wap.py validate_and_publish +
+    iceberg.py branch commits / fast_forward): three order batches run
+    the full stage→audit→publish loop — even orderkeys publish, a
+    price-negated batch FAILS the suite (main never sees it; the stage
+    survives under a rejected-<id> tag), odd orderkeys publish.  The
+    audit validates only each staged slice; publish is a pure-metadata
+    fast-forward.  Oracle recomputes every figure from orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+    from gx_spark.wap import validate_and_publish
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_wap_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_ice", orders.schema)
+        gate = (ExpectationSuite("gate")
+                .add("expect_column_values_to_not_be_null",
+                     column="o_custkey")
+                .add("expect_column_values_to_be_between",
+                     column="o_totalprice", min_value=0))
+        r1 = validate_and_publish(
+            spark, t, orders.filter("o_orderkey % 2 = 0").coalesce(2), gate)
+        bad = orders.filter("o_orderkey % 2 = 1").withColumn(
+            "o_totalprice", -F.col("o_totalprice"))
+        r2 = validate_and_publish(spark, t, bad.coalesce(2), gate)
+        r3 = validate_and_publish(
+            spark, t, orders.filter("o_orderkey % 2 = 1").coalesce(2), gate)
+        main = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        rejected_rows = next(
+            x.result["unexpected_count"]
+            for x in r2.bundle.suite_result.results
+            if x.expectation_config.expectation_type
+            == "expect_column_values_to_be_between")
+        tag_count = t.read(spark, ref=r2.rejected_tag).count()
+        published = sum(int(r.published) for r in (r1, r2, r3))
+        return _row(
+            spark,
+            "published_batches long, main_count long, main_sum double, "
+            "rejected_rows long, rejected_tag_count long, log_len long, "
+            "n_refs long",
+            [published, int(main["c"]), float(main["s"]),
+             int(rejected_rows), int(tag_count),
+             len(t.metadata["snapshot-log"]), len(t.refs)],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (ops.bpe_token_count): GPT-2-style
     pretokenizer alternation, lookahead-free so the Java-regex Spark count
@@ -3515,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      determinism tests).
     return {
         # -- tier 1: new or changed in r5 --
+        "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
         "oov_stats_documents": q_oov_stats_documents,
         "audio_qa_fused": q_audio_qa_fused,
@@ -3588,12 +3643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_equality_deletes": q_iceberg_equality_deletes,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "curation_pipeline_documents": q_curation_pipeline,
-        "bpe_token_stats_documents": q_bpe_token_stats,
         # ---- driver window ends here (entry #50) ----
         # -- tier 4: past the window (r4-verified; displaced by the
         # five newest r5 queries chunk/adpcm/spectral/pitch/
-        # augment_pipeline; winnowing slid out when iceberg_merge_refs
-        # entered tier 1 — r4 hash-green, rotates back in r6) --
+        # augment_pipeline; winnowing and bpe_token_stats slid out when
+        # iceberg_merge_refs + iceberg_wap_audit entered tier 1 — both
+        # r4 hash-green, rotate back in r6) --
+        "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
         "audio_quality_violations": q_audio_quality_violations,
@@ -4561,6 +4617,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS price_sum, "
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
+        ),
+        "iceberg_wap_audit": (
+            # batches 1 and 3 publish (even then odd orderkeys → main
+            # holds every order); the price-negated batch is rejected
+            # whole (every odd price > 0, so every negated one violates
+            # between[0,∞)); its tag froze batch1 + the bad stage = all
+            # rows; log holds the two published snapshots; refs = main +
+            # the rejected tag
+            "SELECT 2::BIGINT AS published_batches, "
+            "count(*)::BIGINT AS main_count, "
+            "ROUND(SUM(o_totalprice), 2) AS main_sum, "
+            "SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS rejected_rows, "
+            "count(*)::BIGINT AS rejected_tag_count, "
+            "2::BIGINT AS log_len, 2::BIGINT AS n_refs FROM orders"
         ),
         "iceberg_merge_refs": (
             # upsert re-prices custkey%3==0 rows (+1000) and inserts 7 new

@@ -29,6 +29,7 @@ from .profile import (
 from .diagnostics import run_diagnostics, run_diagnostics_all
 from .registry import list_expectations, load_plugins, register_expectation
 from .validator import SparkDFDataset, Validator
+from .wap import WapResult, validate_and_publish
 
 __all__ = [
     "MetricStore",
@@ -51,6 +52,8 @@ __all__ = [
     "register_expectation",
     "run_diagnostics",
     "run_diagnostics_all",
+    "WapResult",
+    "validate_and_publish",
 ]
 
 __version__ = "0.1.0"

@@ -46,9 +46,11 @@ Also supported (round 5): MERGE INTO (`merge_into` — single-snapshot MoR
 upsert: an equality-delete manifest + a data manifest committed atomically
 at one sequence number, the default 'update'/'insert' mode never scanning
 the target), named refs (`create_tag`/`create_branch`/`drop_ref`, readable
-via `read(ref=)`, protected from `expire_snapshots`), and metadata tables
+via `read(ref=)`, protected from `expire_snapshots`), metadata tables
 (`meta_df(spark, 'snapshots'|'history'|'manifests'|'files'|'delete_files'|
-'partitions'|'refs')`).
+'partitions'|'refs')`), branch WRITES (`append(branch=)` — staged commits
+main never sees), and `fast_forward` publication — together the substrate
+for the write-audit-publish validation gate in gx_spark/wap.py.
 
 Intentionally out of scope (documented, not hidden): non-identity
 transforms (bucket/truncate/days), column-id field
@@ -453,9 +455,10 @@ class IcebergLiteTable:
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
         """Create a named BRANCH at a snapshot (current if omitted).
-        Branch refs here are readable pointers (read(ref=name)) protected
-        from expiry; writes always advance main — divergent branch writes
-        are out of scope and documented so."""
+        Branches are readable (read(ref=name)), writable
+        (append(..., branch=name) — the ref advances, main doesn't see
+        staged work), expiry-protected together with their unpublished
+        ancestors, and publishable via fast_forward()."""
         self._set_ref(name, snapshot_id, "branch")
 
     def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
@@ -486,6 +489,65 @@ class IcebergLiteTable:
         meta["refs"] = refs
         self._write_metadata(meta, self._current_version() + 1)
 
+    def fast_forward(self, to_ref: str, from_ref: str) -> int:
+        """Fast-forward `to_ref` to `from_ref`'s head (Iceberg's
+        `system.fast_forward` procedure — the publish step of
+        write-audit-publish).  Requires `to_ref`'s head to be an ancestor
+        of `from_ref`'s head; a diverged target raises (the caller must
+        re-stage), which is exactly the spec's fast-forward-only
+        guarantee — no merge commits, no rewritten history.
+
+        Fast-forwarding "main" publishes the staged snapshots: the
+        current-snapshot-id moves to the branch head and every staged
+        snapshot along the path joins the snapshot-log (time travel and
+        incremental reads then see them like any committed history).
+        Returns the new head snapshot id."""
+        meta = dict(self.metadata)
+        refs = dict(meta.get("refs") or {})
+        src = refs.get(from_ref)
+        if src is None:
+            raise ValueError(f"no such ref {from_ref!r}")
+        if src.get("type") != "branch":
+            raise ValueError(f"ref {from_ref!r} is a tag, not a branch")
+        src_head = src["snapshot-id"]
+        if to_ref == "main":
+            tgt_head = (meta["current-snapshot-id"]
+                        if meta["current-snapshot-id"] != -1 else None)
+        else:
+            tgt = refs.get(to_ref)
+            if tgt is None:
+                raise ValueError(f"no such ref {to_ref!r}")
+            if tgt.get("type") != "branch":
+                raise ValueError(f"ref {to_ref!r} is a tag, not a branch")
+            tgt_head = tgt["snapshot-id"]
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        path: list[dict] = []
+        sid: int | None = src_head
+        while sid is not None and sid != tgt_head:
+            snap = by_id.get(sid)
+            if snap is None:
+                raise ValueError(
+                    f"cannot fast-forward {to_ref!r}: its head {tgt_head} "
+                    f"is not an ancestor of {from_ref!r}'s head {src_head}")
+            path.append(snap)
+            sid = snap.get("parent-snapshot-id")
+        if sid is None and tgt_head is not None:
+            raise ValueError(
+                f"cannot fast-forward {to_ref!r}: its head {tgt_head} "
+                f"is not an ancestor of {from_ref!r}'s head {src_head}")
+        if to_ref == "main":
+            meta["snapshot-log"] = meta["snapshot-log"] + [
+                {"timestamp-ms": s["timestamp-ms"],
+                 "snapshot-id": s["snapshot-id"]}
+                for s in reversed(path)]
+            meta["current-snapshot-id"] = src_head
+            refs["main"] = {"snapshot-id": src_head, "type": "branch"}
+        else:
+            refs[to_ref] = {"snapshot-id": src_head, "type": "branch"}
+        meta["refs"] = refs
+        self._write_metadata(meta, self._current_version() + 1)
+        return src_head
+
     def _resolve_snapshot(self, snapshot_id: int | None = None,
                           as_of_ms: int | None = None,
                           ref: str | None = None) -> dict | None:
@@ -510,13 +572,18 @@ class IcebergLiteTable:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             return max(eligible, key=lambda s: s["timestamp-ms"])
         cur = self.metadata["current-snapshot-id"]
+        if cur == -1:
+            # snapshots exist but none published to main yet (staged
+            # branch commits on an otherwise-empty table)
+            return None
         return next(s for s in snaps if s["snapshot-id"] == cur)
 
     # -- append -------------------------------------------------------------
 
     def append(self, df, now_ms: int | None = None,
                sort_by: list[str] | None = None,
-               operation_id: str | None = None) -> int:
+               operation_id: str | None = None,
+               branch: str | None = None) -> int:
         """Write df as parquet data files and commit one new snapshot.
         Returns the new snapshot id (deterministic: derived from the table
         uuid + sequence number, so tests and resumed jobs are reproducible).
@@ -533,6 +600,12 @@ class IcebergLiteTable:
         callers (foreachBatch retries/restarts in streaming.py) exactly-
         once at the table: a replayed micro-batch finds its own earlier
         commit instead of appending duplicate rows.
+
+        branch: commit to a named BRANCH instead of main (Iceberg's
+        `toBranch` / write-audit-publish staging).  The branch is created
+        at the current main head if absent; main's current-snapshot-id and
+        snapshot-log are untouched, so readers of the table see nothing
+        until `fast_forward("main", branch)` publishes the staged history.
         """
         if pq is None:  # pragma: no cover
             raise RuntimeError("pyarrow required for iceberg-lite appends")
@@ -544,7 +617,7 @@ class IcebergLiteTable:
         entries = self._write_data_files(df, snap_id, seq, sort_by=sort_by)
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="append",
-                                    operation_id=operation_id)
+                                    operation_id=operation_id, branch=branch)
 
     def _write_data_files(self, df, snap_id: int, seq: int,
                           sort_by: list[str] | None = None) -> list[dict]:
@@ -1004,16 +1077,38 @@ class IcebergLiteTable:
         meta = dict(self.metadata)
         snaps = meta["snapshots"]
         current = meta["current-snapshot-id"]
+        # keep_last / older_than_ms govern MAIN's published history (the
+        # ancestor chain of the current snapshot); snapshots outside it —
+        # orphaned stages whose branch/tag ref was dropped — are garbage
+        # unless a surviving ref protects them below
+        by_id_all = {s["snapshot-id"]: s for s in snaps}
+        main_chain: list[dict] = []
+        sid = current if current != -1 else None
+        while sid is not None and sid in by_id_all:
+            main_chain.append(by_id_all[sid])
+            sid = by_id_all[sid].get("parent-snapshot-id")
+        main_chain.reverse()  # oldest -> newest
         if older_than_ms is not None:
-            keep = [s for s in snaps
+            keep = [s for s in main_chain
                     if s["timestamp-ms"] >= older_than_ms
                     or s["snapshot-id"] == current]
         else:
-            keep = [s for s in snaps[-max(keep_last, 1):]]
-            if not any(s["snapshot-id"] == current for s in keep):
-                keep = [s for s in snaps if s["snapshot-id"] == current] + keep
-        # named tags/branches protect their snapshots from expiry
-        ref_ids = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+            keep = main_chain[-max(keep_last, 1):]
+        # named tags/branches protect their snapshots from expiry; a
+        # branch (other than the implicit main, whose history keep_last/
+        # older_than_ms already governs) also protects its ANCESTORS —
+        # unpublished staged history must survive maintenance, or a later
+        # fast_forward would publish dangling snapshots
+        ref_ids: set[int] = set()
+        for name, r in (meta.get("refs") or {}).items():
+            sid = r["snapshot-id"]
+            if r.get("type") == "branch" and name != "main":
+                while (sid is not None and sid in by_id_all
+                       and sid not in ref_ids):
+                    ref_ids.add(sid)
+                    sid = by_id_all[sid].get("parent-snapshot-id")
+            else:
+                ref_ids.add(sid)
         kept_set = {s["snapshot-id"] for s in keep}
         keep = [s for s in snaps
                 if s["snapshot-id"] in kept_set or s["snapshot-id"] in ref_ids]
@@ -1067,16 +1162,18 @@ class IcebergLiteTable:
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
                         content: int = 0, replace: bool = False,
-                        operation_id: str | None = None) -> int:
+                        operation_id: str | None = None,
+                        branch: str | None = None) -> int:
         return self._commit_manifest_groups(
             meta, [(entries, content)], snap_id, seq, now_ms, operation,
-            replace=replace, operation_id=operation_id)
+            replace=replace, operation_id=operation_id, branch=branch)
 
     def _commit_manifest_groups(self, meta: dict,
                                 groups: list[tuple[list[dict], int]],
                                 snap_id: int, seq: int, now_ms: int,
                                 operation: str, replace: bool = False,
-                                operation_id: str | None = None) -> int:
+                                operation_id: str | None = None,
+                                branch: str | None = None) -> int:
         """Commit ONE snapshot carrying any number of manifests — e.g.
         merge_into's (equality-delete manifest, data manifest) pair, which
         the spec models as a single 'overwrite' snapshot.  `groups` is a
@@ -1084,8 +1181,28 @@ class IcebergLiteTable:
         data, 1 = deletes; every group commits at the SAME sequence
         number, which is what makes a merge's inserts survive its own
         equality deletes (eq deletes apply strictly below their
-        sequence)."""
+        sequence).
+
+        branch: commit on a named branch instead of main — the snapshot's
+        parent and carried-forward manifests come from the BRANCH head
+        (forked at current main if the branch doesn't exist yet), the
+        branch ref advances, and main's current-snapshot-id/snapshot-log
+        stay untouched.  Sequence numbers remain table-global, exactly as
+        in the Iceberg spec."""
         pcols = self.partition_cols
+        if branch == "main":
+            branch = None
+        branch_head: int | None = None
+        if branch is not None:
+            if replace:
+                raise ValueError("replace commits target main only")
+            existing = (meta.get("refs") or {}).get(branch)
+            if existing is not None and existing.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            branch_head = (existing["snapshot-id"] if existing is not None
+                           else (meta["current-snapshot-id"]
+                                 if meta["current-snapshot-id"] != -1
+                                 else None))
         summary: dict[str, str] = {"operation": operation}
         if operation_id:
             summary["operation-id"] = operation_id
@@ -1121,15 +1238,24 @@ class IcebergLiteTable:
                 summary["added-data-files"] = str(len(entries))
                 summary["added-records"] = str(total_rows)
         prev_manifests = []
-        if meta["snapshots"] and not replace:
-            _, prev_manifests = read_ocf(self._resolve_snapshot()["manifest-list"])
+        if not replace:
+            if branch is not None:
+                if branch_head is not None:
+                    _, prev_manifests = read_ocf(
+                        self._resolve_snapshot(snapshot_id=branch_head)
+                        ["manifest-list"])
+            elif meta["snapshots"]:
+                _, prev_manifests = read_ocf(
+                    self._resolve_snapshot()["manifest-list"])
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
         write_ocf(list_path, _MANIFEST_LIST_SCHEMA,
                   new_manifests + prev_manifests)
+        parent = (branch_head if branch is not None
+                  else (meta["current-snapshot-id"]
+                        if meta["current-snapshot-id"] != -1 else None))
         snap = {
             "snapshot-id": snap_id,
-            "parent-snapshot-id": meta["current-snapshot-id"]
-            if meta["current-snapshot-id"] != -1 else None,
+            "parent-snapshot-id": parent,
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
@@ -1137,15 +1263,20 @@ class IcebergLiteTable:
             "schema-id": meta["current-schema-id"],
         }
         meta["snapshots"] = meta["snapshots"] + [snap]
-        meta["snapshot-log"] = meta["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
-        meta["current-snapshot-id"] = snap_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        # the main branch ref tracks the current snapshot (Iceberg's
-        # implicit main branch); named tags/branches are never moved here
         refs = dict(meta.get("refs") or {})
-        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        if branch is not None:
+            # branch commit: only the branch ref advances — main's
+            # current-snapshot-id and snapshot-log never see staged work
+            refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+        else:
+            meta["snapshot-log"] = meta["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+            meta["current-snapshot-id"] = snap_id
+            # the main branch ref tracks the current snapshot (Iceberg's
+            # implicit main branch); named tags/branches are never moved
+            refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
         meta["refs"] = refs
         self._write_metadata(meta, self._current_version() + 1)
         return snap_id
