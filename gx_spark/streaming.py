@@ -312,6 +312,7 @@ def stream_to_iceberg(
     quarantine: bool = False,
     checkpoint_location: str | None = None,
     trigger_available_now: bool = True,
+    gate: str = "rows",
 ):
     """Validated streaming ingestion into an Iceberg-lite table: each
     micro-batch is (optionally) validated, then appended as ONE Iceberg
@@ -324,11 +325,29 @@ def stream_to_iceberg(
     append and written to `<results_dir>/_quarantine` instead — the
     landed table then satisfies the per-row expectations by construction.
     Aggregate violations never quarantine rows.  The table is created
-    from the first batch's schema if absent."""
+    from the first batch's schema if absent.
+
+    gate: 'rows' (default — land the batch, quarantine optionally
+    pruning violating rows) or 'batch' (write-audit-publish
+    all-or-nothing: each micro-batch stages on an audit branch, the
+    suite audits exactly the staged rows, and main either fast-forwards
+    to include the WHOLE batch or never sees it — the rejected stage
+    survives under a `rejected-<snapshot-id>` tag for reprocessing).
+    The WAP path keeps exactly-once landing under foreachBatch's
+    at-least-once replay via the same operation-id contract, including
+    crash recovery between stage and publish."""
     from functools import reduce
 
     from .iceberg import IcebergLiteTable
 
+    if gate not in ("rows", "batch"):
+        raise ValueError(f"gate={gate!r} (use 'rows' or 'batch')")
+    if gate == "batch":
+        if suite is None:
+            raise ValueError("gate='batch' requires a suite")
+        if quarantine:
+            raise ValueError("gate='batch' is all-or-nothing — "
+                             "quarantine applies to gate='rows'")
     if quarantine and suite is None:
         raise ValueError("quarantine requires a suite")
     spark = stream_df.sparkSession
@@ -379,6 +398,22 @@ def stream_to_iceberg(
         else:
             t = IcebergLiteTable.create(table_location, batch_df.schema)
         sub = f"batch_id={int(batch_id)}"
+        if gate == "batch":
+            from .wap import validate_and_publish
+
+            r = validate_and_publish(
+                spark, t, batch_df, suite, opts,
+                audit_branch=f"audit-{stream_key}-b{batch_id}",
+                operation_id=f"stream-{stream_key}-b{batch_id}")
+            if r.bundle is not None and results_dir:
+                r.bundle.results_df(spark).write.mode("overwrite").parquet(
+                    os.path.join(results_dir, "_validation_results", sub))
+                vt = r.bundle.violations_table()
+                if vt is not None:
+                    vt.write.mode("overwrite").parquet(
+                        os.path.join(results_dir, "_violations", sub))
+                r.bundle.unpersist()
+            return
         good = batch_df
         if suite is not None:
             bundle = ValidationRun(spark, suite, opts).validate(

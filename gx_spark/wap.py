@@ -62,16 +62,31 @@ def validate_and_publish(spark, table, df, suite, options=None,
     from .executor import validate
 
     refs = table.refs
+    resumed = False
     if audit_branch in refs:
-        raise ValueError(
-            f"audit branch {audit_branch!r} already exists — a previous "
-            "gate is in flight or was left behind; drop it or use "
-            "another name")
-    parent = table.current_snapshot_id()
-    sid = table.append(df, branch=audit_branch, now_ms=now_ms,
-                       operation_id=operation_id)
-    if operation_id is not None and audit_branch not in (
-            table.metadata.get("refs") or {}):
+        # crash recovery: if the leftover branch head is OUR stage (same
+        # operation_id), resume the audit from it instead of re-appending
+        # — the gate stays exactly-once across a crash between stage and
+        # publish.  Anyone else's branch is a hard error.
+        head = refs[audit_branch]["snapshot-id"]
+        snap = next(s for s in table.metadata["snapshots"]
+                    if s["snapshot-id"] == head)
+        if (operation_id is not None
+                and snap.get("summary", {}).get("operation-id")
+                == operation_id):
+            sid, parent = head, snap.get("parent-snapshot-id")
+            resumed = True
+        else:
+            raise ValueError(
+                f"audit branch {audit_branch!r} already exists — a "
+                "previous gate is in flight or was left behind; drop it "
+                "or use another name")
+    if not resumed:
+        parent = table.current_snapshot_id()
+        sid = table.append(df, branch=audit_branch, now_ms=now_ms,
+                           operation_id=operation_id)
+    if (not resumed and operation_id is not None
+            and audit_branch not in (table.metadata.get("refs") or {})):
         # append was an idempotent no-op (operation_id replay): the
         # earlier gate already completed.  Published iff the staged
         # snapshot is reachable from main; a rejected replay reports its

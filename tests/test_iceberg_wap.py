@@ -221,3 +221,23 @@ def test_wap_operation_id_replay_of_rejected_batch(spark, table):
     assert not r2.published and r2.snapshot_id == r1.snapshot_id
     assert r2.rejected_tag == r1.rejected_tag
     assert table.read(spark).count() == 10
+
+
+def test_wap_crash_resume_between_stage_and_publish(spark, table):
+    # simulate a crash AFTER the stage committed but before the audit:
+    # the branch is left behind with our operation_id on its head
+    good = _batch(spark, 100).coalesce(1)
+    table.append(good, branch="audit", operation_id="op-7")
+    r = validate_and_publish(spark, table, good, GATE, operation_id="op-7")
+    assert r.published
+    # resumed from the existing stage: no double append
+    assert table.read(spark).count() == 20
+    assert "audit" not in table.refs
+
+
+def test_wap_foreign_inflight_branch_still_raises(spark, table):
+    table.append(_batch(spark, 500).coalesce(1), branch="audit",
+                 operation_id="someone-else")
+    with pytest.raises(ValueError, match="in flight"):
+        validate_and_publish(spark, table, _batch(spark, 100).coalesce(1),
+                             GATE, operation_id="op-8")

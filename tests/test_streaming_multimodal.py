@@ -170,3 +170,60 @@ def test_stream_validate_and_curate(spark, audio_dir, audio_df, tmp_path):
     assert a == b
     res = spark.read.parquet(f"{out}/_validation_results")
     assert res.where("expectation_type = 'expect_column_values_to_be_in_set'").count() >= 3
+
+
+def test_stream_to_iceberg_wap_gate(spark, tmp_path):
+    """gate='batch' (write-audit-publish): each micro-batch lands whole or
+    not at all — a batch with ANY violation never reaches main, surviving
+    only as a rejected-<id> tag."""
+    from gx_spark.iceberg import IcebergLiteTable
+    from gx_spark.streaming import stream_to_iceberg
+    from gx_spark import ExpectationSuite
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    loc = str(tmp_path / "landed")
+    mk = lambda lo, bad: spark.range(lo, lo + 10).select(  # noqa: E731
+        F.col("id").alias("k"),
+        F.when(F.col("id") == lo, F.lit(-5.0) if bad else F.lit(1.0))
+        .otherwise(F.col("id").cast("double")).alias("v"))
+    # three files written one at a time -> three micro-batches at
+    # maxFilesPerTrigger=1; the middle one carries a violation
+    mk(0, False).coalesce(1).write.mode("append").parquet(src)
+    mk(10, True).coalesce(1).write.mode("append").parquet(src)
+    mk(20, False).coalesce(1).write.mode("append").parquet(src)
+
+    gate_suite = ExpectationSuite("gate").add(
+        "expect_column_values_to_be_between", column="v", min_value=0)
+    stream = (
+        spark.readStream.schema(mk(0, False).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_iceberg(
+        stream, loc, gate_suite, EngineOptions(), results_dir=out,
+        checkpoint_location=chk, gate="batch",
+    )
+    q.awaitTermination(300)
+
+    t = IcebergLiteTable(loc)
+    landed = t.read(spark)
+    assert landed.count() == 20
+    # the bad batch is absent WHOLE (not just its violating row)
+    ks = {r.k for r in landed.select("k").collect()}
+    assert ks == set(range(10)) | set(range(20, 30))
+    # main's published history = the two good batches
+    assert len(t.metadata["snapshot-log"]) == 2
+    # the rejected stage survives under a tag, holding main-at-stage +
+    # the bad batch (10..19)
+    rejected = [n for n in t.refs if n.startswith("rejected-")]
+    assert len(rejected) == 1
+    tagged = t.read(spark, ref=rejected[0])
+    assert {r.k for r in tagged.select("k").collect()} >= set(range(10, 20))
+    # per-batch EVRs + the bad batch's violations were recorded (the
+    # batch_id partition dir is the per-batch identity on this path)
+    results = spark.read.parquet(f"{out}/_validation_results")
+    assert results.select("batch_id").distinct().count() == 3
+    viol = spark.read.parquet(f"{out}/_violations")
+    assert viol.count() == 1
