@@ -921,7 +921,8 @@ class IcebergLiteTable:
                    when_matched: str = "update",
                    when_not_matched: str = "insert",
                    now_ms: int | None = None,
-                   operation_id: str | None = None) -> int | None:
+                   operation_id: str | None = None,
+                   branch: str | None = None) -> int | None:
         """MERGE INTO (Iceberg's row-level merge-on-read upsert): apply
         `source_df` to the table keyed on the `on` columns, in ONE atomic
         commit — a single 'overwrite' snapshot carrying an equality-delete
@@ -947,6 +948,11 @@ class IcebergLiteTable:
         operation_id: idempotency token, as in append() — a replayed merge
         whose operation_id already committed is a no-op returning the
         existing snapshot id (the checkpoint/resume contract).
+
+        branch: stage the merge on a named branch, as in append(branch=)
+        — matched/unmatched clauses resolve against the branch head, main
+        never sees the result until fast_forward() publishes it.  This is
+        what lets a CDC upsert run through the write-audit-publish gate.
 
         Returns the new snapshot id, or None if the merge is a no-op
         (e.g. empty source)."""
@@ -984,7 +990,12 @@ class IcebergLiteTable:
         if ((when_matched == "update" and when_not_matched == "none")
                 or when_matched == "none"
                 or (when_matched == "delete" and when_not_matched == "insert")):
-            tgt_keys = self.read(spark).select(*on).distinct()
+            # when merging onto a branch, matched/unmatched resolve
+            # against the BRANCH head (falling back to main where the
+            # branch doesn't exist yet — it forks from main at commit)
+            ref = branch if branch is not None and branch in (
+                self.metadata.get("refs") or {}) else None
+            tgt_keys = self.read(spark, ref=ref).select(*on).distinct()
 
         delete_keys = None
         insert_df = None
@@ -1023,7 +1034,7 @@ class IcebergLiteTable:
             return None
         return self._commit_manifest_groups(
             meta, groups, snap_id, seq, now_ms, operation="overwrite",
-            operation_id=operation_id)
+            operation_id=operation_id, branch=branch)
 
     def rewrite_data_files(self, spark, target_files: int | None = None,
                            now_ms: int | None = None) -> int | None:

@@ -241,3 +241,53 @@ def test_wap_foreign_inflight_branch_still_raises(spark, table):
     with pytest.raises(ValueError, match="in flight"):
         validate_and_publish(spark, table, _batch(spark, 100).coalesce(1),
                              GATE, operation_id="op-8")
+
+
+# ---------------------------------------------------------------------------
+# merge_into on a branch (WAP-gated CDC)
+# ---------------------------------------------------------------------------
+
+def test_merge_on_branch_then_publish(spark, table):
+    # upsert staged on a branch: k 0..4 re-valued, k 100..104 inserted
+    src = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(999.0).alias("v")).unionByName(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v")))
+    table.merge_into(spark, src.coalesce(1), on=["k"], branch="audit")
+    # main untouched; branch shows the merged image
+    assert table.read(spark).count() == 10
+    merged = {r["k"]: r["v"] for r in table.read(spark, ref="audit").collect()}
+    assert len(merged) == 15
+    assert all(merged[k] == 999.0 for k in range(5))
+    assert all(merged[k] == 1.0 for k in range(100, 105))
+    assert merged[7] == 70.0
+    table.fast_forward("main", "audit")
+    assert table.read(spark).count() == 15
+
+
+def test_merge_update_only_resolves_against_branch_head(spark, table):
+    # stage an insert of k=100 on the branch, then an update-only merge of
+    # k in {100, 200}: 100 matches the BRANCH head (not main), 200 matches
+    # nothing -> exactly one row updated, none inserted
+    table.append(_batch(spark, 100, n=1).coalesce(1), branch="audit")
+    src = spark.createDataFrame([(100, -1.0), (200, -2.0)], "k long, v double")
+    table.merge_into(spark, src.coalesce(1), on=["k"],
+                     when_matched="update", when_not_matched="none",
+                     branch="audit")
+    merged = {r["k"]: r["v"] for r in table.read(spark, ref="audit").collect()}
+    assert merged[100] == -1.0 and 200 not in merged
+    assert table.read(spark).count() == 10
+
+
+def test_upsert_never_scans_target(spark, table, monkeypatch):
+    # the classic update/insert merge must be pure source-sized work: a
+    # target scan would make continuous CDC O(table) per batch.  Pin it by
+    # making read() explode.
+    def boom(*a, **k):
+        raise AssertionError("merge upsert scanned the target")
+    monkeypatch.setattr(table, "read", boom)
+    src = spark.createDataFrame([(3, -1.0), (300, -3.0)], "k long, v double")
+    table.merge_into(spark, src.coalesce(1), on=["k"])
+    monkeypatch.undo()
+    merged = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert merged[3] == -1.0 and merged[300] == -3.0 and len(merged) == 11

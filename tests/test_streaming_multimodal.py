@@ -227,3 +227,37 @@ def test_stream_to_iceberg_wap_gate(spark, tmp_path):
     assert results.select("batch_id").distinct().count() == 3
     viol = spark.read.parquet(f"{out}/_violations")
     assert viol.count() == 1
+
+
+def test_wap_gates_audio_ingestion(spark, audio_dir, audio_df, tmp_path):
+    """The north-rule composite: the FULL audio expectation suite gates
+    Iceberg ingestion via write-audit-publish — a clip batch with planted
+    decode/SNR/transcript violations never reaches the published table."""
+    from gx_spark import validate_and_publish
+    from gx_spark.iceberg import IcebergLiteTable
+
+    opts = EngineOptions(unexpected_index_column_names=("clip_id",))
+    bundle = validate(spark, audio_df, audio_suite(), opts)
+    bad_ids = {r.clip_id for r in bundle.violations_table()
+               .select("clip_id").distinct().collect()}
+    bundle.unpersist()
+    assert bad_ids  # generator plants violations
+    clean = audio_df.where(~F.col("clip_id").isin(list(bad_ids)))
+
+    t = IcebergLiteTable.create(str(tmp_path / "clips"), audio_df.schema)
+    r1 = validate_and_publish(spark, t, clean.coalesce(1),
+                              audio_suite(), opts)
+    assert r1.published
+    # the dirty batch (contains every planted violation) is rejected
+    # whole; duplicates of already-published clips also fail `unique`
+    # within the batch-scoped audit only if staged together — the planted
+    # violations alone guarantee rejection here
+    r2 = validate_and_publish(spark, t, audio_df.coalesce(1),
+                              audio_suite(), opts)
+    assert not r2.published
+    landed = t.read(spark)
+    assert landed.count() == clean.count()
+    assert not ({r.clip_id for r in landed.select("clip_id").collect()}
+                & bad_ids)
+    # the rejected stage is preserved for reprocessing
+    assert r2.rejected_tag in t.refs
