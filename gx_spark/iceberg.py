@@ -1069,6 +1069,43 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="replace", replace=True)
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """Move main BACK to an ancestor snapshot (Iceberg's
+        `rollback_to_snapshot` maintenance procedure — the undo for a bad
+        publish).  Pure metadata: the rolled-past snapshots stay on disk
+        (re-readable by id, expirable later unless a ref protects them);
+        the next commit forks from the restored state.  The target must
+        be an ancestor of the current snapshot — rolling "back" to an
+        unrelated snapshot would silently rewrite history, so it raises.
+
+        Returns the restored snapshot id."""
+        meta = dict(self.metadata)
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        sid = (meta["current-snapshot-id"]
+               if meta["current-snapshot-id"] != -1 else None)
+        while sid is not None and sid != snapshot_id:
+            sid = by_id.get(sid, {}).get("parent-snapshot-id")
+        if sid != snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of the "
+                "current snapshot — rollback_to_snapshot only rewinds "
+                "main's own history")
+        now_ms = meta["last-updated-ms"] + 1
+        meta["current-snapshot-id"] = snapshot_id
+        meta["last-updated-ms"] = now_ms
+        # the log records the rollback as a new history event (real
+        # Iceberg's snapshot-log does the same — history is append-only
+        # even when the table state moves backwards)
+        meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        self._write_metadata(meta, self._current_version() + 1)
+        return snapshot_id
+
     def expire_snapshots(self, keep_last: int = 1,
                          older_than_ms: int | None = None) -> dict:
         """Maintenance: expire old snapshots (Iceberg's expire_snapshots).

@@ -291,3 +291,35 @@ def test_upsert_never_scans_target(spark, table, monkeypatch):
     monkeypatch.undo()
     merged = {r["k"]: r["v"] for r in table.read(spark).collect()}
     assert merged[3] == -1.0 and merged[300] == -3.0 and len(merged) == 11
+
+
+# ---------------------------------------------------------------------------
+# rollback_to_snapshot (undo a bad publish)
+# ---------------------------------------------------------------------------
+
+def test_rollback_to_snapshot(spark, table):
+    s1 = table.current_snapshot_id()
+    table.append(_batch(spark, 100).coalesce(1))
+    assert table.read(spark).count() == 20
+    table.rollback_to_snapshot(s1)
+    assert table.current_snapshot_id() == s1
+    assert table.read(spark).count() == 10
+    # history is append-only: the rollback is a new log event
+    assert table.metadata["snapshot-log"][-1]["snapshot-id"] == s1
+    # the rolled-past snapshot is orphaned; maintenance reclaims it
+    stats = table.expire_snapshots(keep_last=5)
+    assert stats["expired_snapshots"] == 1
+    assert stats["deleted_data_files"] >= 1
+    assert table.read(spark).count() == 10
+    # new work forks cleanly from the restored state
+    table.append(_batch(spark, 200).coalesce(1))
+    assert table.read(spark).count() == 20
+
+
+def test_rollback_rejects_non_ancestor(spark, table):
+    table.append(_batch(spark, 100).coalesce(1), branch="side")
+    staged = table.refs["side"]["snapshot-id"]
+    with pytest.raises(ValueError, match="ancestor"):
+        table.rollback_to_snapshot(staged)
+    with pytest.raises(ValueError, match="unknown"):
+        table.rollback_to_snapshot(12345)
