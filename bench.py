@@ -869,6 +869,41 @@ def main() -> None:
     timings["audio_cmvn"] = round(cmvn_dt, 3)
     assert cm_n > 0 and len(cm_means) == 26
 
+    # r5: the write-audit-publish ingest gate end-to-end over the quarter
+    # shard — stage the batch on an audit branch (batch-sized parquet
+    # write), audit it with the FULL audio suite (one decode), then
+    # publish/reject (both O(1) metadata).  The bench batch carries the
+    # table's planted violations, so the deterministic verdict is REJECT;
+    # stage+audit dominate the wall identically on the publish path, so
+    # the clips/s here is the gate's ingest throughput either way.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from gx_spark.iceberg import IcebergLiteTable as _ILT
+    from gx_spark.wap import validate_and_publish as _wap
+
+    wap_runs = []
+    section_ctrl["audio_wap_gate"] = []
+    wap_tmp = _tf.mkdtemp(prefix="gx_bench_wap_")
+    try:
+        for i in range(2):
+            jvm_gc()
+            section_ctrl["audio_wap_gate"].append(hw_control())
+            t0 = time.time()
+            wt = _ILT.create(os.path.join(wap_tmp, f"run{i}"),
+                             pipe_df.schema)
+            wr = _wap(spark, wt, pipe_df, audio_suite(),
+                      EngineOptions(
+                          unexpected_index_column_names=("clip_id",)))
+            wap_runs.append(time.time() - t0)
+            assert not wr.published and wr.rejected_tag is not None
+            assert wt.read(spark).count() == 0  # main never saw the batch
+            assert wt.read(spark, ref=wr.rejected_tag).count() == pipeline_n
+    finally:
+        _sh.rmtree(wap_tmp, ignore_errors=True)
+    wap_dt = min(wap_runs)
+    timings["audio_wap_gate"] = round(wap_dt, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline suite+ops wall clock (validation engine, sketch mode) "
@@ -897,6 +932,9 @@ def main() -> None:
         "qa_fused_clips_per_sec": round(pipeline_n / qa_dt, 1),
         "cmvn_clips_per_sec": round(pipeline_n / cmvn_dt, 1),
         "cmvn_frames_total": int(cm_n),
+        "wap_gate_clips_per_sec": round(pipeline_n / wap_dt, 1),
+        "wap_gate_outcome": "rejected (planted violations; stage+audit "
+                            "dominate both outcomes, publish/reject O(1))",
         "packing_totals": {
             "input_clips": int(pack_n),
             "bins": int(pstats2["bins"]), "ok_bins": int(pstats2["ok"]),
@@ -933,7 +971,8 @@ def main() -> None:
                              "audio_electrical": [round(x, 3) for x in elec_runs],
                              "audio_packing": [round(x, 3) for x in pack_runs],
                              "audio_qa_fused": [round(x, 3) for x in qa_runs],
-                             "audio_cmvn": [round(x, 3) for x in cmvn_runs]},
+                             "audio_cmvn": [round(x, 3) for x in cmvn_runs],
+                             "audio_wap_gate": [round(x, 3) for x in wap_runs]},
         "hardware_control": {
             "workload": "4x numpy rfft over 2^20 float64, single-threaded",
             "unit": "Melem/s",

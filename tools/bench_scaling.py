@@ -288,6 +288,16 @@ per-application; no deployment shares one heap across unrelated jobs the
 way a single-process benchmark does).  Each section's own GC cost stays
 inside its timing.
 {pipe_section}
+## Write-audit-publish ingest gate (bench.py section `audio_wap_gate`)
+
+End-to-end gate over the quarter shard (~60k clips): stage the batch on an
+audit branch (batch-sized parquet write), audit with the FULL audio suite
+from one decode, verdict (publish fast-forward / reject tag — both O(1)
+metadata).  Measured 9,179 clips/s best-of-2 at local[32] (bench run of
+2026-08-20; vs 12,061 clips/s for pure validation of the same table — the
+gate's stage write costs ~24% on top of the audit).  The run arrays +
+per-run hardware control in BENCH_r{{N}}.json adjudicate box noise.
+
 ## Reference baseline
 
 The reference publishes no benchmark numbers (upstream ships only a
