@@ -2897,6 +2897,60 @@ def q_iceberg_wap_audit(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_avro_source_orders(spark, sf_dir):
+    """Distributed Avro batch source (gx_spark/avro_source.py — this
+    Spark distribution ships no spark-avro jar, so the stdlib OCF codec
+    decodes per-task via mapInPandas): orders written as 4 OCF shards
+    (two deflate, two null codec; o_orderstatus as a nullable union,
+    nulled where o_orderkey%97==0), read back through
+    read_batch(format='avro'), aggregated.  Oracle recomputes the same
+    arithmetic directly over orders."""
+    import shutil
+    import tempfile
+
+    from gx_spark.avro_ocf import write_ocf
+    from gx_spark.table_provider import read_batch
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    sch = {"type": "record", "name": "o", "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_orderstatus", "type": ["null", "string"]},
+        {"name": "o_totalprice", "type": "double"},
+    ]}
+    rows = [{"o_orderkey": r["o_orderkey"], "o_custkey": r["o_custkey"],
+             "o_orderstatus": (None if r["o_orderkey"] % 97 == 0
+                               else r["o_orderstatus"]),
+             "o_totalprice": r["o_totalprice"]}
+            for r in orders.collect()]
+    rows.sort(key=lambda r: r["o_orderkey"])
+    tmp = tempfile.mkdtemp(prefix="gx_avro_src_")
+    try:
+        for i in range(4):
+            write_ocf(f"{tmp}/part-{i}.avro", sch, rows[i::4],
+                      codec="deflate" if i % 2 else "null")
+        df = read_batch(spark, tmp, format="avro")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.sum(F.col("o_orderstatus").isNull().cast("long"))
+            .alias("null_status"),
+            F.countDistinct("o_orderstatus").alias("statuses"),
+            F.sum((F.col("o_custkey") % 7 == 0).cast("long"))
+            .alias("custkey_mod7"),
+        ).first()
+        return _row(
+            spark,
+            "n long, s double, null_status long, statuses long, "
+            "custkey_mod7 long",
+            [int(agg["n"]), float(agg["s"]), int(agg["null_status"]),
+             int(agg["statuses"]), int(agg["custkey_mod7"])],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (ops.bpe_token_count): GPT-2-style
     pretokenizer alternation, lookahead-free so the Java-regex Spark count
@@ -3547,35 +3601,43 @@ def q_oov_stats_documents(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness run checks the FIRST 50
-    # entries of this dict against oracle_sql() at sf0.01.  Entries are
-    # ordered by verification need, not by theme (r5 rotation):
-    #   1. queries NEW or with CHANGED implementation/output this round
-    #      (pii, the all-69-types diagnostics sweep, the progressive-JPEG
-    #      + intensity image query, zero-shuffle decontaminate, salted
-    #      audio dedup) come first;
-    #   2. the 10 OLDEST past-window entries (last driver evidence r02/
-    #      r03: the simple map/agg family) rotate back inside so every
-    #      query's driver evidence stays <= 2 rounds old;
-    #   3. round-4-verified queries exercising distinct heavy code paths
-    #      keep the remaining window slots;
-    #   4. past the window: r4-verified entries sitting out ONE round
-    #      (they rotate back in r6), entries subsumed by an in-window
-    #      query (the ann_* oracles embed cosine_topk's exact top-10;
-    #      kl/psi/ks share the drift/stat-test paths covered by
-    #      kl_vs_profiled_baseline + chisquare; referential_custkey is
-    #      the unsalted variant of referential_salted_custkey), and the
-    #      two rows-only-by-design entries (minhash/simhash — xxhash64
-    #      seeds not SQL-expressible; pinned by pytest recall/
-    #      determinism tests).
+    # entries of this dict against oracle_sql() at sf0.01.  Round 5 added
+    # ~48 new queries — more than one window holds — so slots go by
+    # verification need:
+    #   1. the r4 VERDICT's named done-criteria queries (pii in-window,
+    #      decontaminate/audio_fingerprint_dedup/image_metadata still
+    #      hash-green after their r5 rewrites, the all-types diagnostics
+    #      sweep) plus the newest never-verified surfaces (WAP gate,
+    #      MERGE/refs/meta, avro source) — these MUST have r5 evidence;
+    #   2. 5 of the oldest past-window entries (named by the r4 VERDICT:
+    #      not_null/in_set/regex/between/value_length, last driver
+    #      evidence r02/r03) rotate back in;
+    #   3. the remaining slots take r5-new queries oldest-evidence-first,
+    #      preferring corpus-wide shuffle ops (line dedup, unigram LM)
+    #      over trivially-arithmetic map screens when forced to choose.
+    #   Past the window: the r5-new queries that didn't fit (all verified
+    #   by the full local replay, tools/check_entry.py — 0 failures this
+    #   session), r4-verified entries sitting out one round, entries
+    #   subsumed by an in-window query (ann_* oracles embed cosine_topk;
+    #   kl/psi/ks share the drift/stat-test paths; referential_custkey is
+    #   the unsalted variant), and the two rows-only-by-design entries
+    #   (minhash/simhash — xxhash64 seeds not SQL-expressible; pinned by
+    #   pytest recall/determinism tests).
     return {
-        # -- tier 1: new or changed in r5 --
+        # -- tier 1a: never-verified new surfaces + VERDICT done-criteria --
+        "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
+        "pii_documents": q_pii_documents,
+        "image_metadata_violations": q_image_metadata_violations,
+        "decontaminate_documents": q_decontaminate_documents,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "expectation_diagnostics": q_expectation_diagnostics,
+        # -- tier 1b: new in r5, never driver-verified --
         "oov_stats_documents": q_oov_stats_documents,
         "audio_qa_fused": q_audio_qa_fused,
         "audio_repair_pipeline": q_audio_repair_pipeline,
         "audio_pack_resample": q_audio_pack_resample,
-        "expectation_diagnostics": q_expectation_diagnostics,
         "audio_denoise": q_audio_denoise,
         "audio_declick": q_audio_declick,
         "audio_cmvn": q_audio_cmvn,
@@ -3583,17 +3645,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pack_stratified": q_audio_pack_stratified,
         "audio_tempo_stretch": q_audio_tempo_stretch,
         "audio_pack_training_windows": q_audio_pack_training_windows,
-        # -- tier 2: rotated back in (oldest driver evidence first) --
+        # -- tier 2: rotated back in (the 5 oldest, named by the r4
+        # VERDICT; the other 5 of its '5-10' band lost their slots to
+        # never-verified r5 queries and rotate in r6) --
         "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
         "between_quantity": q_between_quantity,
         "value_length_name": q_value_length_name,
-        "mean_extendedprice": q_mean_extendedprice,
-        "stdev_acctbal": q_stdev_acctbal,
-        "minmax_sum_tax": q_minmax_sum_tax,
-        "distinct_count_mktsegment": q_distinct_count_mktsegment,
-        "value_counts_linestatus": q_value_counts_linestatus,
+        # -- tier 3: new in r5, never driver-verified (continued) --
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
         "audio_electrical_violations": q_audio_electrical_violations,
@@ -3611,26 +3671,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment_pipeline": q_audio_augment_pipeline,
         "bloom_blocklist_documents": q_bloom_blocklist,
         "audio_mfcc_features": q_audio_mfcc_features,
-        "audio_payload_size": q_audio_payload_size,
         "tfidf_documents": q_tfidf_documents,
         "audio_mel_features": q_audio_mel_features,
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
         "audio_speed_perturb": q_audio_speed_perturb,
-        "audio_pad_trim": q_audio_pad_trim,
         "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         "line_dedup_documents": q_line_dedup_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        # ---- driver window ends here (entry #50) ----
+        # -- past the window: r5-new queries that didn't fit (verified by
+        # the full local replay this session; simple-arithmetic screens
+        # pad_trim/payload_size and the segment/gain/transcode/ngram
+        # family yielded their slots) --
+        "audio_pad_trim": q_audio_pad_trim,
+        "audio_payload_size": q_audio_payload_size,
         "audio_segment_stats": q_audio_segment_stats,
         "audio_gain_normalize": q_audio_gain_normalize,
         "audio_transcode_roundtrip": q_audio_transcode_roundtrip,
         "ngram_counts_documents": q_ngram_counts_documents,
-        "pii_documents": q_pii_documents,
-        "image_metadata_violations": q_image_metadata_violations,
-        "decontaminate_documents": q_decontaminate_documents,
-        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
-        # -- tier 3: r4-verified, distinct heavy code paths keep slots --
+        # -- the other 5 of the VERDICT's rotation band (r2/r3-verified
+        # map/agg one-liners; rotate in r6) --
+        "mean_extendedprice": q_mean_extendedprice,
+        "stdev_acctbal": q_stdev_acctbal,
+        "minmax_sum_tax": q_minmax_sum_tax,
+        "distinct_count_mktsegment": q_distinct_count_mktsegment,
+        "value_counts_linestatus": q_value_counts_linestatus,
+        # -- r4-verified heavy code paths sitting out one round --
         "audio_flac_violations": q_audio_flac_violations,
         "audio_opus_container_violations": q_audio_opus_container_violations,
         "video_mp4_container_violations": q_video_mp4_container_violations,
@@ -3643,12 +3711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_equality_deletes": q_iceberg_equality_deletes,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "curation_pipeline_documents": q_curation_pipeline,
-        # ---- driver window ends here (entry #50) ----
-        # -- tier 4: past the window (r4-verified; displaced by the
-        # five newest r5 queries chunk/adpcm/spectral/pitch/
-        # augment_pipeline; winnowing and bpe_token_stats slid out when
-        # iceberg_merge_refs + iceberg_wap_audit entered tier 1 — both
-        # r4 hash-green, rotate back in r6) --
         "bpe_token_stats_documents": q_bpe_token_stats,
         "winnowing_fingerprints_documents": q_winnowing_fingerprints,
         "audio_features_banded": q_audio_features_banded,
@@ -4617,6 +4679,18 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS price_sum, "
             "ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2) "
             "AS v2_price_sum FROM orders"
+        ),
+        "avro_source_orders": (
+            # null codec + deflate shards carry the same rows; status is
+            # nulled where orderkey%97==0; countDistinct skips nulls
+            "SELECT count(*)::BIGINT AS n, "
+            "ROUND(SUM(o_totalprice), 2) AS s, "
+            "SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS null_status, "
+            "COUNT(DISTINCT CASE WHEN o_orderkey % 97 <> 0 "
+            "THEN o_orderstatus END)::BIGINT AS statuses, "
+            "SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS custkey_mod7 FROM orders"
         ),
         "iceberg_wap_audit": (
             # batches 1 and 3 publish (even then odd orderkeys → main

@@ -44,7 +44,7 @@ class TableProvider:
         raise NotImplementedError
 
 
-_READER_FORMATS = ("parquet", "csv", "json", "orc", "delta", "text")
+_READER_FORMATS = ("parquet", "csv", "json", "orc", "delta", "text", "avro")
 
 
 def read_batch(
@@ -58,7 +58,15 @@ def read_batch(
     #get_batch_data_and_markers — BatchSpec reader_method + reader_options):
     `read_batch(spark, "x.csv", "csv", header=True, inferSchema=True)`.
     Options pass straight through to the DataFrameReader, so predicate
-    pushdown / partition pruning behave exactly as with spark.read."""
+    pushdown / partition pruning behave exactly as with spark.read.
+
+    format='avro' routes through gx_spark/avro_source.py (this Spark
+    distribution ships no spark-avro datasource jar): schema from one
+    header read, per-task stdlib OCF decode via mapInPandas."""
+    if format == "avro":
+        from .avro_source import read_avro
+
+        return read_avro(spark, path)
     if format not in _READER_FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {_READER_FORMATS}")
     reader = spark.read

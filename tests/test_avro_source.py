@@ -1,0 +1,132 @@
+"""Distributed Avro batch source (gx_spark/avro_source.py): per-task
+stdlib OCF decode via mapInPandas, schema from one header read.
+
+Fixtures are written by the repo's own spec-faithful writer
+(gx_spark/avro_ocf.py write_ocf) — the same codec pair Iceberg-lite
+manifests already round-trip through — so the test pins the SOURCE layer:
+file fan-out, avro->spark schema mapping (incl. logical types), nullable
+unions, nested records/arrays/maps, and deflate blocks."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from gx_spark.avro_ocf import write_ocf  # noqa: E402
+from gx_spark.avro_source import avro_to_spark_type, read_avro  # noqa: E402
+from gx_spark.table_provider import read_batch  # noqa: E402
+from tests.conftest import spark  # noqa: F401,E402
+
+SCHEMA = {
+    "type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "nested", "type": {
+            "type": "record", "name": "inner", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"}]}},
+    ],
+}
+
+
+def _rows(lo, n):
+    return [{"k": i, "name": None if i % 5 == 0 else f"n{i}",
+             "score": i * 1.5, "tags": [f"t{i % 3}", "x"],
+             "props": {"p": i}, "nested": {"a": i * 2, "b": f"b{i}"}}
+            for i in range(lo, lo + n)]
+
+
+@pytest.fixture()
+def avro_dir(tmp_path):
+    d = str(tmp_path / "av")
+    os.makedirs(d)
+    write_ocf(os.path.join(d, "part-0.avro"), SCHEMA, _rows(0, 40))
+    write_ocf(os.path.join(d, "part-1.avro"), SCHEMA, _rows(40, 40),
+              codec="deflate")
+    write_ocf(os.path.join(d, "part-2.avro"), SCHEMA, _rows(80, 20))
+    return d
+
+
+def test_reads_all_files_and_values(spark, avro_dir):
+    df = read_avro(spark, avro_dir)
+    assert df.count() == 100
+    got = {r["k"]: r for r in df.collect()}
+    assert got[7]["name"] == "n7" and got[10]["name"] is None
+    assert got[3]["score"] == 4.5
+    assert got[3]["tags"] == ["t0", "x"]
+    assert got[3]["props"] == {"p": 3}
+    assert got[3]["nested"]["a"] == 6 and got[3]["nested"]["b"] == "b3"
+
+
+def test_schema_mapping(spark, avro_dir):
+    df = read_avro(spark, avro_dir)
+    assert df.schema["k"].dataType == T.LongType()
+    assert df.schema["name"].dataType == T.StringType()
+    assert df.schema["tags"].dataType == T.ArrayType(T.StringType())
+    assert df.schema["props"].dataType == T.MapType(
+        T.StringType(), T.LongType())
+    assert isinstance(df.schema["nested"].dataType, T.StructType)
+
+
+def test_decode_is_distributed(spark, avro_dir):
+    # one input split per file: the decode fans out, no driver data path
+    df = read_avro(spark, avro_dir)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_logical_types(spark, tmp_path):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+    ]}
+    p = str(tmp_path / "lt.avro")
+    write_ocf(p, sch, [{"d": 19723, "ts": 1_700_000_000_000_000}])
+    df = read_avro(spark, p)
+    assert df.schema["d"].dataType == T.DateType()
+    assert df.schema["ts"].dataType == T.TimestampType()
+    row = df.collect()[0]
+    assert row["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=19723)
+    assert row["ts"].year == 2023
+
+
+def test_read_batch_routes_avro(spark, avro_dir):
+    df = read_batch(spark, avro_dir, format="avro")
+    assert df.count() == 100
+    assert df.agg(F.sum("k")).first()[0] == sum(range(100))
+
+
+def test_validates_like_any_batch(spark, avro_dir):
+    from gx_spark import ExpectationSuite, validate
+
+    suite = (ExpectationSuite("avro")
+             .add("expect_column_values_to_be_unique", column="k")
+             .add("expect_column_values_to_not_be_null", column="name",
+                  mostly=0.75)
+             .add("expect_column_mean_to_be_between", column="score",
+                  min_value=0))
+    bundle = validate(spark, read_avro(spark, avro_dir), suite)
+    assert bundle.success
+
+
+def test_missing_files_raise(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_avro(spark, str(tmp_path / "empty"))
+
+
+def test_avro_to_spark_rejects_general_union():
+    with pytest.raises(ValueError, match="union"):
+        avro_to_spark_type(["string", "long"])
