@@ -88,7 +88,12 @@ def avro_to_spark_type(sch: Any) -> T.DataType:
 
 
 def _logical_converter(sch: Any):
-    """Returns a python-value converter for one field (or None)."""
+    """Returns a python-value converter for one field (or None when the
+    decoded value is already the right shape).  Descends into unions,
+    arrays, maps, and records so nested logical types (array<date>, …)
+    convert too.  Timestamp arithmetic is integer-exact (timedelta on the
+    epoch), never float seconds — float64 loses microseconds at current
+    epochs."""
     if isinstance(sch, list) and _is_nullable_union(sch):
         inner = _logical_converter(_union_value_branch(sch))
         if inner is None:
@@ -100,9 +105,34 @@ def _logical_converter(sch: Any):
             epoch = datetime.date(1970, 1, 1)
             return lambda v: epoch + datetime.timedelta(days=v)
         if lt == "timestamp-millis" and t == "long":
-            return lambda v: datetime.datetime.utcfromtimestamp(v / 1e3)
+            ep = datetime.datetime(1970, 1, 1)
+            return lambda v: ep + datetime.timedelta(milliseconds=v)
         if lt == "timestamp-micros" and t == "long":
-            return lambda v: datetime.datetime.utcfromtimestamp(v / 1e6)
+            ep = datetime.datetime(1970, 1, 1)
+            return lambda v: ep + datetime.timedelta(microseconds=v)
+        if t == "array":
+            inner = _logical_converter(sch["items"])
+            if inner is not None:
+                return lambda v: None if v is None else [
+                    None if e is None else inner(e) for e in v]
+        if t == "map":
+            inner = _logical_converter(sch["values"])
+            if inner is not None:
+                return lambda v: None if v is None else {
+                    k: (None if x is None else inner(x))
+                    for k, x in v.items()}
+        if t == "record":
+            subs = [(f["name"], _logical_converter(f["type"]))
+                    for f in sch["fields"]]
+            if any(c is not None for _n, c in subs):
+                def rec(v):
+                    if v is None:
+                        return None
+                    return {n: (c(v.get(n)) if (c is not None
+                                                and v.get(n) is not None)
+                                else v.get(n))
+                            for n, c in subs}
+                return rec
     return None
 
 
@@ -173,3 +203,146 @@ def _read_header_schema(path: str) -> tuple[Any, bytes]:
     meta = decode_value(buf, {"type": "map", "values": "bytes"})
     sync = buf.read(16)
     return json.loads(meta["avro.schema"].decode()), sync
+
+
+# ---------------------------------------------------------------------------
+# writer (the sink half of the format pair)
+# ---------------------------------------------------------------------------
+
+def spark_to_avro_schema(st: T.StructType, name: str = "row") -> dict:
+    """Spark StructType -> Avro record schema.  Every field is written as
+    a nullable union (Spark columns are nullable by default); inverse of
+    avro_to_spark_type over the shared type surface."""
+    def conv(dt: T.DataType, path: str) -> Any:
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array",
+                    "items": ["null", conv(dt.elementType, path + ".item")]}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("avro maps require string keys")
+            return {"type": "map",
+                    "values": ["null", conv(dt.valueType, path + ".value")]}
+        if isinstance(dt, T.StructType):
+            return {"type": "record", "name": path.replace(".", "_"),
+                    "fields": [
+                        {"name": f.name,
+                         "type": ["null", conv(f.dataType,
+                                               f"{path}.{f.name}")]}
+                        for f in dt.fields]}
+        raise ValueError(f"avro writer: unsupported Spark type {dt}")
+    return {"type": "record", "name": name, "fields": [
+        {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+        for f in st.fields]}
+
+
+def _py_converter(dt: T.DataType):
+    """pandas/Arrow cell -> plain python value the OCF encoder accepts
+    (dates -> epoch days, timestamps -> epoch micros, numpy scalars ->
+    python, Arrow map cells [(k, v), ...] -> dict)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    epoch = datetime.date(1970, 1, 1)
+    if isinstance(dt, T.DateType):
+        return lambda v: (v - epoch).days
+    if isinstance(dt, T.TimestampType):
+        def ts(v):
+            t = pd.Timestamp(v)
+            return t.value // 1000            # ns -> micros
+        return ts
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return lambda v: None if (isinstance(v, float)
+                                  and math.isnan(v)) else float(v)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lambda v: int(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: bool(v)
+    if isinstance(dt, T.BinaryType):
+        return lambda v: bytes(v)
+    if isinstance(dt, T.ArrayType):
+        inner = _py_converter(dt.elementType)
+        return lambda v: [None if e is None else inner(e)
+                          for e in (v.tolist() if isinstance(v, np.ndarray)
+                                    else list(v))]
+    if isinstance(dt, T.MapType):
+        inner = _py_converter(dt.valueType)
+        def mp(v):
+            items = v.items() if isinstance(v, dict) else list(v)
+            return {str(k): (None if x is None else inner(x))
+                    for k, x in items}
+        return mp
+    if isinstance(dt, T.StructType):
+        subs = [(f.name, _py_converter(f.dataType)) for f in dt.fields]
+        def st(v):
+            d = v if isinstance(v, dict) else v.asDict(recursive=False)
+            return {n: (None if d.get(n) is None else c(d[n]))
+                    for n, c in subs}
+        return st
+    return lambda v: v
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
+    """Write a DataFrame as a directory of Avro OCF files, DISTRIBUTED:
+    each task encodes its own partition with the stdlib codec and writes
+    one `part-<pid>.avro` (atomic temp+rename, so task retries are
+    idempotent).  Returns the number of rows written.  Inverse of
+    read_avro over the shared type surface — round-trip pinned in
+    tests/test_avro_source.py."""
+    import pandas as pd
+
+    from .avro_ocf import write_ocf
+
+    os.makedirs(path, exist_ok=True)
+    schema = spark_to_avro_schema(df.schema)
+    fields = [(f.name, _py_converter(f.dataType)) for f in df.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records: list[dict] = []
+        for b in batches:
+            for row in b.itertuples(index=False):
+                rec = {}
+                for (name, conv), v in zip(fields, row):
+                    rec[name] = None if _is_null(v) else conv(v)
+                records.append(rec)
+        out = os.path.join(path, f"part-{pid:05d}.avro")
+        write_ocf(out, schema, records, codec=codec)
+        yield pd.DataFrame({"rows": [len(records)]})
+
+    counts = df.mapInPandas(gen, "rows long").collect()
+    return int(sum(r["rows"] for r in counts))
+
+
+def _is_null(v: Any) -> bool:
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return True
+    if isinstance(v, float):
+        return v != v
+    if isinstance(v, (np.floating,)) and np.isnan(v):
+        return True
+    return v is pd.NaT

@@ -130,3 +130,65 @@ def test_missing_files_raise(spark, tmp_path):
 def test_avro_to_spark_rejects_general_union():
     with pytest.raises(ValueError, match="union"):
         avro_to_spark_type(["string", "long"])
+
+
+# ---------------------------------------------------------------------------
+# writer + round trip
+# ---------------------------------------------------------------------------
+
+def test_write_avro_roundtrip(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    df = spark.createDataFrame(
+        [(i,
+          None if i % 5 == 0 else f"n{i}",
+          float(i) * 1.5,
+          [f"t{i % 3}", None],
+          {"p": i},
+          (i * 2, f"b{i}"),
+          bytes([i % 256, 255]))
+         for i in range(100)],
+        "k long, name string, score double, tags array<string>, "
+        "props map<string,long>, nested struct<a:long,b:string>, "
+        "blob binary").repartition(4)
+    out = str(tmp_path / "out")
+    n = write_avro(df, out)
+    assert n == 100
+    assert len(os.listdir(out)) == 4  # one OCF per partition
+    back = read_avro(spark, out)
+    a = sorted(df.collect(), key=lambda r: r["k"])
+    b = sorted(back.collect(), key=lambda r: r["k"])
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in b]
+
+
+def test_write_avro_logical_roundtrip(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    df = spark.sql("""
+        SELECT id AS k,
+               DATE'2024-02-29' + make_interval(0,0,0, CAST(id AS INT)) AS d,
+               TIMESTAMP'2023-11-14 22:13:20.123456'
+                 + make_interval(0,0,0,0,0,0, CAST(id AS INT)) AS ts
+        FROM range(50)""")
+    out = str(tmp_path / "lt_out")
+    assert write_avro(df, out, codec="deflate") == 50
+    back = read_avro(spark, out)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # exact to the microsecond
+
+
+def test_write_avro_nested_logical_in_array(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    df = spark.sql(
+        "SELECT id AS k, array(DATE'2020-01-01', NULL, "
+        "DATE'2020-01-01' + make_interval(0,0,0, CAST(id AS INT))) AS ds "
+        "FROM range(10)")
+    out = str(tmp_path / "nl_out")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    a = sorted([(r["k"], tuple(r["ds"])) for r in df.collect()])
+    b = sorted([(r["k"], tuple(r["ds"])) for r in back.collect()])
+    assert a == b
