@@ -69,6 +69,8 @@ def avro_to_spark_type(sch: Any) -> T.DataType:
         return T.DateType()
     if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
         return T.TimestampType()
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        return T.DecimalType(int(sch["precision"]), int(sch.get("scale", 0)))
     if t == "fixed":
         return T.BinaryType()
     if t == "enum":
@@ -110,6 +112,12 @@ def _logical_converter(sch: Any):
         if lt == "timestamp-micros" and t == "long":
             ep = datetime.datetime(1970, 1, 1)
             return lambda v: ep + datetime.timedelta(microseconds=v)
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            import decimal
+
+            scale = int(sch.get("scale", 0))
+            return lambda v: decimal.Decimal(
+                int.from_bytes(v, "big", signed=True)).scaleb(-scale)
         if t == "array":
             inner = _logical_converter(sch["items"])
             if inner is not None:
@@ -232,6 +240,9 @@ def spark_to_avro_schema(st: T.StructType, name: str = "row") -> dict:
             return {"type": "int", "logicalType": "date"}
         if isinstance(dt, T.TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
         if isinstance(dt, T.ArrayType):
             return {"type": "array",
                     "items": ["null", conv(dt.elementType, path + ".item")]}
@@ -279,6 +290,13 @@ def _py_converter(dt: T.DataType):
         return lambda v: bool(v)
     if isinstance(dt, T.BinaryType):
         return lambda v: bytes(v)
+    if isinstance(dt, T.DecimalType):
+        scale = dt.scale
+        def dec(v):
+            n = int(v.scaleb(scale).to_integral_value())
+            return n.to_bytes(max(1, (n.bit_length() + 8) // 8),
+                              "big", signed=True)
+        return dec
     if isinstance(dt, T.ArrayType):
         inner = _py_converter(dt.elementType)
         return lambda v: [None if e is None else inner(e)

@@ -192,3 +192,45 @@ def test_write_avro_nested_logical_in_array(spark, tmp_path):
     a = sorted([(r["k"], tuple(r["ds"])) for r in df.collect()])
     b = sorted([(r["k"], tuple(r["ds"])) for r in back.collect()])
     assert a == b
+
+
+def test_file_table_provider_avro(spark, tmp_path):
+    # checkpointable avro tables for free: FileTableProvider routes
+    # through read_batch, snapshot identity = file-listing hash
+    from gx_spark.avro_source import write_avro
+    from gx_spark.table_provider import FileTableProvider
+
+    df = spark.range(60).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS part_id",
+        "CAST(id * 2 AS DOUBLE) AS v")
+    d = str(tmp_path / "prov")
+    write_avro(df.repartition(3), d)
+    prov = FileTableProvider(d, format="avro")
+    assert prov.load(spark).count() == 60
+    s1 = prov.snapshot_id()
+    parts = prov.partitions(spark)
+    assert [p.partition_id for p in parts] == [0, 1, 2, 3]
+    # adding a file changes the snapshot identity
+    write_ocf(os.path.join(d, "part-extra.avro"),
+              {"type": "record", "name": "row", "fields": [
+                  {"name": "k", "type": ["null", "long"]},
+                  {"name": "part_id", "type": ["null", "int"]},
+                  {"name": "v", "type": ["null", "double"]}]},
+              [{"k": 1000, "part_id": 0, "v": 1.0}])
+    assert prov.snapshot_id() != s1
+    assert prov.load(spark).count() == 61
+
+
+def test_write_avro_decimal_roundtrip(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS DECIMAL(20,4)) / 7 AS dec, "
+        "CAST(-id AS DECIMAL(10,2)) AS neg FROM range(30)")
+    out = str(tmp_path / "dec_out")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema["dec"].dataType == df.schema["dec"].dataType
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
