@@ -84,20 +84,26 @@ def avro_to_spark_type(sch: Any) -> T.DataType:
             T.StructField(f["name"], avro_to_spark_type(f["type"]),
                           nullable=True)
             for f in sch["fields"]])
-    if isinstance(t, (str, list, dict)) and lt is None:
-        return avro_to_spark_type(t)               # wrapped primitive
+    if isinstance(t, (str, list, dict)):
+        # wrapped primitive — including UNKNOWN logical types (uuid,
+        # time-micros, duration, …): the Avro spec requires readers to
+        # fall back to the underlying type, not refuse the file
+        return avro_to_spark_type(t)
     raise ValueError(f"avro: unsupported schema {sch!r}")
 
 
-def _logical_converter(sch: Any):
+def _logical_converter(sch: Any, tz: str):
     """Returns a python-value converter for one field (or None when the
     decoded value is already the right shape).  Descends into unions,
     arrays, maps, and records so nested logical types (array<date>, …)
     convert too.  Timestamp arithmetic is integer-exact (timedelta on the
-    epoch), never float seconds — float64 loses microseconds at current
-    epochs."""
+    UTC epoch), never float seconds — float64 loses microseconds at
+    current epochs.  Avro timestamps are UTC INSTANTS; Arrow expects
+    pandas to carry naive wall-clock in the SESSION time zone (`tz`), so
+    the instant is converted to that zone and stripped — symmetric with
+    write_avro's localize-then-epoch."""
     if isinstance(sch, list) and _is_nullable_union(sch):
-        inner = _logical_converter(_union_value_branch(sch))
+        inner = _logical_converter(_union_value_branch(sch), tz)
         if inner is None:
             return None
         return lambda v: None if v is None else inner(v)
@@ -106,12 +112,16 @@ def _logical_converter(sch: Any):
         if lt == "date" and t == "int":
             epoch = datetime.date(1970, 1, 1)
             return lambda v: epoch + datetime.timedelta(days=v)
-        if lt == "timestamp-millis" and t == "long":
-            ep = datetime.datetime(1970, 1, 1)
-            return lambda v: ep + datetime.timedelta(milliseconds=v)
-        if lt == "timestamp-micros" and t == "long":
-            ep = datetime.datetime(1970, 1, 1)
-            return lambda v: ep + datetime.timedelta(microseconds=v)
+        if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+            from zoneinfo import ZoneInfo
+
+            unit = (1000 if lt == "timestamp-millis" else 1)
+            ep = datetime.datetime(1970, 1, 1,
+                                   tzinfo=datetime.timezone.utc)
+            zone = ZoneInfo(tz)
+            return lambda v: (
+                ep + datetime.timedelta(microseconds=v * unit)
+            ).astimezone(zone).replace(tzinfo=None)
         if lt == "decimal" and t in ("bytes", "fixed"):
             import decimal
 
@@ -119,18 +129,18 @@ def _logical_converter(sch: Any):
             return lambda v: decimal.Decimal(
                 int.from_bytes(v, "big", signed=True)).scaleb(-scale)
         if t == "array":
-            inner = _logical_converter(sch["items"])
+            inner = _logical_converter(sch["items"], tz)
             if inner is not None:
                 return lambda v: None if v is None else [
                     None if e is None else inner(e) for e in v]
         if t == "map":
-            inner = _logical_converter(sch["values"])
+            inner = _logical_converter(sch["values"], tz)
             if inner is not None:
                 return lambda v: None if v is None else {
                     k: (None if x is None else inner(x))
                     for k, x in v.items()}
         if t == "record":
-            subs = [(f["name"], _logical_converter(f["type"]))
+            subs = [(f["name"], _logical_converter(f["type"], tz))
                     for f in sch["fields"]]
             if any(c is not None for _n, c in subs):
                 def rec(v):
@@ -171,7 +181,8 @@ def read_avro(spark: SparkSession, path: str,
             and avro_schema.get("type") == "record"):
         raise ValueError("avro: top-level schema must be a record")
     spark_schema = avro_to_spark_type(avro_schema)
-    fields = [(f["name"], _logical_converter(f["type"]))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    fields = [(f["name"], _logical_converter(f["type"], tz))
               for f in avro_schema["fields"]]
     names = [n for n, _c in fields]
 
@@ -264,10 +275,15 @@ def spark_to_avro_schema(st: T.StructType, name: str = "row") -> dict:
         for f in st.fields]}
 
 
-def _py_converter(dt: T.DataType):
+def _py_converter(dt: T.DataType, tz: str):
     """pandas/Arrow cell -> plain python value the OCF encoder accepts
-    (dates -> epoch days, timestamps -> epoch micros, numpy scalars ->
-    python, Arrow map cells [(k, v), ...] -> dict)."""
+    (dates -> epoch days, timestamps -> UTC epoch micros, numpy scalars
+    -> python, Arrow map cells [(k, v), ...] -> dict).  `tz` is the Spark
+    session time zone: Arrow delivers timestamps to pandas as naive
+    wall-clock in that zone, so the UTC instant is tz_localize(tz) first
+    — writing `.value` of the naive stamp directly would store local
+    wall-clock as if it were UTC (spec violation for any session not on
+    UTC)."""
     import math
 
     import numpy as np
@@ -279,7 +295,9 @@ def _py_converter(dt: T.DataType):
     if isinstance(dt, T.TimestampType):
         def ts(v):
             t = pd.Timestamp(v)
-            return t.value // 1000            # ns -> micros
+            if t.tzinfo is None:
+                t = t.tz_localize(tz)
+            return t.value // 1000            # ns -> UTC micros
         return ts
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return lambda v: None if (isinstance(v, float)
@@ -298,19 +316,19 @@ def _py_converter(dt: T.DataType):
                               "big", signed=True)
         return dec
     if isinstance(dt, T.ArrayType):
-        inner = _py_converter(dt.elementType)
+        inner = _py_converter(dt.elementType, tz)
         return lambda v: [None if e is None else inner(e)
                           for e in (v.tolist() if isinstance(v, np.ndarray)
                                     else list(v))]
     if isinstance(dt, T.MapType):
-        inner = _py_converter(dt.valueType)
+        inner = _py_converter(dt.valueType, tz)
         def mp(v):
             items = v.items() if isinstance(v, dict) else list(v)
             return {str(k): (None if x is None else inner(x))
                     for k, x in items}
         return mp
     if isinstance(dt, T.StructType):
-        subs = [(f.name, _py_converter(f.dataType)) for f in dt.fields]
+        subs = [(f.name, _py_converter(f.dataType, tz)) for f in dt.fields]
         def st(v):
             d = v if isinstance(v, dict) else v.asDict(recursive=False)
             return {n: (None if d.get(n) is None else c(d[n]))
@@ -319,20 +337,43 @@ def _py_converter(dt: T.DataType):
     return lambda v: v
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
+def write_avro(df: DataFrame, path: str, codec: str = "null",
+               mode: str = "error") -> int:
     """Write a DataFrame as a directory of Avro OCF files, DISTRIBUTED:
     each task encodes its own partition with the stdlib codec and writes
     one `part-<pid>.avro` (atomic temp+rename, so task retries are
     idempotent).  Returns the number of rows written.  Inverse of
     read_avro over the shared type surface — round-trip pinned in
-    tests/test_avro_source.py."""
+    tests/test_avro_source.py.
+
+    mode: 'error' (default, DataFrameWriter semantics — refuse a target
+    that already holds .avro files; a narrower re-write would otherwise
+    leave stale wider shards that read back as duplicate rows) or
+    'overwrite' (remove the existing .avro files first).
+
+    Timestamps are written as true UTC instants (Avro timestamp-micros):
+    Arrow hands pandas wall-clock values in the SESSION time zone, so the
+    writer localizes with the session zone before taking epoch micros —
+    symmetric with read_avro's conversion back."""
     import pandas as pd
 
     from .avro_ocf import write_ocf
 
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"mode={mode!r} (use 'error' or 'overwrite')")
     os.makedirs(path, exist_ok=True)
+    existing = [n for n in os.listdir(path) if n.endswith(".avro")]
+    if existing:
+        if mode == "error":
+            raise FileExistsError(
+                f"{path} already holds {len(existing)} .avro files "
+                "(mode='overwrite' to replace)")
+        for n in existing:
+            os.remove(os.path.join(path, n))
     schema = spark_to_avro_schema(df.schema)
-    fields = [(f.name, _py_converter(f.dataType)) for f in df.schema.fields]
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    fields = [(f.name, _py_converter(f.dataType, tz))
+              for f in df.schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

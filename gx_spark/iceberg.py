@@ -1292,7 +1292,10 @@ class IcebergLiteTable:
                     _, prev_manifests = read_ocf(
                         self._resolve_snapshot(snapshot_id=branch_head)
                         ["manifest-list"])
-            elif meta["snapshots"]:
+            elif meta["current-snapshot-id"] != -1:
+                # guard on main's HEAD, not the snapshots list — staged
+                # branch commits populate `snapshots` while main is
+                # still empty (_resolve_snapshot() returns None then)
                 _, prev_manifests = read_ocf(
                     self._resolve_snapshot()["manifest-list"])
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")

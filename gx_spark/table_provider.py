@@ -66,6 +66,12 @@ def read_batch(
     if format == "avro":
         from .avro_source import read_avro
 
+        if schema is not None or reader_options:
+            # the stdlib route has no DataFrameReader behind it — refusing
+            # is better than silently ignoring a caller's schema/options
+            raise ValueError(
+                "format='avro' takes no schema/reader options (stdlib OCF "
+                "route; the schema comes from the file header)")
         return read_avro(spark, path)
     if format not in _READER_FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {_READER_FORMATS}")

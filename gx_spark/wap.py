@@ -110,6 +110,11 @@ def validate_and_publish(spark, table, df, suite, options=None,
     rejected_tag = None
     if keep_rejected:
         rejected_tag = f"rejected-{sid}"
-        table.create_tag(rejected_tag, sid)
+        # idempotent under crash recovery: a resumed rejection may have
+        # already created this (deterministically named) tag before dying
+        # between create_tag and drop_ref — re-raising there would
+        # crash-loop a replayed micro-batch forever
+        if rejected_tag not in table.refs:
+            table.create_tag(rejected_tag, sid)
     table.drop_ref(audit_branch)
     return WapResult(False, sid, bundle, rejected_tag)

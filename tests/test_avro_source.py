@@ -234,3 +234,60 @@ def test_write_avro_decimal_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_write_avro_mode_semantics(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    df8 = spark.range(80).selectExpr("id AS k").repartition(8)
+    df2 = spark.range(20).selectExpr("id AS k").repartition(2)
+    out = str(tmp_path / "m")
+    write_avro(df8, out)
+    # default 'error' refuses a non-empty target (stale wider shards
+    # would otherwise read back as duplicate rows)
+    with pytest.raises(FileExistsError):
+        write_avro(df2, out)
+    assert write_avro(df2, out, mode="overwrite") == 20
+    assert read_avro(spark, out).count() == 20  # no stale part-00002..7
+
+
+def test_timestamps_are_utc_instants_under_any_session_tz(spark, tmp_path):
+    from gx_spark.avro_source import write_avro
+
+    out = str(tmp_path / "tz")
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            "SELECT TIMESTAMP'1970-01-01 00:00:00' AS ts")  # local NY wall
+        write_avro(df, out)
+        # the FILE must hold the UTC instant: 00:00 NY = 05:00Z = 5h micros
+        from gx_spark.avro_ocf import read_ocf
+        _sch, recs = read_ocf(os.path.join(out, os.listdir(out)[0]))
+        assert recs[0]["ts"] == 5 * 3600 * 1_000_000
+        # and the round trip restores the same wall-clock in-session
+        back = read_avro(spark, out).collect()[0]["ts"]
+        assert back == df.collect()[0]["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_unknown_logical_type_falls_back_to_base(spark, tmp_path):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "tm", "type": {"type": "long",
+                                "logicalType": "time-micros"}},
+    ]}
+    p = str(tmp_path / "u.avro")
+    write_ocf(p, sch, [{"u": "ab-cd", "tm": 123}])
+    df = read_avro(spark, p)
+    assert df.schema["u"].dataType == T.StringType()
+    assert df.schema["tm"].dataType == T.LongType()
+    assert df.collect()[0]["u"] == "ab-cd"
+
+
+def test_read_batch_avro_rejects_options(spark, avro_dir):
+    with pytest.raises(ValueError, match="no schema"):
+        read_batch(spark, avro_dir, format="avro", header=True)
+    with pytest.raises(ValueError, match="no schema"):
+        read_batch(spark, avro_dir, format="avro", schema="k long")

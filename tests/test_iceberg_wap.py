@@ -323,3 +323,26 @@ def test_rollback_rejects_non_ancestor(spark, table):
         table.rollback_to_snapshot(staged)
     with pytest.raises(ValueError, match="unknown"):
         table.rollback_to_snapshot(12345)
+
+
+def test_main_commit_after_staged_only_table(spark, tmp_path):
+    # regression: append to MAIN when the only existing snapshots are
+    # staged branch commits used to crash resolving prev manifests
+    base = _batch(spark, 0)
+    t = IcebergLiteTable.create(str(tmp_path / "so"), base.schema)
+    t.append(base.coalesce(1), branch="audit")
+    t.append(_batch(spark, 100).coalesce(1))  # main commit, empty head
+    assert t.read(spark).count() == 10
+    assert t.read(spark, ref="audit").count() == 10
+
+
+def test_wap_rejected_resume_is_idempotent(spark, table):
+    # crash between create_tag and drop_ref: the replay must not crash
+    # on the already-existing deterministic tag
+    bad = _batch(spark, 100, v_mult=-1.0).coalesce(1)
+    t_append = table.append(bad, branch="audit", operation_id="op-9")
+    table.create_tag(f"rejected-{t_append}", t_append)  # simulate partial
+    r = validate_and_publish(spark, table, bad, GATE, operation_id="op-9")
+    assert not r.published and r.rejected_tag == f"rejected-{t_append}"
+    assert "audit" not in table.refs
+    assert table.read(spark).count() == 10
