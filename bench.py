@@ -604,8 +604,9 @@ def main() -> None:
     # fastest using them all (measured 9.8 s vs 18.1 s with coalesce(10) in
     # the same window — the coalesce guidance applies to the FULL-table
     # suite where 64 concurrent decode workers oversubscribe the box).
-    shard = sorted(f.file_path for f in ice.plan_files())
-    shard = shard[: max(1, len(shard) // 4)]
+    all_files = sorted(f.file_path for f in ice.plan_files())
+    shard = all_files[: max(1, len(all_files) // 4)]
+    shard_is_whole_table = len(shard) == len(all_files)
     pipe_df = spark.read.parquet(*shard)
     # untimed warm-up: the first full-batch pass through a new pandas UDF
     # pays worker JIT/allocator growth (measured ~2x on the first pass even
@@ -641,7 +642,14 @@ def main() -> None:
     pipeline_dt = min(pipeline_runs)
     timings["audio_pipeline"] = round(pipeline_dt, 3)
     pipeline_n = int(stats["n"])
-    assert 0 < pipeline_n < AUDIO_N
+    # the quarter-shard is a strict subset whenever the table has >= 2
+    # data files; the tiny single-file generator (GX_BENCH_AUDIO_N small
+    # enough for the pyarrow path) makes the shard the whole table, and
+    # then pipeline_n == AUDIO_N is the correct outcome, not a bug
+    if shard_is_whole_table:
+        assert 0 < pipeline_n <= AUDIO_N
+    else:
+        assert 0 < pipeline_n < AUDIO_N
 
     # validation + curation from ONE decode (validate_and_extract_audio):
     # the same shard's validation verdicts (as plain column predicates over

@@ -36,7 +36,14 @@ def test_read_batch_json_and_bad_format(spark, tmp_path):
     df = read_batch(spark, p, "json")
     assert df.count() == 1
     with pytest.raises(ValueError):
+        read_batch(spark, p, "xml")
+    # avro is a supported format now, but routes through the stdlib OCF
+    # reader: pointing it at a json dir fails fast on the file scan
+    with pytest.raises(FileNotFoundError):
         read_batch(spark, p, "avro")
+    # and the stdlib route refuses schema/options rather than ignore them
+    with pytest.raises(ValueError):
+        read_batch(spark, p, "avro", header="true")
 
 
 def test_file_table_provider_checkpoint_csv(spark, tmp_path):
