@@ -920,6 +920,21 @@ def q_unigram_logprob_documents(spark, sf_dir):
     return ops.unigram_logprob(docs, "doc_id", "text", alpha=0.5)
 
 
+def q_stupid_backoff_documents(spark, sf_dir):
+    """Bigram LM quality score with Stupid Backoff smoothing (Brants et
+    al. 2007, gx_spark/ops.py stupid_backoff_logprob): mean natural-log
+    token score per doc under the corpus's own pruned (min_count=2)
+    bigram LM, backoff alpha=0.4 to the unigram/OOV floor — the
+    distributed upgrade of the CCNet-style unigram filter that word-salad
+    cannot fool.  Training is two map-side-combined wordcount exchanges;
+    scoring broadcast-joins the pruned LM so the corpus token stream
+    never shuffles; oracle recomputes the identical backoff cascade
+    relationally (positions via unnest-with-index, the same CASE tree)."""
+    docs = _load(spark, sf_dir, "documents")
+    return ops.stupid_backoff_logprob(
+        docs, "doc_id", "text", alpha=0.4, min_count=2)
+
+
 def q_ngram_counts_documents(spark, sf_dir):
     """Corpus-wide top-50 word bigram table (gx_spark/ops.py
     ngram_counts): map-side HOF gram construction, one map-side-combined
@@ -3625,6 +3640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   pytest recall/determinism tests).
     return {
         # -- tier 1a: never-verified new surfaces + VERDICT done-criteria --
+        # (stupid_backoff is the newest op; it subsumes the unigram LM's
+        # tokenization and scoring-pass shape, so unigram_logprob yields
+        # its #50 slot to stay within the window)
+        "stupid_backoff_documents": q_stupid_backoff_documents,
         "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
@@ -3679,8 +3698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         "line_dedup_documents": q_line_dedup_documents,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
         # ---- driver window ends here (entry #50) ----
+        # unigram_logprob yielded its slot to stupid_backoff (same
+        # tokenization + scoring-pass shape, strictly more machinery)
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         # -- past the window: r5-new queries that didn't fit (verified by
         # the full local replay this session; simple-arithmetic screens
         # pad_trim/payload_size and the segment/gain/transcode/ngram
@@ -5054,6 +5075,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
             "AS n_tokens, CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov, "
             "ROUND(s.n_oov / CAST(s.n_tokens AS DOUBLE), 6) AS oov_rate "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "stupid_backoff_documents": (
+            # Brants-2007 stupid backoff, alpha=0.4, min_count=2 pruning:
+            # kept bigram -> ln(c2/c1(prev)); pruned/unseen bigram ->
+            # ln(alpha) + unigram term; kept unigram -> ln(c1/N); OOV ->
+            # ln(alpha/N); first token takes the unigram path directly.
+            # Denominators c1(prev) and N stay UNPRUNED, matching the
+            # engine.  Positions via unnest over 1..len so prev is the
+            # token to the left within the same doc.
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(trim(text)), '\\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "t AS (SELECT doc_id, ws[i] AS w, "
+            "CASE WHEN i > 1 THEN ws[i-1] END AS prev "
+            "FROM w, unnest(range(1, len(ws)+1)) s(i)), "
+            "c1 AS (SELECT w, count(*) AS c FROM t GROUP BY w), "
+            "n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1), "
+            "c2 AS (SELECT prev AS w1, w AS w2, count(*) AS c "
+            "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "bg AS (SELECT w1, w2, ln(c2.c / CAST(c1.c AS DOUBLE)) AS lp2 "
+            "FROM c2 JOIN c1 ON c1.w = c2.w1), "
+            "ug AS (SELECT w, ln(c / n.n) AS lp1 FROM c1 CROSS JOIN n "
+            "WHERE c >= 2), "
+            "s AS (SELECT t.doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN bg.lp2 IS NOT NULL THEN bg.lp2 "
+            "WHEN t.prev IS NOT NULL THEN ln(0.4) + "
+            "coalesce(ug.lp1, ln(0.4 / n.n)) "
+            "ELSE coalesce(ug.lp1, ln(0.4 / n.n)) END) AS lp "
+            "FROM t LEFT JOIN bg ON bg.w1 = t.prev AND bg.w2 = t.w "
+            "LEFT JOIN ug ON ug.w = t.w CROSS JOIN n GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, ROUND(s.lp / s.n_tokens, 6) AS logprob_per_token "
             "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "unigram_logprob_documents": (

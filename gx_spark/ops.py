@@ -1814,6 +1814,111 @@ def unigram_logprob(
     )
 
 
+def stupid_backoff_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Bigram language-model quality score with Stupid Backoff smoothing
+    (Brants et al. 2007, "Large Language Models in Machine Translation" —
+    THE distributed LM: relative frequencies with a fixed backoff factor
+    instead of normalized discounting, chosen there precisely because it
+    trains as plain MapReduce counts).  Upgrades `unigram_logprob`'s
+    CCNet-style filter with left-context: templated/boilerplate text now
+    scores high only when its word *pairs* are corpus-frequent, so
+    shuffled-word salad that fools a unigram LM scores low.
+
+    Per-token score (natural log, mean over the doc):
+
+        S(w_i | w_{i-1}) = c2(w_{i-1}, w_i) / c1(w_{i-1})   if bigram kept
+                         = alpha * S(w_i)                   otherwise
+        S(w)             = c1(w) / N                        if unigram kept
+                         = alpha / N                        otherwise (OOV)
+
+    The first token of a doc has no context and takes the unigram path
+    directly (no backoff penalty).  "Kept" = corpus count >= `min_count`:
+    the pruning that bounds the broadcast LM tables (hapax n-grams are
+    most of a web corpus's distinct grams but carry no reusable signal —
+    the same role as entropy pruning in a real KenLM deploy); pruned and
+    unseen grams share the backoff/OOV path, and `c1` in the bigram
+    denominator and `N` stay UNPRUNED totals.  Tokens are lower+trim+\\s+
+    normalized (the linguistic-op convention).
+
+    Returns (doc_id, n_tokens, logprob_per_token) — the `unigram_logprob`
+    shape; empty docs keep n_tokens=0 / NULL score, 6 dp rounding.
+
+    Scale shape: training is two map-side-combined wordcount exchanges
+    (unigram + bigram counts) plus one train-side join to attach the
+    bigram's prefix denominator (c1 is vocab-sized — broadcast here; past
+    ~10^7 distinct tokens AQE's shuffle join takes over).  SCORING never
+    shuffles the corpus: the pruned LM tables broadcast into map-side hash
+    joins against the token stream, and the per-doc rollup
+    partial-aggregates to exactly one row per document on the wire.
+    """
+    ln_alpha = float(np.log(alpha))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_w"),
+    )
+    toks = (
+        staged.select("doc_id", F.posexplode("_w").alias("pos", "w"), "_w")
+        .select(
+            "doc_id",
+            "w",
+            F.when(F.col("pos") > 0, F.expr("_w[pos - 1]")).alias("prev"),
+        )
+    )
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    n_total = c1.agg(F.sum("c1")).first()[0] or 0
+    n_total = float(n_total)
+    # bigram table with its prefix denominator attached at train time, so
+    # the scoring pass needs no second lookup on `prev`
+    c2 = (
+        toks.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    bg = (
+        c2.join(F.broadcast(c1.withColumnRenamed("w", "prev")), "prev")
+        .select("prev", "w", F.log(F.col("c2") / F.col("c1")).alias("_lp2"))
+    )
+    ug = c1.where(F.col("c1") >= min_count).select(
+        "w", F.log(F.col("c1") / F.lit(n_total)).alias("_lp1")
+    )
+    oov_lp = float(np.log(alpha / n_total)) if n_total else 0.0
+    uni_term = F.coalesce("_lp1", F.lit(oov_lp))
+    lp = F.when(F.col("_lp2").isNotNull(), F.col("_lp2")).otherwise(
+        F.when(F.col("prev").isNotNull(), F.lit(ln_alpha) + uni_term)
+        .otherwise(uni_term)
+    )
+    scored = (
+        toks.join(F.broadcast(bg), ["prev", "w"], "left")
+        .join(F.broadcast(ug), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(lp).alias("_lp_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.col("_lp_sum") / F.col("n_tokens"), 6).alias(
+                "logprob_per_token"
+            ),
+        )
+    )
+
+
 def ngram_counts(
     df: DataFrame, text_col: str, n: int = 1, k: int = 100
 ) -> DataFrame:
