@@ -935,6 +935,23 @@ def q_stupid_backoff_documents(spark, sf_dir):
         docs, "doc_id", "text", alpha=0.4, min_count=2)
 
 
+def q_dsir_documents(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, gx_spark/ops.py
+    dsir_weights): docs with doc_id%10==7 stand in as the high-quality
+    target corpus; every other doc gets log p_target/p_raw of its hashed
+    unigram+bigram profile (8192 md5 buckets, Lidstone alpha=1) — the
+    importance-resampling data-selection score.  Training collapses each
+    corpus to one <=8192-row bucket-count exchange; scoring is a
+    zero-shuffle HOF fold over a literal log-ratio array (plan-pinned).
+    Oracle recomputes the bucket model relationally with the
+    hash_split md5 idiom."""
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 10 == 7)
+    raw = docs.where(F.col("doc_id") % 10 != 7)
+    return ops.dsir_weights(raw, target, "doc_id", "text",
+                            buckets=8192, alpha=1.0)
+
+
 def q_ngram_counts_documents(spark, sf_dir):
     """Corpus-wide top-50 word bigram table (gx_spark/ops.py
     ngram_counts): map-side HOF gram construction, one map-side-combined
@@ -3644,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenization and scoring-pass shape, so unigram_logprob yields
         # its #50 slot to stay within the window)
         "stupid_backoff_documents": q_stupid_backoff_documents,
+        "dsir_documents": q_dsir_documents,
         "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
@@ -3671,7 +3689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
         "between_quantity": q_between_quantity,
-        "value_length_name": q_value_length_name,
         # -- tier 3: new in r5, never driver-verified (continued) --
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
@@ -3702,6 +3719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram_logprob yielded its slot to stupid_backoff (same
         # tokenization + scoring-pass shape, strictly more machinery)
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        # value_length_name rotates back out (driver evidence r02/r03 +
+        # this round's local replay) to keep dsir in-window
+        "value_length_name": q_value_length_name,
         # -- past the window: r5-new queries that didn't fit (verified by
         # the full local replay this session; simple-arithmetic screens
         # pad_trim/payload_size and the segment/gain/transcode/ngram
@@ -5076,6 +5096,45 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens, CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov, "
             "ROUND(s.n_oov / CAST(s.n_tokens AS DOUBLE), 6) AS oov_rate "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "dsir_documents": (
+            # Xie-2023 DSIR: hashed unigram+bigram bucket model (8192 md5
+            # buckets via the hash_split idiom), Lidstone alpha=1 on every
+            # bucket of BOTH corpora, per-doc weight = sum of per-gram
+            # ln(p_target[b]/p_raw[b]); target = doc_id%10==7, scored set
+            # = the rest; empty docs preserved (0 features, NULL weight)
+            "WITH raw AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(trim(text)), '\\s+'), x -> x <> '') AS ws "
+            "FROM documents WHERE doc_id % 10 <> 7), "
+            "tgt AS (SELECT list_filter(string_split_regex(lower(trim("
+            "text)), '\\s+'), x -> x <> '') AS ws "
+            "FROM documents WHERE doc_id % 10 = 7), "
+            "rg AS (SELECT doc_id, CAST(('0x' || substr(md5('gx_dsir' || "
+            "g), 1, 15)) AS BIGINT) % 8192 AS b FROM ("
+            "SELECT doc_id, unnest(ws) AS g FROM raw UNION ALL "
+            "SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM raw, "
+            "unnest(range(1, len(ws))) s(i))), "
+            "tg AS (SELECT CAST(('0x' || substr(md5('gx_dsir' || g), 1, "
+            "15)) AS BIGINT) % 8192 AS b FROM ("
+            "SELECT unnest(ws) AS g FROM tgt UNION ALL "
+            "SELECT ws[i] || ' ' || ws[i+1] AS g FROM tgt, "
+            "unnest(range(1, len(ws))) s(i))), "
+            "rb AS (SELECT b, count(*) AS c FROM rg GROUP BY b), "
+            "tb AS (SELECT b, count(*) AS c FROM tg GROUP BY b), "
+            "tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM rb) AS rt, "
+            "(SELECT coalesce(sum(c), 0) FROM tb) AS tt), "
+            "ratio AS (SELECT sp.b, "
+            "ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 8192.0)) - "
+            "ln((coalesce(rb.c, 0) + 1.0) / (tot.rt + 8192.0)) AS lr "
+            "FROM (SELECT unnest(range(0, 8192)) AS b) sp "
+            "LEFT JOIN tb ON tb.b = sp.b LEFT JOIN rb ON rb.b = sp.b "
+            "CROSS JOIN tot), "
+            "s AS (SELECT rg.doc_id, count(*) AS nf, sum(ratio.lr) AS lw "
+            "FROM rg JOIN ratio ON ratio.b = rg.b GROUP BY rg.doc_id) "
+            "SELECT r.doc_id, CAST(coalesce(s.nf, 0) AS BIGINT) AS "
+            "n_features, ROUND(s.lw, 6) AS log_importance_weight "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) r "
+            "LEFT JOIN s USING (doc_id)"
         ),
         "stupid_backoff_documents": (
             # Brants-2007 stupid backoff, alpha=0.4, min_count=2 pruning:

@@ -1919,6 +1919,150 @@ def stupid_backoff_logprob(
     )
 
 
+def _dsir_words(text_col: str) -> Column:
+    """lower+trim+\\s+ word array (the linguistic-op convention)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+# DSIR's feature set over a staged `_dsir_w` word array: word unigrams +
+# bigrams ("w1 w2"); a one-word/empty doc contributes only its unigrams
+_DSIR_GRAMS = (
+    "concat(_dsir_w, CASE WHEN size(_dsir_w) >= 2 THEN "
+    "transform(sequence(1, size(_dsir_w) - 1), "
+    "i -> array_join(slice(_dsir_w, i, 2), ' ')) "
+    "ELSE cast(array() AS array<string>) END)"
+)
+
+
+def _dsir_bucket(g: Column, buckets: int, salt: str) -> Column:
+    """bucket = int(first 15 hex of md5(salt || gram)) mod buckets — the
+    hash_split convention (60 bits fit a long exactly; DuckDB reproduces
+    it as ('0x'||substr(md5(...),1,15))::BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 15), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: str = "gx_dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    score every raw document by how target-like its hashed n-gram profile
+    is.  Features are word unigrams + bigrams hashed into `buckets`
+    slots; both corpora's bucket-count vectors estimate multinomial
+    feature distributions (Lidstone `alpha` on every bucket), and
+
+        log_w(doc) = sum over the doc's grams of
+                     ln( p_target[bucket(g)] / p_raw[bucket(g)] )
+
+    — the log importance weight used to resample a raw corpus toward a
+    high-quality target (the LLaMA/DoReMi-era alternative to classifier
+    filtering).  Returns (doc_id, n_features, log_importance_weight)
+    with empty docs preserved (0, NULL); 6 dp rounding.
+
+    Scale shape: each corpus contributes ONE map-side-combined
+    wordcount-shaped exchange that collapses to <= `buckets` rows; the
+    two count vectors are a bounded driver collect (B rows, independent
+    of corpus size — the centroid/codebook class, NOT a data collect) and
+    come back as ONE dense literal log-ratio array.  SCORING is therefore
+    a zero-shuffle HOF fold over each doc's own gram array (the
+    repetition_stats technique): no join, no exchange, output
+    partitioning inherited from the scan.
+    """
+    def bucket_counts(frame: DataFrame) -> tuple[dict[int, int], int]:
+        grams = frame.select(
+            _dsir_words(text_col).alias("_dsir_w")
+        ).select(F.explode(F.expr(_DSIR_GRAMS)).alias("g"))
+        rows = (
+            grams.select(_dsir_bucket(F.col("g"), buckets, salt).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        counts = {int(r["b"]): int(r["c"]) for r in rows}
+        return counts, sum(counts.values())
+
+    t_counts, t_total = bucket_counts(target_df)
+    r_counts, r_total = bucket_counts(df)
+    t_denom = t_total + alpha * buckets
+    r_denom = r_total + alpha * buckets
+    log_ratio = [
+        float(
+            np.log((t_counts.get(b, 0) + alpha) / t_denom)
+            - np.log((r_counts.get(b, 0) + alpha) / r_denom)
+        )
+        for b in range(buckets)
+    ]
+    ratio_arr = F.lit(log_ratio)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        _dsir_words(text_col).alias("_dsir_w"),
+    ).withColumn("_g", F.expr(_DSIR_GRAMS))
+    score = F.aggregate(
+        "_g",
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(ratio_arr, (_dsir_bucket(g, buckets, salt) + 1).cast("int")),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_features"),
+        F.when(F.size("_g") > 0, F.round(score, 6)).alias(
+            "log_importance_weight"
+        ),
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    k: int,
+    salt: str = "gx_dsir_gumbel",
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR log-weights (Xie et al. 2023
+    §2.2: sampling k docs without replacement ∝ importance weight is
+    exactly top-k on log_w + Gumbel noise).  The noise is DETERMINISTIC —
+    u = (md5-derived 31-bit int + 0.5) / 2^31, g = -ln(-ln(u)) — so the
+    sample is reproducible across clusters/parallelism/reruns, the same
+    property hash_split gives splits.  Docs with NULL weight (empty) are
+    excluded.  Returns the k selected (doc_id, n_features,
+    log_importance_weight, gumbel_key) rows.
+
+    Scale shape: map-side key computation + global top-k, which compiles
+    to TakeOrderedAndProject (per-partition heaps of k, never a global
+    sort); ties (astronomically unlikely with 31-bit noise) break by
+    doc_id for determinism.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(2147483648)
+        + 0.5
+    ) / 2147483648.0
+    keyed = weights.where(
+        F.col("log_importance_weight").isNotNull()
+    ).withColumn(
+        "gumbel_key",
+        F.round(F.col("log_importance_weight") - F.log(-F.log(u)), 6),
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 def ngram_counts(
     df: DataFrame, text_col: str, n: int = 1, k: int = 100
 ) -> DataFrame:
