@@ -387,6 +387,22 @@ def main() -> None:
             F.avg("logprob_per_token"), F.sum("n_tokens")
         ).collect()
 
+    @bench("documents_data_selection")
+    def _():
+        # r5 data-selection ops in their own section: stupid-backoff
+        # bigram LM (two wordcount exchanges + broadcast-join scoring) and
+        # DSIR hashed-n-gram importance weights (bucket-count exchanges +
+        # zero-shuffle literal-array scoring fold) with the Gumbel top-k
+        docs = load("documents")
+        ops.stupid_backoff_logprob(docs, "doc_id", "text").agg(
+            F.avg("logprob_per_token"), F.sum("n_tokens")
+        ).collect()
+        target = docs.where(F.col("doc_id") % 10 == 7)
+        raw = docs.where(F.col("doc_id") % 10 != 7)
+        w = ops.dsir_weights(raw, target, "doc_id", "text")
+        picked = ops.dsir_sample(w, 1000).count()
+        assert picked > 0
+
     @bench("documents_span_wer")
     def _():
         # r5 span-dedup + error-rate ops in their own section: Lee et

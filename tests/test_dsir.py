@@ -104,3 +104,15 @@ def test_scoring_pass_is_zero_shuffle(spark):
         f"DSIR scoring must fold map-side over the literal ratio "
         f"array:\n{plan}")
     assert "Join" not in plan, plan
+
+
+def test_sample_compiles_to_take_ordered(spark):
+    from gx_spark.plancheck import formatted_plan
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5}") for i in range(50)],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame([(0, "w1 w2")], "doc_id long, text string")
+    w = ops.dsir_weights(raw, tgt, "doc_id", "text", buckets=BUCKETS)
+    plan = formatted_plan(ops.dsir_sample(w, 5))
+    assert "TakeOrderedAndProject" in plan, plan
