@@ -8,6 +8,10 @@ semantically required):
 - embedding similarity search (brute-force cosine top-k; LSH-bucketed ANN)
 - text analysis: token counts, quality scoring, language-ID heuristic,
   document fingerprinting (md5)
+- quality/selection filters: CCNet-style unigram LM, stupid-backoff
+  bigram LM (Brants'07), DSIR importance resampling (Xie'23)
+- curation recipe steps: hash_split / group_cap / mixture_sample /
+  token_shards / decontaminate / PII / line & span dedup / chunking / BPE
 
 Scale notes are in each docstring; everything runs on the driver-provided
 `documents` / `embeddings` testdata tables.
@@ -1750,7 +1754,8 @@ def dedup_spans(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5,
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model quality score (Wenzek et al. 2020 filter
     CommonCrawl by KenLM perplexity; the distributable, oracle-checkable
@@ -1772,11 +1777,13 @@ def unigram_logprob(
 
     Scale shape: one corpus exchange builds the frequency table (map-side
     partial counts, so the wire carries ~vocab rows per map task); the
-    scoring pass broadcast-joins the frequency table (a web-scale vocab of
-    ~10^7 rows / ~100 MB still broadcasts; beyond that AQE falls back to a
-    shuffle join keyed by the token) and the final groupBy(doc_id)
-    partial-aggregates to exactly one row per document on the wire.  The
-    two scalar constants (N, V) are a driver-side scalar aggregate.
+    scoring pass joins it with a FORCED broadcast by default (a web-scale
+    vocab of ~10^7 rows / ~100 MB still broadcasts, and the token stream
+    never shuffles) — the hint is hard, Spark errors rather than demote
+    it, so past broadcast limits pass `broadcast_lm=False` and let AQE
+    pick the join.  The final groupBy(doc_id) partial-aggregates to
+    exactly one row per document on the wire either way.  The two scalar
+    constants (N, V) are a driver-side scalar aggregate.
     """
     toks = (
         df.select(
@@ -1794,7 +1801,7 @@ def unigram_logprob(
         "w", F.log((F.col("cnt") + alpha) / F.lit(float(n) + alpha * v)).alias("_lp")
     )
     scored = (
-        toks.join(F.broadcast(logp), "w")
+        toks.join(F.broadcast(logp) if broadcast_lm else logp, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1820,6 +1827,7 @@ def stupid_backoff_logprob(
     text_col: str,
     alpha: float = 0.4,
     min_count: int = 2,
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Bigram language-model quality score with Stupid Backoff smoothing
     (Brants et al. 2007, "Large Language Models in Machine Translation" —
@@ -1850,21 +1858,20 @@ def stupid_backoff_logprob(
     shape; empty docs keep n_tokens=0 / NULL score, 6 dp rounding.
 
     Scale shape: training is two map-side-combined wordcount exchanges
-    (unigram + bigram counts) plus one train-side join to attach the
-    bigram's prefix denominator (c1 is vocab-sized — broadcast here; past
-    ~10^7 distinct tokens AQE's shuffle join takes over).  SCORING never
-    shuffles the corpus: the pruned LM tables broadcast into map-side hash
-    joins against the token stream, and the per-doc rollup
-    partial-aggregates to exactly one row per document on the wire.
+    (unigram + bigram counts, the unigram table cached so the corpus is
+    counted once) plus one train-side join to attach the bigram's prefix
+    denominator.  With `broadcast_lm=True` (default) the LM tables are
+    FORCED broadcast — map-side hash joins, the corpus token stream never
+    shuffles — which is right up to broadcast limits (~10^7 distinct
+    kept grams / a few hundred MB).  The hint is a hard one: Spark will
+    error rather than demote it, so for bigger vocabularies pass
+    `broadcast_lm=False` and let AQE pick the join (scoring then
+    shuffles tokens by gram — correct, just no longer map-side).  The
+    per-doc rollup partial-aggregates to one row per document either way.
     """
     ln_alpha = float(np.log(alpha))
     staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-            lambda w: w != "",
-        ).alias("_w"),
-    )
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("_w"))
     toks = (
         staged.select("doc_id", F.posexplode("_w").alias("pos", "w"), "_w")
         .select(
@@ -1873,9 +1880,15 @@ def stupid_backoff_logprob(
             F.when(F.col("pos") > 0, F.expr("_w[pos - 1]")).alias("prev"),
         )
     )
-    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # c1 feeds four consumers (N, the bg denominator, ug, and nothing
+    # else twice over): cache it so the corpus is tokenized+counted once,
+    # not once per consumer.  The cache is vocab-sized (same order as the
+    # broadcast itself) and stays until session cache eviction.
+    c1 = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")).persist()
     n_total = c1.agg(F.sum("c1")).first()[0] or 0
     n_total = float(n_total)
+    maybe_broadcast = F.broadcast if broadcast_lm else (lambda d: d)
     # bigram table with its prefix denominator attached at train time, so
     # the scoring pass needs no second lookup on `prev`
     c2 = (
@@ -1885,7 +1898,7 @@ def stupid_backoff_logprob(
         .where(F.col("c2") >= min_count)
     )
     bg = (
-        c2.join(F.broadcast(c1.withColumnRenamed("w", "prev")), "prev")
+        c2.join(maybe_broadcast(c1.withColumnRenamed("w", "prev")), "prev")
         .select("prev", "w", F.log(F.col("c2") / F.col("c1")).alias("_lp2"))
     )
     ug = c1.where(F.col("c1") >= min_count).select(
@@ -1898,8 +1911,8 @@ def stupid_backoff_logprob(
         .otherwise(uni_term)
     )
     scored = (
-        toks.join(F.broadcast(bg), ["prev", "w"], "left")
-        .join(F.broadcast(ug), "w", "left")
+        toks.join(maybe_broadcast(bg), ["prev", "w"], "left")
+        .join(maybe_broadcast(ug), "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1919,11 +1932,17 @@ def stupid_backoff_logprob(
     )
 
 
-def _dsir_words(text_col: str) -> Column:
-    """lower+trim+\\s+ word array (the linguistic-op convention)."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
+def _words(text_col: str) -> Column:
+    """lower+trim+\\s+ word array (the linguistic-op convention); NULL
+    text yields an EMPTY array so downstream folds treat a NULL-text doc
+    like an empty doc (n=0, NULL score) instead of going NULL-everything
+    — the same outcome the explode-based ops get for free."""
+    return F.coalesce(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ),
+        F.array().cast("array<string>"),
     )
 
 
@@ -1981,7 +2000,7 @@ def dsir_weights(
     """
     def bucket_counts(frame: DataFrame) -> tuple[dict[int, int], int]:
         grams = frame.select(
-            _dsir_words(text_col).alias("_dsir_w")
+            _words(text_col).alias("_dsir_w")
         ).select(F.explode(F.expr(_DSIR_GRAMS)).alias("g"))
         rows = (
             grams.select(_dsir_bucket(F.col("g"), buckets, salt).alias("b"))
@@ -2006,7 +2025,7 @@ def dsir_weights(
     ratio_arr = F.lit(log_ratio)
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        _dsir_words(text_col).alias("_dsir_w"),
+        _words(text_col).alias("_dsir_w"),
     ).withColumn("_g", F.expr(_DSIR_GRAMS))
     score = F.aggregate(
         "_g",

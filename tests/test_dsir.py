@@ -18,8 +18,8 @@ def _bucket(g: str) -> int:
     return int(hashlib.md5((SALT + g).encode()).hexdigest()[:15], 16) % BUCKETS
 
 
-def _grams(text: str) -> list[str]:
-    ws = [w for w in text.strip().lower().split() if w]
+def _grams(text) -> list[str]:
+    ws = [] if text is None else [w for w in text.strip().lower().split() if w]
     return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
 
 
@@ -52,7 +52,7 @@ def _expected_weights(raw, target, alpha=1.0):
 
 def test_matches_python_recompute(spark):
     raw = [(1, "the cat sat"), (2, "stock market crash report"),
-           (3, "the dog sat"), (4, ""), (5, "singleton")]
+           (3, "the dog sat"), (4, ""), (5, "singleton"), (6, None)]
     target = [(10, "the cat sat on the mat"), (11, "the dog sat down")]
     raw_df = spark.createDataFrame(raw, "doc_id long, text string")
     tgt_df = spark.createDataFrame(target, "doc_id long, text string")
