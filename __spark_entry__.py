@@ -935,6 +935,52 @@ def q_stupid_backoff_documents(spark, sf_dir):
         docs, "doc_id", "text", alpha=0.4, min_count=2)
 
 
+def q_iceberg_hidden_partitioning(spark, sf_dir):
+    """Hidden partitioning (gx_spark/iceberg.py partition transforms):
+    orders land in a table partitioned by bucket(8, o_custkey) +
+    truncate(2, o_orderpriority) — source columns stay in the data files,
+    derived values only in dirs/manifests.  Source-column filters prune
+    files through the driver-side transform mirror and re-pin rows with
+    a residual predicate; `pruned` is engine-verified (True only if both
+    filters really excluded files).  The oracle recomputes every figure
+    directly over orders — if pruning dropped or duplicated any row, the
+    counts/sums hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="gx_ice_hp_")
+    try:
+        t = IcebergLiteTable.create(
+            f"{tmp}/orders_hp", orders.schema,
+            partition_by=["bucket(8, o_custkey)",
+                          "truncate(2, o_orderpriority)"])
+        t.append(orders.repartition(4))
+        kmin = int(orders.agg(F.min("o_custkey")).first()[0])
+        n_all = len(t.plan_files())
+        pf_k = t.plan_files(partition_filter={"o_custkey": kmin})
+        pf_p = t.plan_files(
+            partition_filter={"o_orderpriority": "2-HIGH"})
+        pruned = 0 < len(pf_k) < n_all and 0 < len(pf_p) < n_all
+        cust = t.read(spark, partition_filter={"o_custkey": kmin}).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        prio = t.read(
+            spark, partition_filter={"o_orderpriority": "2-HIGH"}).count()
+        total = t.read(spark).count()
+        return _row(
+            spark,
+            "cust_count long, cust_sum double, prio_count long, "
+            "total_count long, pruned boolean",
+            [int(cust["c"]), float(cust["s"]), prio, total, pruned],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023, gx_spark/ops.py
     dsir_weights): docs with doc_id%10==7 stand in as the high-quality
@@ -3662,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its #50 slot to stay within the window)
         "stupid_backoff_documents": q_stupid_backoff_documents,
         "dsir_documents": q_dsir_documents,
+        "iceberg_hidden_partitioning": q_iceberg_hidden_partitioning,
         "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
@@ -3688,7 +3735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_null_orders_custkey": q_not_null_orders_custkey,
         "in_set_returnflag": q_in_set_returnflag,
         "regex_event_type": q_regex_event_type,
-        "between_quantity": q_between_quantity,
         # -- tier 3: new in r5, never driver-verified (continued) --
         "audio_reverb_echo": q_audio_reverb_echo,
         "audio_hum_repair": q_audio_hum_repair,
@@ -3722,6 +3768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value_length_name rotates back out (driver evidence r02/r03 +
         # this round's local replay) to keep dsir in-window
         "value_length_name": q_value_length_name,
+        # between_quantity likewise yields its slot to the
+        # never-driver-verified hidden-partitioning query
+        "between_quantity": q_between_quantity,
         # -- past the window: r5-new queries that didn't fit (verified by
         # the full local replay this session; simple-arithmetic screens
         # pad_trim/payload_size and the segment/gain/transcode/ngram
@@ -5096,6 +5145,22 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens, CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov, "
             "ROUND(s.n_oov / CAST(s.n_tokens AS DOUBLE), 6) AS oov_rate "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "iceberg_hidden_partitioning": (
+            # pruning correctness reduces to plain relational figures:
+            # if the bucket/truncate file pruning + residual re-pin
+            # dropped or duplicated rows, these counts/sums diverge.
+            # `pruned` is engine-verified and must come back TRUE.
+            "WITH k AS (SELECT min(o_custkey) AS mk FROM orders) "
+            "SELECT "
+            "(SELECT count(*) FROM orders, k WHERE o_custkey = mk) "
+            "AS cust_count, "
+            "(SELECT ROUND(sum(o_totalprice), 2) FROM orders, k "
+            "WHERE o_custkey = mk) AS cust_sum, "
+            "(SELECT count(*) FROM orders "
+            "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
+            "(SELECT count(*) FROM orders) AS total_count, "
+            "TRUE AS pruned"
         ),
         "dsir_documents": (
             # Xie-2023 DSIR: hashed unigram+bigram bucket model (8192 md5

@@ -1,0 +1,169 @@
+"""Hidden partitioning (gx_spark/iceberg.py partition transforms):
+spec parsing, the md5-idiom bucket / truncate / UTC time transforms
+(Spark expr vs driver-side mirror), hidden-column write layout, source-
+column filter pruning with residual re-pinning, and the guards.
+"""
+import datetime
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+from gx_spark.iceberg import (
+    IcebergLiteTable,
+    parse_partition_entry,
+    transform_value,
+)
+
+
+def _bucket(v, n):
+    return int(hashlib.md5(f"gxb:{v}".encode()).hexdigest()[:15], 16) % n
+
+
+def test_parse_partition_entry():
+    assert parse_partition_entry("col") == {
+        "source": "col", "transform": "identity", "name": "col"}
+    assert parse_partition_entry("bucket(16, k)") == {
+        "source": "k", "transform": "bucket[16]", "name": "k_bucket"}
+    assert parse_partition_entry("truncate(4, s)") == {
+        "source": "s", "transform": "truncate[4]", "name": "s_trunc"}
+    for fn, t in [("days", "day"), ("day", "day"), ("months", "month"),
+                  ("years", "year"), ("hours", "hour")]:
+        assert parse_partition_entry(f"{fn}(d)") == {
+            "source": "d", "transform": t, "name": f"d_{t}"}
+    for bad in ["bucket(k)", "bucket(0, k)", "truncate(x, s)",
+                "days(a, b)", "median(k)"]:
+        with pytest.raises(ValueError):
+            parse_partition_entry(bad)
+
+
+def test_transform_value_python_mirror():
+    assert transform_value("bucket[8]", 5) == _bucket(5, 8)
+    assert transform_value("bucket[8]", "u7") == _bucket("u7", 8)
+    assert transform_value("truncate[4]", 1234567) == 1234564
+    assert transform_value("truncate[4]", -7) == -8  # floor, not toward 0
+    assert transform_value("truncate[2]", "hello") == "he"
+    d = datetime.date(2024, 1, 10)
+    assert transform_value("day", d) == (d - datetime.date(1970, 1, 1)).days
+    assert transform_value("month", d) == (2024 - 1970) * 12 + 0
+    assert transform_value("year", d) == 54
+    pre = datetime.date(1969, 12, 30)
+    assert transform_value("day", pre) == -2
+    assert transform_value("year", pre) == -1
+    ts = datetime.datetime(2024, 1, 10, 13, 30, tzinfo=datetime.timezone.utc)
+    assert transform_value("hour", ts) == int(ts.timestamp() // 3600)
+    assert transform_value("day", ts) == transform_value("day", d)
+    assert transform_value("bucket[8]", None) is None
+
+
+def test_expr_matches_mirror_on_spark(spark):
+    from gx_spark.iceberg import transform_expr
+
+    rows = [(i, i - 50, f"name{i}", datetime.date(1969, 11, 1)
+             + datetime.timedelta(days=7 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, j long, s string, d date")
+    out = df.select(
+        "id", "j", "s", "d",
+        transform_expr("bucket[16]", "id", "long").alias("b"),
+        transform_expr("truncate[10]", "j", "long").alias("tj"),
+        transform_expr("truncate[3]", "s", "string").alias("ts"),
+        transform_expr("day", "d", "date").alias("dd"),
+        transform_expr("month", "d", "date").alias("dm"),
+        transform_expr("year", "d", "date").alias("dy"),
+    ).collect()
+    for r in out:
+        assert r["b"] == transform_value("bucket[16]", r["id"])
+        assert r["tj"] == transform_value("truncate[10]", r["j"])
+        assert r["ts"] == transform_value("truncate[3]", r["s"])
+        assert r["dd"] == transform_value("day", r["d"])
+        assert r["dm"] == transform_value("month", r["d"])
+        assert r["dy"] == transform_value("year", r["d"])
+
+
+@pytest.fixture()
+def hp_table(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 23).alias("k"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias("nm"),
+        F.date_add(F.lit("2023-12-28").cast("date"),
+                   (F.col("id") % 10).cast("int")).alias("d"),
+    )
+    t = IcebergLiteTable.create(
+        str(tmp_path / "hp"), df.schema,
+        partition_by=["bucket(4, k)", "days(d)"])
+    t.append(df)
+    return t, df
+
+
+def test_hidden_write_layout_and_round_trip(spark, hp_table):
+    t, df = hp_table
+    fields = t.partition_fields
+    assert [(p["name"], p["transform"], p["value_type"]) for p in fields] \
+        == [("k_bucket", "bucket[4]", "int"), ("d_day", "day", "int")]
+    files = t.plan_files()
+    # manifest tuples carry the derived values
+    for f in files:
+        assert set(f.partition) == {"k_bucket", "d_day"}
+        assert 0 <= f.partition["k_bucket"] < 4
+    # hidden: the SOURCE columns live in the data files, the derived
+    # partition values only in dirs/metadata
+    one = spark.read.parquet(files[0].file_path)
+    assert "k" in one.columns and "d" in one.columns
+    assert "k_bucket" not in one.columns and "d_day" not in one.columns
+    got = t.read(spark)
+    assert got.count() == 300
+    assert sorted(got.columns) == sorted(df.columns)
+    assert got.agg(F.sum("k"), F.max("d")).collect() \
+        == df.agg(F.sum("k"), F.max("d")).collect()
+
+
+def test_source_filter_prunes_and_repins(spark, hp_table):
+    t, df = hp_table
+    total = len(t.plan_files())
+    for k in (0, 5, 22):
+        pf = t.plan_files(partition_filter={"k": k})
+        assert 0 < len(pf) < total
+        assert all(f.partition["k_bucket"] == _bucket(k, 4) for f in pf)
+        out = t.read(spark, partition_filter={"k": k})
+        assert out.count() == df.where(F.col("k") == k).count()
+        # the bucket holds ~6 distinct k values; rows must be re-pinned
+        assert out.select("k").distinct().count() == 1
+    d = datetime.date(2024, 1, 3)
+    out = t.read(spark, partition_filter={"d": d})
+    assert out.count() == df.where(F.col("d") == F.lit(d)).count() > 0
+    # raw partition-field-name filters still work (back-compat surface)
+    raw = t.plan_files(partition_filter={"k_bucket": _bucket(5, 4)})
+    assert {f.file_path for f in raw} \
+        == {f.file_path for f in t.plan_files(partition_filter={"k": 5})}
+
+
+def test_compaction_preserves_transform_pruning(spark, hp_table):
+    t, df = hp_table
+    t.rewrite_data_files(spark)
+    out = t.read(spark, partition_filter={"k": 9})
+    assert out.count() == df.where("k = 9").count()
+    pf = t.plan_files(partition_filter={"k": 9})
+    assert pf and all(f.partition["k_bucket"] == _bucket(9, 4) for f in pf)
+
+
+def test_guards(spark, tmp_path, hp_table):
+    t, _ = hp_table
+    with pytest.raises(ValueError):
+        t.drop_column("k")  # transform source is load-bearing
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").alias("k"),
+        F.col("id").cast("int").alias("k_bucket"))
+    with pytest.raises(ValueError):
+        IcebergLiteTable.create(
+            str(tmp_path / "clash"), df.schema, partition_by=["bucket(4, k)"])
+    d2 = spark.range(3).select(F.col("id"), F.lit("x").alias("s"))
+    with pytest.raises(ValueError):  # bucket source must be int/long/string
+        IcebergLiteTable.create(
+            str(tmp_path / "bad"),
+            spark.range(3).select(
+                F.current_date().alias("d")).schema,
+            partition_by=["bucket(4, d)"])
+    with pytest.raises(ValueError):  # time transform needs date/timestamp
+        IcebergLiteTable.create(
+            str(tmp_path / "bad2"), d2.schema, partition_by=["days(s)"])
