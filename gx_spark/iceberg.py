@@ -215,6 +215,12 @@ def _check_transform_source(transform: str, source: str, src_type: str):
         raise ValueError(
             f"{transform}() source {source!r} must be date/timestamp, "
             f"got {src_type}")
+    if transform == "hour" and base == "date":
+        # as in the Iceberg spec: hour is finer than the source's
+        # granularity — and unix_timestamp(date) would be session-tz
+        # dependent on the write side while the planning mirror is UTC
+        raise ValueError(
+            f"hour() source {source!r} must be a timestamp, not a date")
 
 
 def transform_expr(transform: str, source: str, src_type: str):
@@ -257,10 +263,16 @@ def transform_expr(transform: str, source: str, src_type: str):
     raise ValueError(f"unknown transform {transform!r}")
 
 
-def transform_value(transform: str, value, src_type: str = "string"):
+def transform_value(transform: str, value):
     """Driver-side mirror of transform_expr for metadata-only planning:
     partition_filter={source_col: value} prunes by comparing
-    transform_value(v) against each file's recorded partition tuple."""
+    transform_value(v) against each file's recorded partition tuple.
+
+    Datetime filter values must be timezone-aware: Spark anchors a NAIVE
+    datetime literal to the session timezone while this mirror has no
+    session, so accepting one would prune with a different instant than
+    the residual row predicate re-pins with — silent row loss.  `date`
+    values are calendar days (timezone-free) and always fine."""
     import datetime as _dt
     import hashlib as _hashlib
 
@@ -278,8 +290,12 @@ def transform_value(transform: str, value, src_type: str = "string"):
             return value[:w]
         return value - (value % w)  # python floor-mod == ((x%w)+w)%w
     if isinstance(value, _dt.datetime):
-        ts = value.replace(tzinfo=value.tzinfo or _dt.timezone.utc)
-        epoch = ts.timestamp()
+        if value.tzinfo is None:
+            raise ValueError(
+                f"{transform}() filter value must be timezone-aware "
+                "(Spark would anchor a naive literal to the session "
+                "timezone; pass tzinfo=timezone.utc or a date)")
+        epoch = value.timestamp()
     elif isinstance(value, _dt.date):
         epoch = (value - _dt.date(1970, 1, 1)).days * 86400
     else:
@@ -563,6 +579,11 @@ class IcebergLiteTable:
                 raise ValueError(
                     f"partition field name {p['name']!r} collides with a "
                     f"data column; rename the column or the transform source")
+            if any(sf["name"] == p["name"] for sf in spec_fields):
+                raise ValueError(
+                    f"duplicate partition field name {p['name']!r} "
+                    f"(two transforms of the same kind on one source "
+                    f"derive the same name)")
             spec_fields.append(
                 {"name": p["name"], "transform": p["transform"],
                  "source-id": src["id"], "field-id": 1000 + i})
@@ -1767,8 +1788,9 @@ class IcebergLiteTable:
         exactly BETWEEN."""
         residual: dict[str, Any] = {}
         if partition_filter:
-            partition_filter, residual = self._resolve_partition_filter(
-                partition_filter)
+            # plan_files resolves the raw filter itself for pruning;
+            # read() only needs the residual row predicates from it
+            _, residual = self._resolve_partition_filter(partition_filter)
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
                                 added_after_snapshot_id, value_filter, ref)
         ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
@@ -1799,19 +1821,23 @@ class IcebergLiteTable:
         the old behavior."""
         fields = self.partition_fields
         by_pname = {p["name"]: p for p in fields}
-        by_source: dict[str, dict] = {}
+        by_source: dict[str, list[dict]] = {}
         for p in fields:
-            by_source.setdefault(p["source_name"], p)
+            by_source.setdefault(p["source_name"], []).append(p)
         resolved: dict[str, Any] = {}
         residual: dict[str, Any] = {}
         for k, v in partition_filter.items():
             if k in by_pname:
                 resolved[k] = v
             elif k in by_source:
-                p = by_source[k]
-                resolved[p["name"]] = transform_value(
-                    p["transform"], v, p["source_type"])
-                if p["transform"] != "identity":
+                # EVERY transform of this source prunes (a table with
+                # days(ts) + bucket(16, id)-style multi-field specs gets
+                # the intersection, not just the first field's cut)
+                needs_residual = False
+                for p in by_source[k]:
+                    resolved[p["name"]] = transform_value(p["transform"], v)
+                    needs_residual |= p["transform"] != "identity"
+                if needs_residual:
                     residual[k] = v
             else:
                 resolved[k] = v

@@ -54,6 +54,8 @@ def test_transform_value_python_mirror():
     assert transform_value("hour", ts) == int(ts.timestamp() // 3600)
     assert transform_value("day", ts) == transform_value("day", d)
     assert transform_value("bucket[8]", None) is None
+    with pytest.raises(ValueError):  # naive datetime: session-tz ambiguity
+        transform_value("day", datetime.datetime(2024, 1, 10, 13, 30))
 
 
 def test_expr_matches_mirror_on_spark(spark):
@@ -167,3 +169,62 @@ def test_guards(spark, tmp_path, hp_table):
     with pytest.raises(ValueError):  # time transform needs date/timestamp
         IcebergLiteTable.create(
             str(tmp_path / "bad2"), d2.schema, partition_by=["days(s)"])
+
+
+def test_hour_on_timestamp_non_utc_session(spark, tmp_path):
+    """The finding-1 regression pin: hours() over a TIMESTAMP column must
+    prune/re-pin identically under a non-UTC session timezone (the write
+    expr reads the internal UTC instant; the mirror requires tz-aware
+    filter values), and hour(date) is rejected outright."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [(i, datetime.datetime(2024, 1, 1, i % 48 // 2,
+                                      tzinfo=datetime.timezone.utc)
+                 + datetime.timedelta(hours=i % 5))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        t = IcebergLiteTable.create(
+            str(tmp_path / "hrs"), df.schema, partition_by=["hours(ts)"])
+        t.append(df)
+        probe = rows[7][1]
+        out = t.read(spark, partition_filter={"ts": probe})
+        exp = df.where(F.col("ts") == F.lit(probe)).count()
+        assert out.count() == exp > 0
+        pf = t.plan_files(partition_filter={"ts": probe})
+        assert 0 < len(pf) < len(t.plan_files())
+        assert all(
+            f.partition["ts_hour"] == transform_value("hour", probe)
+            for f in pf)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    with pytest.raises(ValueError):  # hour is finer than a date
+        IcebergLiteTable.create(
+            str(tmp_path / "hd"),
+            spark.range(1).select(F.current_date().alias("d")).schema,
+            partition_by=["hours(d)"])
+
+
+def test_duplicate_spec_names_rejected(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    with pytest.raises(ValueError):
+        IcebergLiteTable.create(
+            str(tmp_path / "dup"), df.schema,
+            partition_by=["bucket(4, k)", "bucket(8, k)"])
+
+
+def test_multi_transform_same_source_prunes_by_both(spark, tmp_path):
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 13).alias("k"))
+    t = IcebergLiteTable.create(
+        str(tmp_path / "multi"), df.schema,
+        partition_by=["bucket(4, k)", "truncate(5, k)"])
+    t.append(df)
+    pf = t.plan_files(partition_filter={"k": 11})
+    assert pf
+    for f in pf:  # both derived tuples must match, not just the first
+        assert f.partition["k_bucket"] == _bucket(11, 4)
+        assert f.partition["k_trunc"] == 10
+    out = t.read(spark, partition_filter={"k": 11})
+    assert out.count() == df.where("k = 11").count()
+    assert out.select("k").distinct().collect()[0][0] == 11
