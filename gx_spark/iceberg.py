@@ -57,7 +57,11 @@ accepts "bucket(N, col)" / "truncate(W, col)" / "days(col)" (and
 year/month/hour) transform specs; derived values live only in hive dirs
 and manifest tuples while source columns stay in the data files, and
 source-column partition filters prune files through a driver-side
-transform mirror then re-pin rows with a residual predicate.  Documented
+transform mirror then re-pin rows with a residual predicate; PARTITION
+SPEC EVOLUTION (`update_partition_spec`) — metadata-only, old files keep
+and prune by the spec they were written under (manifests carry spec
+ids), new writes use the new spec, mixed-spec reads stay exact via the
+residual, compaction folds everything under the current spec.  Documented
 deviation (like the name-mapping one): bucket() uses the repo's md5
 idiom over the value's string rendering, NOT murmur3 over type-canonical
 bytes, so an external Iceberg reader's bucket pruning would disagree;
@@ -313,6 +317,34 @@ def transform_value(transform: str, value):
     raise ValueError(f"unknown transform {transform!r}")
 
 
+def _build_spec_fields(fields: list[dict], partition_by: list[str],
+                       first_field_id: int) -> list[dict]:
+    """Validated partition-spec fields from user entries (shared by
+    create and update_partition_spec)."""
+    by_name = {f["name"]: f for f in fields}
+    spec_fields: list[dict] = []
+    for i, entry in enumerate(partition_by):
+        p = parse_partition_entry(entry)
+        if p["source"] not in by_name:
+            raise ValueError(
+                f"partition column {p['source']!r} not in schema")
+        src = by_name[p["source"]]
+        _check_transform_source(p["transform"], p["source"], src["type"])
+        if p["transform"] != "identity" and p["name"] in by_name:
+            raise ValueError(
+                f"partition field name {p['name']!r} collides with a "
+                f"data column; rename the column or the transform source")
+        if any(sf["name"] == p["name"] for sf in spec_fields):
+            raise ValueError(
+                f"duplicate partition field name {p['name']!r} "
+                f"(two transforms of the same kind on one source "
+                f"derive the same name)")
+        spec_fields.append(
+            {"name": p["name"], "transform": p["transform"],
+             "source-id": src["id"], "field-id": first_field_id + i})
+    return spec_fields
+
+
 def _arrow_schema_to_iceberg(arrow_schema, partition_by: list[str]) -> list[dict]:
     """pyarrow Schema -> Iceberg schema fields, for building table metadata
     from parquet footers alone (no SparkSession — the add_files migration
@@ -565,28 +597,7 @@ class IcebergLiteTable:
         t = cls(location)
         if cls.exists(location):
             raise FileExistsError(f"iceberg table already exists at {location}")
-        by_name = {f["name"]: f for f in fields}
-        partition_by = partition_by or []
-        spec_fields = []
-        for i, entry in enumerate(partition_by):
-            p = parse_partition_entry(entry)
-            if p["source"] not in by_name:
-                raise ValueError(
-                    f"partition column {p['source']!r} not in schema")
-            src = by_name[p["source"]]
-            _check_transform_source(p["transform"], p["source"], src["type"])
-            if p["transform"] != "identity" and p["name"] in by_name:
-                raise ValueError(
-                    f"partition field name {p['name']!r} collides with a "
-                    f"data column; rename the column or the transform source")
-            if any(sf["name"] == p["name"] for sf in spec_fields):
-                raise ValueError(
-                    f"duplicate partition field name {p['name']!r} "
-                    f"(two transforms of the same kind on one source "
-                    f"derive the same name)")
-            spec_fields.append(
-                {"name": p["name"], "transform": p["transform"],
-                 "source-id": src["id"], "field-id": 1000 + i})
+        spec_fields = _build_spec_fields(fields, partition_by or [], 1000)
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
@@ -614,17 +625,30 @@ class IcebergLiteTable:
 
     @property
     def partition_fields(self) -> list[dict]:
-        """Resolved default partition spec: one dict per field with
+        """Resolved DEFAULT partition spec: one dict per field with
         partition-field name, transform, source column name/type, and the
         partition VALUE type (int for bucket/time transforms, the source
         type for identity/truncate)."""
+        return self.partition_fields_for(None)
+
+    def partition_fields_for(self, spec_id: int | None) -> list[dict]:
+        """Resolved partition spec by id (None = default spec) — files
+        written before an update_partition_spec keep their own spec, and
+        planning prunes each file by the spec it was written under."""
         meta = self.metadata
         schema = meta["schemas"][meta["current-schema-id"]]
         by_id = {f["id"]: f for f in schema["fields"]}
-        spec = meta["partition-specs"][meta["default-spec-id"]]
+        if spec_id is None:
+            spec_id = meta["default-spec-id"]
+        spec = next(s for s in meta["partition-specs"]
+                    if s["spec-id"] == spec_id)
         out = []
         for pf in spec["fields"]:
-            src = by_id[pf["source-id"]]
+            src = by_id.get(pf["source-id"])
+            if src is None:
+                # source column dropped after this (non-default) spec was
+                # retired: the field can't prune anything anymore
+                continue
             out.append({
                 "name": pf["name"],
                 "transform": pf.get("transform", "identity"),
@@ -987,6 +1011,32 @@ class IcebergLiteTable:
         meta["last-column-id"] = max(
             (f["id"] for f in fields), default=meta["last-column-id"])
         self._write_metadata(meta, self._current_version() + 1)
+
+    def update_partition_spec(self, partition_by: list[str]) -> int:
+        """Partition spec evolution (metadata-only, no snapshot, no data
+        rewrite — the Iceberg headline next to hidden partitioning):
+        future writes lay out and record the NEW spec's tuples, while
+        every already-written file keeps the spec it was written under.
+        Planning prunes each file by its own spec (manifests carry the
+        spec id), so a source-column filter cuts new files at the new
+        granularity and old files at theirs; reads of mixed-spec tables
+        stay exact because the source columns live in the data files and
+        non-identity filters re-pin rows.  Accepts the same entries as
+        create(): bare columns and bucket/truncate/time transform specs.
+
+        Returns the new spec id."""
+        meta = dict(self.metadata)
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        first_id = meta.get("last-partition-id", 999) + 1
+        spec_fields = _build_spec_fields(fields, partition_by, first_id)
+        new_spec = {"spec-id": len(meta["partition-specs"]),
+                    "fields": spec_fields}
+        meta["partition-specs"] = meta["partition-specs"] + [new_spec]
+        meta["default-spec-id"] = new_spec["spec-id"]
+        meta["last-partition-id"] = max(
+            (f["field-id"] for f in spec_fields), default=first_id - 1)
+        self._write_metadata(meta, self._current_version() + 1)
+        return new_spec["spec-id"]
 
     def add_column(self, name: str, ice_type: str) -> None:
         """Add an optional column (Iceberg schema evolution).  Existing
@@ -1506,15 +1556,16 @@ class IcebergLiteTable:
             total_rows = sum(e["data_file"]["record_count"] for e in entries)
             man_path = os.path.join(self.meta_dir,
                                     f"manifest-{snap_id}-{gi}.avro")
+            spec_id = meta.get("default-spec-id", 0)
             write_ocf(man_path, _manifest_entry_schema(pcols), entries,
                       extra_meta={"schema": json.dumps(
                           meta["schemas"][meta["current-schema-id"]]).encode(),
-                          "partition-spec-id": b"0",
+                          "partition-spec-id": str(spec_id).encode(),
                           "content": b"deletes" if content else b"data"})
             new_manifests.append({
                 "manifest_path": man_path,
                 "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1681,9 +1732,17 @@ class IcebergLiteTable:
         Files without recorded bounds for the column are kept.
 
         `ref=` addresses a named tag/branch (see create_tag)."""
-        if partition_filter:
-            partition_filter, _ = self._resolve_partition_filter(
-                partition_filter)
+        resolved_cache: dict[int, dict[str, Any]] = {}
+
+        def resolved_filter(sid: int) -> dict[str, Any]:
+            # each file prunes by the spec it was written under: a
+            # source-column filter resolves through THAT spec's
+            # transforms (spec evolution leaves mixed-spec manifests)
+            if sid not in resolved_cache:
+                resolved_cache[sid] = self._resolve_partition_filter(
+                    partition_filter, spec_id=sid)[0]
+            return resolved_cache[sid]
+
         snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
@@ -1705,7 +1764,9 @@ class IcebergLiteTable:
                 dfile = e["data_file"]
                 part = dfile.get("partition") or {}
                 if partition_filter and any(
-                    k in part and part[k] != v for k, v in partition_filter.items()
+                    k in part and part[k] != v
+                    for k, v in resolved_filter(
+                        m.get("partition_spec_id", 0)).items()
                 ):
                     continue
                 bounds = (json.loads(dfile["gx_bounds"])
@@ -1789,8 +1850,8 @@ class IcebergLiteTable:
         residual: dict[str, Any] = {}
         if partition_filter:
             # plan_files resolves the raw filter itself for pruning;
-            # read() only needs the residual row predicates from it
-            _, residual = self._resolve_partition_filter(partition_filter)
+            # read() only needs the residual row predicates
+            residual = self._residual_predicates(partition_filter)
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
                                 added_after_snapshot_id, value_filter, ref)
         ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
@@ -1808,18 +1869,19 @@ class IcebergLiteTable:
         return df
 
     def _resolve_partition_filter(
-        self, partition_filter: dict[str, Any],
+        self, partition_filter: dict[str, Any], spec_id: int | None = None,
     ) -> tuple[dict[str, Any], dict[str, Any]]:
         """Translate a user partition filter into (pruning dict keyed by
-        PARTITION FIELD name, residual row predicates).  A key may be a
-        partition field name (value compared raw) or a transform's SOURCE
-        column (value pushed through transform_value for file pruning —
-        hidden partitioning's query-by-source-column UX).  Source-column
-        keys on non-identity transforms also yield a residual equality,
-        because a bucket/day prunes files exactly but doesn't pin rows.
-        Unknown keys pass through untouched (prune no files), matching
-        the old behavior."""
-        fields = self.partition_fields
+        PARTITION FIELD name, residual row predicates) under ONE spec.  A
+        key may be a partition field name (value compared raw) or a
+        transform's SOURCE column (value pushed through transform_value
+        for file pruning — hidden partitioning's query-by-source-column
+        UX; EVERY transform of the source prunes, so multi-field specs
+        get the intersection).  Source-column keys on non-identity
+        transforms also yield a residual equality, because a bucket/day
+        prunes files exactly but doesn't pin rows.  Unknown keys pass
+        through untouched (prune no files), matching the old behavior."""
+        fields = self.partition_fields_for(spec_id)
         by_pname = {p["name"]: p for p in fields}
         by_source: dict[str, list[dict]] = {}
         for p in fields:
@@ -1830,9 +1892,6 @@ class IcebergLiteTable:
             if k in by_pname:
                 resolved[k] = v
             elif k in by_source:
-                # EVERY transform of this source prunes (a table with
-                # days(ts) + bucket(16, id)-style multi-field specs gets
-                # the intersection, not just the first field's cut)
                 needs_residual = False
                 for p in by_source[k]:
                     resolved[p["name"]] = transform_value(p["transform"], v)
@@ -1842,6 +1901,34 @@ class IcebergLiteTable:
             else:
                 resolved[k] = v
         return resolved, residual
+
+    def _residual_predicates(
+        self, partition_filter: dict[str, Any],
+    ) -> dict[str, Any]:
+        """Row predicates read() must re-apply after file pruning: a
+        source-column key needs one unless EVERY spec in the table pins
+        it with an identity field — under spec evolution, files written
+        before a column was partitioned-on (or partitioned only through
+        a bucket/day) survive pruning with other source values aboard.
+        Keys that aren't a data column (raw derived names like k_bucket)
+        can't be row-filtered and stay pruning-only."""
+        data_cols = {f["name"] for f in self.schema_fields}
+        spec_ids = [s["spec-id"]
+                    for s in self.metadata["partition-specs"]]
+        residual: dict[str, Any] = {}
+        for k, v in partition_filter.items():
+            if k not in data_cols:
+                continue
+            per_spec = [self.partition_fields_for(sid) for sid in spec_ids]
+            known = any(p["source_name"] == k
+                        for fields in per_spec for p in fields)
+            pinned_everywhere = all(
+                any(p["source_name"] == k and p["transform"] == "identity"
+                    for p in fields)
+                for fields in per_spec)
+            if known and not pinned_everywhere:
+                residual[k] = v
+        return residual
 
     @staticmethod
     def _apply_value_filter(df, value_filter: dict[str, tuple]):

@@ -228,3 +228,52 @@ def test_multi_transform_same_source_prunes_by_both(spark, tmp_path):
     out = t.read(spark, partition_filter={"k": 11})
     assert out.count() == df.where("k = 11").count()
     assert out.select("k").distinct().collect()[0][0] == 11
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """update_partition_spec: old files keep their spec and prune by it;
+    new files use the new spec; mixed-spec source filters stay exact via
+    the residual; compaction rewrites everything under the new spec."""
+    df1 = spark.range(0, 120).select(
+        F.col("id"), (F.col("id") % 9).alias("k"))
+    t = IcebergLiteTable.create(
+        str(tmp_path / "evo"), df1.schema, partition_by=[])  # unpartitioned
+    t.append(df1)
+    assert t.partition_fields == []
+    sid = t.update_partition_spec(["bucket(4, k)"])
+    assert sid == 1 and t.partition_fields[0]["name"] == "k_bucket"
+    df2 = spark.range(200, 320).select(
+        F.col("id"), (F.col("id") % 9).alias("k"))
+    t.append(df2)
+    both = df1.unionByName(df2)
+    # all rows still there
+    assert t.read(spark).count() == 240
+    # filter: new-spec files prune by bucket, old-spec files all kept,
+    # residual re-pins rows from both eras
+    out = t.read(spark, partition_filter={"k": 3})
+    assert out.count() == both.where("k = 3").count()
+    assert out.select("k").distinct().collect()[0][0] == 3
+    pf = t.plan_files(partition_filter={"k": 3})
+    specs = {f.partition.get("k_bucket") for f in pf}
+    assert None in specs  # old unpartitioned files kept (tuple empty)
+    assert _bucket(3, 4) in specs  # new files carry the derived tuple
+    # new-spec files with other buckets were pruned
+    all_new = [f for f in t.plan_files() if f.partition.get("k_bucket")
+               not in (None, _bucket(3, 4))]
+    kept_paths = {f.file_path for f in pf}
+    assert all(f.file_path not in kept_paths for f in all_new)
+    # compaction rewrites the old era under the new spec
+    t.rewrite_data_files(spark)
+    assert all(f.partition.get("k_bucket") is not None
+               for f in t.plan_files())
+    out2 = t.read(spark, partition_filter={"k": 3})
+    assert out2.count() == both.where("k = 3").count()
+    # evolving to identity keeps exactness without residual
+    t.update_partition_spec(["k"])
+    t.append(spark.range(400, 420).select(
+        F.col("id"), (F.col("id") % 9).alias("k")))
+    out3 = t.read(spark, partition_filter={"k": 4})
+    third = spark.range(400, 420).select(
+        F.col("id"), (F.col("id") % 9).alias("k"))
+    assert out3.count() == both.unionByName(third).where("k = 4").count()
+    assert out3.where("k != 4").count() == 0
