@@ -267,6 +267,39 @@ def transform_expr(transform: str, source: str, src_type: str):
     raise ValueError(f"unknown transform {transform!r}")
 
 
+def transform_sql(transform: str, source: str, src_type: str) -> str:
+    """The transform as a Spark SQL expression string over the source
+    column — for building row predicates equivalent to a partition tuple
+    (checkpoint partition lineage over transform-partitioned tables)."""
+    base = src_type.split("(")[0]
+    if transform == "identity":
+        return source
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        return (f"cast(conv(substring(md5(concat('gxb:', "
+                f"cast({source} as string))), 1, 15), 16, 10) as bigint) "
+                f"% {n}")
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if base == "string":
+            return f"substring({source}, 1, {w})"
+        return f"{source} - (({source} % {w}) + {w}) % {w}"
+    if base == "date":
+        day = f"datediff({source}, date'1970-01-01')"
+    else:
+        day = f"cast(floor(unix_timestamp({source}) / 86400) as int)"
+    if transform == "hour":
+        return f"cast(floor(unix_timestamp({source}) / 3600) as int)"
+    if transform == "day":
+        return day
+    d = f"date_add(date'1970-01-01', {day})"
+    if transform == "month":
+        return f"(year({d}) - 1970) * 12 + month({d}) - 1"
+    if transform == "year":
+        return f"year({d}) - 1970"
+    raise ValueError(f"unknown transform {transform!r}")
+
+
 def transform_value(transform: str, value):
     """Driver-side mirror of transform_expr for metadata-only planning:
     partition_filter={source_col: value} prunes by comparing
@@ -489,6 +522,7 @@ class DataFileInfo:
     content: int = 0  # 0 data, 1 position deletes, 2 equality deletes
     equality_ids: list[int] | None = None
     bounds: dict[str, list] | None = None  # col -> [min, max] from footers
+    spec_id: int = 0  # partition spec the file was written under
 
 
 # ---------------------------------------------------------------------------
@@ -640,8 +674,10 @@ class IcebergLiteTable:
         by_id = {f["id"]: f for f in schema["fields"]}
         if spec_id is None:
             spec_id = meta["default-spec-id"]
-        spec = next(s for s in meta["partition-specs"]
-                    if s["spec-id"] == spec_id)
+        spec = next((s for s in meta["partition-specs"]
+                     if s["spec-id"] == spec_id), None)
+        if spec is None:
+            raise ValueError(f"unknown partition spec id {spec_id}")
         out = []
         for pf in spec["fields"]:
             src = by_id.get(pf["source-id"])
@@ -1029,6 +1065,17 @@ class IcebergLiteTable:
         fields = meta["schemas"][meta["current-schema-id"]]["fields"]
         first_id = meta.get("last-partition-id", 999) + 1
         spec_fields = _build_spec_fields(fields, partition_by, first_id)
+        # reuse a matching existing spec (spec-sameness = same transform
+        # over the same source, in order) — repeated idempotent calls and
+        # evolve-back-to-a-previous-layout must not grow partition-specs
+        shape = [(f["transform"], f["source-id"]) for f in spec_fields]
+        for s in meta["partition-specs"]:
+            if [(f.get("transform", "identity"), f["source-id"])
+                    for f in s["fields"]] == shape:
+                if meta["default-spec-id"] != s["spec-id"]:
+                    meta["default-spec-id"] = s["spec-id"]
+                    self._write_metadata(meta, self._current_version() + 1)
+                return s["spec-id"]
         new_spec = {"spec-id": len(meta["partition-specs"]),
                     "fields": spec_fields}
         meta["partition-specs"] = meta["partition-specs"] + [new_spec]
@@ -1786,6 +1833,7 @@ class IcebergLiteTable:
                     sequence_number=e.get("sequence_number")
                     or m["sequence_number"],
                     bounds=bounds,
+                    spec_id=m.get("partition_spec_id", 0),
                 ))
         return out
 
@@ -1849,6 +1897,20 @@ class IcebergLiteTable:
         exactly BETWEEN."""
         residual: dict[str, Any] = {}
         if partition_filter:
+            # a raw derived-name key (e.g. 'k_bucket') can't be row-level
+            # re-pinned, so on a mixed-spec table (where eras lacking the
+            # field would sail through pruning) it cannot give an exact
+            # row set — refuse instead of silently returning wrong rows;
+            # filter by the SOURCE column instead.  plan_files stays
+            # available for pruning-only use of raw keys.
+            data_cols = {f["name"] for f in self.schema_fields}
+            if len(self.metadata["partition-specs"]) > 1:
+                bad = [k for k in partition_filter if k not in data_cols]
+                if bad:
+                    raise ValueError(
+                        f"partition_filter keys {bad} are raw partition "
+                        f"field names; on a spec-evolved table filter by "
+                        f"the source column for an exact read")
             # plan_files resolves the raw filter itself for pruning;
             # read() only needs the residual row predicates
             residual = self._residual_predicates(partition_filter)
@@ -1879,8 +1941,10 @@ class IcebergLiteTable:
         UX; EVERY transform of the source prunes, so multi-field specs
         get the intersection).  Source-column keys on non-identity
         transforms also yield a residual equality, because a bucket/day
-        prunes files exactly but doesn't pin rows.  Unknown keys pass
-        through untouched (prune no files), matching the old behavior."""
+        prunes files exactly but doesn't pin rows.  Keys unknown to THIS
+        spec are dropped — they must prune nothing here, even if an
+        older spec's tuples happen to carry the same key name (e.g. an
+        identity field whose source column was later dropped)."""
         fields = self.partition_fields_for(spec_id)
         by_pname = {p["name"]: p for p in fields}
         by_source: dict[str, list[dict]] = {}
@@ -1898,8 +1962,6 @@ class IcebergLiteTable:
                     needs_residual |= p["transform"] != "identity"
                 if needs_residual:
                     residual[k] = v
-            else:
-                resolved[k] = v
         return resolved, residual
 
     def _residual_predicates(
@@ -1913,13 +1975,12 @@ class IcebergLiteTable:
         Keys that aren't a data column (raw derived names like k_bucket)
         can't be row-filtered and stay pruning-only."""
         data_cols = {f["name"] for f in self.schema_fields}
-        spec_ids = [s["spec-id"]
+        per_spec = [self.partition_fields_for(s["spec-id"])
                     for s in self.metadata["partition-specs"]]
         residual: dict[str, Any] = {}
         for k, v in partition_filter.items():
             if k not in data_cols:
                 continue
-            per_spec = [self.partition_fields_for(sid) for sid in spec_ids]
             known = any(p["source_name"] == k
                         for fields in per_spec for p in fields)
             pinned_everywhere = all(

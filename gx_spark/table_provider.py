@@ -179,27 +179,68 @@ class IcebergLiteTableProvider(TableProvider):
         return str(self._pinned)
 
     def partitions(self, spark: SparkSession) -> list[PartitionRef]:
+        """Disjoint, covering partition slices keyed by the CURRENT
+        default spec.  Fast path (every planned file was written under
+        the default spec): tuples come straight from the manifests —
+        metadata-only, no Spark job.  A spec-evolved table's old-era
+        files carry other specs' tuples, so their current-spec values
+        are derived from the data with ONE bounded distinct over the
+        transform expressions (cardinality = partition count, not rows).
+        Predicates are expressed over SOURCE columns (transform SQL for
+        bucket/truncate/time fields), so they slice the loaded DataFrame
+        no matter which era a row's file belongs to."""
+        from .iceberg import transform_sql
+
+        fields = self.table.partition_fields
+        if not fields:
+            return [PartitionRef(0, "1 = 1")]
         files = self.table.plan_files(
             snapshot_id=self._pinned,
             added_after_snapshot_id=self.incremental_from)
-        pcols = [c for c, _ in self.table.partition_cols]
-        if not pcols:
-            return [PartitionRef(0, "1 = 1")]
-        seen: dict[tuple, dict] = {}
-        for f in files:
-            key = tuple(f.partition.get(c) for c in pcols)
-            seen.setdefault(key, f.partition)
+        pnames = [p["name"] for p in fields]
+        default_sid = self.table.metadata["default-spec-id"]
+        if all(f.spec_id == default_sid for f in files):
+            tuples = {tuple(f.partition.get(c) for c in pnames)
+                      for f in files}
+        else:
+            from .iceberg import transform_expr
+
+            exprs = [
+                transform_expr(p["transform"], p["source_name"],
+                               p["source_type"]).alias(p["name"])
+                for p in fields]
+            tuples = {tuple(r[c] for c in pnames)
+                      for r in self.load(spark).select(*exprs)
+                      .distinct().collect()}
+        sqls = [transform_sql(p["transform"], p["source_name"],
+                              p["source_type"]) for p in fields]
+
+        def lit(v):
+            import datetime as _dt
+
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, str):
+                escaped = v.replace("'", "''")
+                return f"'{escaped}'"
+            if isinstance(v, _dt.datetime):
+                return f"timestamp'{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"date'{v.isoformat()}'"
+            return str(v)
+
+        # identity fields keep bare-column predicates (readable lineage,
+        # unchanged from the pre-transform provider); derived fields wrap
+        wrapped = [sql if p["transform"] == "identity" else f"({sql})"
+                   for sql, p in zip(sqls, fields)]
         refs = []
-        for i, key in enumerate(sorted(seen, key=lambda k: tuple(str(x) for x in k))):
-            part = seen[key]
+        ordered = sorted(tuples, key=lambda k: tuple(str(x) for x in k))
+        for i, key in enumerate(ordered):
             pred = " AND ".join(
-                f"{c} IS NULL" if part[c] is None
-                else f"{c} = '{part[c]}'" if isinstance(part[c], str)
-                else f"{c} = {part[c]}"
-                for c in pcols
-            )
-            pid = (part[pcols[0]]
-                   if len(pcols) == 1 and isinstance(part[pcols[0]], int) else i)
+                f"{sql} IS NULL" if v is None else f"{sql} = {lit(v)}"
+                for sql, v in zip(wrapped, key))
+            pid = (key[0] if len(key) == 1 and isinstance(key[0], int)
+                   and not isinstance(key[0], bool) else i)
             refs.append(PartitionRef(int(pid), pred))
         return refs
 

@@ -277,3 +277,77 @@ def test_partition_spec_evolution(spark, tmp_path):
         F.col("id"), (F.col("id") % 9).alias("k"))
     assert out3.count() == both.unionByName(third).where("k = 4").count()
     assert out3.where("k != 4").count() == 0
+
+
+def test_checkpoint_provider_over_transforms_and_evolution(spark, tmp_path):
+    """IcebergLiteTableProvider.partitions() must yield DISJOINT,
+    COVERING slices keyed by the current spec, for transform-partitioned
+    AND spec-evolved tables (predicates are transform SQL over source
+    columns, so they work on the loaded DataFrame in every era)."""
+    from gx_spark.table_provider import IcebergLiteTableProvider
+
+    df1 = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 11).alias("k"))
+    t = IcebergLiteTable.create(
+        str(tmp_path / "prov"), df1.schema, partition_by=["bucket(3, k)"])
+    t.append(df1)
+    prov = IcebergLiteTableProvider(str(tmp_path / "prov"))
+    parts = prov.partitions(spark)
+    df = prov.load(spark)
+    counts = [df.filter(p.predicate).count() for p in parts]
+    assert sum(counts) == 90 and all(c > 0 for c in counts)
+    assert len({p.partition_id for p in parts}) == len(parts)
+    # now evolve: old bucket-era files + new identity-era files
+    t.update_partition_spec(["k"])
+    t.append(spark.range(200, 240).select(
+        F.col("id"), (F.col("id") % 11).alias("k")))
+    prov2 = IcebergLiteTableProvider(str(tmp_path / "prov"))
+    parts2 = prov2.partitions(spark)
+    df2 = prov2.load(spark)
+    counts2 = [df2.filter(p.predicate).count() for p in parts2]
+    # disjoint + covering across BOTH eras, keyed by identity k (11 vals)
+    assert sum(counts2) == 130
+    assert len(parts2) == 11
+    assert len({p.partition_id for p in parts2}) == 11
+
+
+def test_raw_derived_key_read_refused_on_evolved_table(spark, tmp_path):
+    df = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    t = IcebergLiteTable.create(
+        str(tmp_path / "raw"), df.schema, partition_by=["bucket(4, k)"])
+    t.append(df)
+    # single spec: raw derived-name reads remain available
+    assert t.read(spark, partition_filter={"k_bucket": 0}).count() >= 0
+    t.update_partition_spec(["bucket(8, k)"])
+    t.append(spark.range(100, 160).select(
+        F.col("id"), (F.col("id") % 7).alias("k")))
+    with pytest.raises(ValueError):
+        t.read(spark, partition_filter={"k_bucket": 2})
+    # source-column reads stay exact across the width change
+    out = t.read(spark, partition_filter={"k": 2})
+    both = df.unionByName(spark.range(100, 160).select(
+        F.col("id"), (F.col("id") % 7).alias("k")))
+    assert out.count() == both.where("k = 2").count() > 0
+    assert out.where("k != 2").count() == 0
+
+
+def test_update_spec_idempotent_and_dropped_source(spark, tmp_path):
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 5).alias("k"),
+        (F.col("id") % 3).alias("j"))
+    t = IcebergLiteTable.create(
+        str(tmp_path / "idem"), df.schema, partition_by=["k"])
+    t.append(df)
+    sid1 = t.update_partition_spec(["bucket(4, j)"])
+    assert sid1 == 1
+    assert t.update_partition_spec(["bucket(4, j)"]) == 1  # no new spec
+    assert len(t.metadata["partition-specs"]) == 2
+    assert t.update_partition_spec(["k"]) == 0  # evolve back: reused
+    assert len(t.metadata["partition-specs"]) == 2
+    # drop a column that only an OLD spec used as identity source:
+    # filters on it must be a no-op (prune nothing), not prune old eras
+    t.update_partition_spec(["bucket(4, j)"])
+    t.drop_column("k")
+    assert len(t.plan_files(partition_filter={"k": 2})) \
+        == len(t.plan_files())
