@@ -981,6 +981,73 @@ def q_iceberg_hidden_partitioning(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_spec_evolution(spark, sf_dir):
+    """Partition spec evolution (gx_spark/iceberg.py
+    update_partition_spec): orders written in two eras — era 1 under
+    bucket(4, o_custkey), then the spec evolves (metadata-only, no data
+    rewrite) to truncate(2, o_orderpriority) and era 2 lands under it.
+    Old files keep their spec and are pruned by it; a filter key unknown
+    to a file's spec prunes nothing for that file (the exactness rule),
+    and residual predicates re-pin rows, so mixed-spec reads stay exact.
+    Engine-verified booleans: `pruned_old` (the custkey filter cut old-era
+    files but kept every new-era file), `pruned_new` (the priority filter
+    cut new-era files but kept every old-era file), `spec_reused`
+    (evolving back to the era-1 layout returns the original spec id
+    instead of growing partition-specs).  The oracle recomputes every
+    count/sum directly over orders — a row dropped or duplicated by the
+    per-file-spec pruning would hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    era1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    era2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="gx_ice_se_")
+    try:
+        t = IcebergLiteTable.create(
+            f"{tmp}/orders_se", orders.schema,
+            partition_by=["bucket(4, o_custkey)"])
+        t.append(era1.repartition(2))
+        n_old = len(t.plan_files())
+        new_spec_id = t.update_partition_spec(
+            ["truncate(2, o_orderpriority)"])
+        t.append(era2.repartition(2))
+        n_all = len(t.plan_files())
+        n_new = n_all - n_old
+        kmin = int(orders.agg(F.min("o_custkey")).first()[0])
+        # custkey is a source column of the OLD spec only: old-era files
+        # prune by bucket, every new-era file must survive
+        pf_k = t.plan_files(partition_filter={"o_custkey": kmin})
+        pruned_old = n_new <= len(pf_k) < n_all
+        # priority is a source column of the NEW spec only: new-era files
+        # prune by truncate, every old-era file must survive
+        pf_p = t.plan_files(
+            partition_filter={"o_orderpriority": "2-HIGH"})
+        pruned_new = n_old <= len(pf_p) < n_all
+        spec_reused = (
+            t.update_partition_spec(["bucket(4, o_custkey)"]) < new_spec_id
+            and len(t.metadata["partition-specs"]) == 2)
+        cust = t.read(spark, partition_filter={"o_custkey": kmin}).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        prio = t.read(
+            spark, partition_filter={"o_orderpriority": "2-HIGH"}).count()
+        total = t.read(spark).count()
+        return _row(
+            spark,
+            "cust_count long, cust_sum double, prio_count long, "
+            "total_count long, pruned_old boolean, pruned_new boolean, "
+            "spec_reused boolean",
+            [int(cust["c"]), float(cust["s"]), prio, total,
+             pruned_old, pruned_new, spec_reused],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023, gx_spark/ops.py
     dsir_weights): docs with doc_id%10==7 stand in as the high-quality
@@ -3709,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_documents": q_stupid_backoff_documents,
         "dsir_documents": q_dsir_documents,
         "iceberg_hidden_partitioning": q_iceberg_hidden_partitioning,
+        "iceberg_spec_evolution": q_iceberg_spec_evolution,
         "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
@@ -3760,8 +3828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_speed_perturb": q_audio_speed_perturb,
         "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
-        "line_dedup_documents": q_line_dedup_documents,
         # ---- driver window ends here (entry #50) ----
+        # line_dedup yielded its slot to the never-driver-verified
+        # spec-evolution query (line_dedup stays local-replay-verified;
+        # its winners-join shape is also exercised by dedup_spans in-window)
+        "line_dedup_documents": q_line_dedup_documents,
         # unigram_logprob yielded its slot to stupid_backoff (same
         # tokenization + scoring-pass shape, strictly more machinery)
         "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -5161,6 +5232,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
             "(SELECT count(*) FROM orders) AS total_count, "
             "TRUE AS pruned"
+        ),
+        "iceberg_spec_evolution": (
+            # mixed-spec read exactness reduces to plain relational
+            # figures over the SAME rows the two eras jointly hold (all of
+            # orders); the three booleans are engine-verified spec-aware
+            # pruning/reuse claims and must come back TRUE.
+            "WITH k AS (SELECT min(o_custkey) AS mk FROM orders) "
+            "SELECT "
+            "(SELECT count(*) FROM orders, k WHERE o_custkey = mk) "
+            "AS cust_count, "
+            "(SELECT ROUND(sum(o_totalprice), 2) FROM orders, k "
+            "WHERE o_custkey = mk) AS cust_sum, "
+            "(SELECT count(*) FROM orders "
+            "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
+            "(SELECT count(*) FROM orders) AS total_count, "
+            "TRUE AS pruned_old, TRUE AS pruned_new, TRUE AS spec_reused"
         ),
         "dsir_documents": (
             # Xie-2023 DSIR: hashed unigram+bigram bucket model (8192 md5
