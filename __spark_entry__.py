@@ -1048,6 +1048,62 @@ def q_iceberg_spec_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_changelog(spark, sf_dir):
+    """Changelog / CDC read (gx_spark/iceberg.py changes): orders flow
+    through four commits — two appends, a positional DELETE, and an
+    equality delete — with a rewrite_data_files compaction in the middle.
+    changes() must emit exactly the per-commit insert/delete rows (replace
+    snapshots silent), and net mode must collapse rows born and killed
+    inside the range.  The oracle recomputes every figure from the same
+    modular classes directly over orders; `compaction_silent` is
+    engine-verified (ordinals are exactly {0,1,2,3} — four logical
+    commits, the replace snapshot contributing none)."""
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    base = orders.where(F.col("o_orderkey") % 4 <= 2)
+    tmp = tempfile.mkdtemp(prefix="gx_ice_cdc_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_cdc", orders.schema)
+        t.append(base.where(F.col("o_orderkey") % 4 <= 1).repartition(2))
+        t.append(base.where(F.col("o_orderkey") % 4 == 2).repartition(2))
+        t.delete(spark, "o_totalprice > 400000")
+        t.rewrite_data_files(spark, target_files=1)
+        t.equality_delete(
+            spark,
+            orders.where(F.col("o_custkey") % 50 == 3)
+            .select("o_custkey").distinct(),
+            ["o_custkey"])
+        ch = t.changes(spark)
+        agg = (ch.groupBy("_change_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.round(F.sum("o_totalprice"), 2).alias("s"))
+               .collect())
+        by = {r["_change_type"]: (r["n"], r["s"]) for r in agg}
+        ordinals = sorted(r["_change_ordinal"] for r in
+                          ch.select("_change_ordinal").distinct().collect())
+        net = t.changes(spark, net=True)
+        net_by = {r["_change_type"]: r["n"] for r in
+                  net.groupBy("_change_type")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+        return _row(
+            spark,
+            "ins_count long, ins_sum double, del_count long, "
+            "del_sum double, net_insert_count long, net_delete_count long, "
+            "n_ordinals long, compaction_silent boolean",
+            [by["insert"][0], by["insert"][1],
+             by["delete"][0], by["delete"][1],
+             net_by.get("insert", 0), net_by.get("delete", 0),
+             len(ordinals), ordinals == [0, 1, 2, 3]],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023, gx_spark/ops.py
     dsir_weights): docs with doc_id%10==7 stand in as the high-quality
@@ -3777,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_documents": q_dsir_documents,
         "iceberg_hidden_partitioning": q_iceberg_hidden_partitioning,
         "iceberg_spec_evolution": q_iceberg_spec_evolution,
+        "iceberg_changelog": q_iceberg_changelog,
         "avro_source_orders": q_avro_source_orders,
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
@@ -3827,8 +3884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_documents": q_edit_distance_documents,
         "audio_speed_perturb": q_audio_speed_perturb,
         "audio_augment_noise": q_audio_augment_noise,
-        "audio_resample": q_audio_resample,
         # ---- driver window ends here (entry #50) ----
+        # audio_resample yielded its slot to the changelog query: its
+        # sinc-resample path stays exercised in-window by
+        # audio_pack_resample and audio_speed_perturb
+        "audio_resample": q_audio_resample,
         # line_dedup yielded its slot to the never-driver-verified
         # spec-evolution query (line_dedup stays local-replay-verified;
         # its winners-join shape is also exercised by dedup_spans in-window)
@@ -5248,6 +5308,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
             "(SELECT count(*) FROM orders) AS total_count, "
             "TRUE AS pruned_old, TRUE AS pruned_new, TRUE AS spec_reused"
+        ),
+        "iceberg_changelog": (
+            # the CDC event stream reduces to modular classes over orders:
+            # inserts = the two appended eras; position deletes = rows
+            # with totalprice > 400000 (everything appended was visible);
+            # equality deletes = the REMAINING rows whose custkey class
+            # matches; net inserts = appended minus deleted (every insert
+            # happened in-range, so net deletes = 0).  compaction_silent
+            # is engine-verified and must come back TRUE.
+            "WITH base AS (SELECT o_totalprice p, o_custkey c FROM orders "
+            "WHERE o_orderkey % 4 <= 2), "
+            "pd AS (SELECT * FROM base WHERE p > 400000), "
+            "ed AS (SELECT * FROM base WHERE p <= 400000 AND c % 50 = 3) "
+            "SELECT "
+            "(SELECT count(*) FROM base) AS ins_count, "
+            "(SELECT ROUND(sum(p), 2) FROM base) AS ins_sum, "
+            "(SELECT count(*) FROM pd) + (SELECT count(*) FROM ed) "
+            "AS del_count, "
+            "ROUND((SELECT sum(p) FROM pd) + (SELECT sum(p) FROM ed), 2) "
+            "AS del_sum, "
+            "(SELECT count(*) FROM base) - (SELECT count(*) FROM pd) "
+            "- (SELECT count(*) FROM ed) AS net_insert_count, "
+            "0 AS net_delete_count, 4 AS n_ordinals, "
+            "TRUE AS compaction_silent"
         ),
         "dsir_documents": (
             # Xie-2023 DSIR: hashed unigram+bigram bucket model (8192 md5

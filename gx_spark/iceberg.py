@@ -1930,6 +1930,169 @@ class IcebergLiteTable:
             return self._apply_value_filter(df, value_filter)
         return df
 
+    def changes(self, spark, from_snapshot_id: int | None = None,
+                to_snapshot_id: int | None = None, net: bool = False):
+        """Changelog (CDC) read — Iceberg's `create_changelog_view` /
+        `table_changes`: every row inserted or deleted by each commit on
+        the main ancestry between `from_snapshot_id` (EXCLUSIVE; None =
+        from table creation) and `to_snapshot_id` (inclusive; None =
+        current), as a DataFrame in the table's CURRENT schema plus
+        `_change_type` ('insert'|'delete'), `_commit_snapshot_id`, and
+        `_change_ordinal` (commit order within the range, oldest = 0).
+
+        Per-commit decomposition, never a full-table diff:
+
+        - inserts of snapshot S = rows of the data files whose manifest
+          entry carries S's snapshot id — a scan of exactly the files S
+          added (appends, add_files imports, and merge_into's data leg);
+        - position deletes of S = its (file_path, pos) pairs inner-joined
+          (broadcast — delete sets are small) against the REFERENCED data
+          files read with row positions as visible at S's parent (prior
+          deletes applied via the planned read, so a pair aimed at an
+          already-dead row emits nothing);
+        - equality deletes of S = rows visible at S's parent matching the
+          key tuples null-safely (broadcast semi-join; sequence scoping is
+          free — every parent-visible file is strictly older than S).
+
+        'replace' snapshots (rewrite_data_files compaction) move bytes,
+        not rows: they are skipped, exactly as Iceberg's changelog skips
+        them, so compaction inside the range emits nothing.  A merge_into
+        'overwrite' snapshot emits its matched old rows as deletes and its
+        source rows as inserts (same snapshot id, same ordinal).
+
+        `net=True` collapses the multiset of changes per row VALUE: a row
+        inserted then deleted inside the range (or vice versa) disappears,
+        and |#inserts - #deletes| copies of the survivor remain — the
+        net-changes view; per-commit provenance columns are dropped
+        because a netted row no longer belongs to one commit.
+
+        Scale notes: each commit's legs read only that commit's added
+        files plus, for deletes, the files its delete keys reference (all
+        other files are never opened); delete pairs/keys ride broadcast
+        joins.  The parent-visible read behind an equality-delete commit
+        scans files older than the delete — the same cost real Iceberg
+        changelog planning pays, because finding WHICH rows a key killed
+        requires looking at them."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        meta_cols = ("_change_type string, _commit_snapshot_id long, "
+                     "_change_ordinal int")
+        base_ddl = iceberg_fields_to_spark_ddl(self.schema_fields)
+        names = [f["name"] for f in self.schema_fields]
+        empty_ddl = base_ddl + ", " + meta_cols
+
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        head = self._resolve_snapshot(to_snapshot_id)
+        if head is None:
+            out = spark.createDataFrame([], empty_ddl)
+            return out.drop("_commit_snapshot_id", "_change_ordinal") \
+                if net else out
+        chain: list[dict] = []
+        cur: dict | None = head
+        while cur is not None and cur["snapshot-id"] != from_snapshot_id:
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            cur = snaps.get(parent) if parent is not None else None
+        if from_snapshot_id is not None and (
+                cur is None or cur["snapshot-id"] != from_snapshot_id):
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{head['snapshot-id']}")
+        chain.reverse()  # oldest first
+
+        legs = []
+        ordinal = -1
+        for snap in chain:
+            op = (snap.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: bytes moved, no logical change
+            ordinal += 1
+            sid = snap["snapshot-id"]
+            parent = snap.get("parent-snapshot-id")
+
+            def stamp(df, change_type, _sid=sid, _ord=ordinal):
+                return df.select(
+                    *names,
+                    F.lit(change_type).alias("_change_type"),
+                    F.lit(_sid).cast("long").alias("_commit_snapshot_id"),
+                    F.lit(_ord).cast("int").alias("_change_ordinal"))
+
+            added = [f for f in self.plan_files(snapshot_id=sid)
+                     if f.snapshot_id == sid]
+            if added:
+                legs.append(stamp(
+                    self._files_df(spark, added).select(*names), "insert"))
+
+            dels = [d for d in self.plan_delete_files(snapshot_id=sid)
+                    if d.snapshot_id == sid]
+            pos = [d for d in dels if d.content != 2]
+            eqs = [d for d in dels if d.content == 2]
+            if (pos or eqs) and parent is None:
+                continue  # deletes need a parent; none can exist without
+            if pos:
+                # renamed so a user column called file_path/pos can't
+                # collide with the delete-pair side of the join
+                pairs = (spark.read.parquet(*[d.file_path for d in pos])
+                         .select(F.col("file_path").alias("_gx_dpath"),
+                                 F.col("pos").alias("_gx_dpos"))
+                         .distinct())
+                # pairs carry the reader's `_metadata.file_path` URI
+                # (file:/...); manifests store plain paths — normalize
+                paths = {r["_gx_dpath"].removeprefix("file:") for r in
+                         pairs.select("_gx_dpath").distinct().collect()}
+                targets = [f for f in self.plan_files(snapshot_id=parent)
+                           if f.file_path in paths]
+                if targets:
+                    visible = self._read_planned(
+                        spark, targets, snapshot_id=parent,
+                        keep_position=True)
+                    hit = visible.join(
+                        F.broadcast(pairs),
+                        (visible["_gx_file_path"] == pairs["_gx_dpath"])
+                        & (visible["_gx_pos"] == pairs["_gx_dpos"]),
+                        "inner")
+                    legs.append(stamp(hit.select(*names), "delete"))
+            if eqs:
+                groups: dict[tuple, list[DataFileInfo]] = {}
+                for d in eqs:
+                    groups.setdefault(tuple(d.equality_ids or []),
+                                      []).append(d)
+                parent_rows = self.read(spark, snapshot_id=parent)
+                for ids, dfiles in sorted(groups.items()):
+                    kn = [self._field_name(i) for i in ids]
+                    keys = spark.read.parquet(
+                        *[d.file_path for d in dfiles]).toDF(*kn).distinct()
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [parent_rows[c].eqNullSafe(keys[c]) for c in kn])
+                    legs.append(stamp(
+                        parent_rows.join(F.broadcast(keys), cond,
+                                         "left_semi"), "delete"))
+
+        if not legs:
+            out = spark.createDataFrame([], empty_ddl)
+        else:
+            out = reduce(lambda a, b: a.unionByName(b), legs)
+        if not net:
+            return out
+        # net mode: multiset difference per row value — |ins - del| copies
+        # of the survivor, typed by the sign; provenance columns dropped
+        signed = out.withColumn(
+            "_d", F.when(F.col("_change_type") == "insert",
+                         F.lit(1)).otherwise(F.lit(-1)))
+        netted = (signed.groupBy(*names)
+                  .agg(F.sum("_d").alias("_net"))
+                  .filter(F.col("_net") != 0))
+        return (netted
+                .withColumn("_change_type",
+                            F.when(F.col("_net") > 0, F.lit("insert"))
+                            .otherwise(F.lit("delete")))
+                .withColumn("_copy", F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("_net")))))
+                .select(*names, "_change_type"))
+
     def _resolve_partition_filter(
         self, partition_filter: dict[str, Any], spec_id: int | None = None,
     ) -> tuple[dict[str, Any], dict[str, Any]]:
@@ -2003,11 +2166,14 @@ class IcebergLiteTable:
         return df
 
     def _read_planned(self, spark, files, snapshot_id=None, as_of_ms=None,
-                      ref=None):
+                      ref=None, keep_position=False):
+        out_cols = [f["name"] for f in self.schema_fields]
+        if keep_position:
+            out_cols = out_cols + ["_gx_file_path", "_gx_pos"]
         dels = self.plan_delete_files(snapshot_id, as_of_ms, ref)
         if not dels:
-            return self._files_df(spark, files).select(
-                *[f["name"] for f in self.schema_fields])
+            return self._files_df(
+                spark, files, with_position=keep_position).select(*out_cols)
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -2034,7 +2200,9 @@ class IcebergLiteTable:
                 eras.setdefault(key, []).append(f)
             parts = []
             for key in sorted(eras):
-                part = self._files_df(spark, eras[key], with_position=bool(pos))
+                part = self._files_df(
+                    spark, eras[key],
+                    with_position=bool(pos) or keep_position)
                 for gk in key:
                     names = [self._field_name(i) for i in gk[1]]
                     keys = spark.read.parquet(
@@ -2058,7 +2226,7 @@ class IcebergLiteTable:
                 & (df["_gx_pos"] == del_df["pos"]),
                 "left_anti",
             )
-        return df.select(*[f["name"] for f in self.schema_fields])
+        return df.select(*out_cols)
 
     def _field_name(self, field_id: int) -> str:
         for f in self.schema_fields:
