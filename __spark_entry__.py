@@ -1048,6 +1048,26 @@ def q_iceberg_spec_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, gx_spark/ops.py semdedup): semantic
+    dedup by k-means clustering + within-cluster cosine pruning, keeping
+    per duplicate group the member FARTHEST from its centroid.  Centroids
+    are INJECTED as the 8 lowest-vec_id embeddings, which makes the whole
+    operator relationally reproducible: the oracle recomputes assignment
+    (argmax of 6-dp-rounded cosine, ties to the lowest cell), the
+    (c_sim DESC, id ASC) ranking, and the later-ranked-duplicate removal
+    rule over the same 500 rows.  Output is per-row (id, cluster, c_sim,
+    removed) — any divergence in clustering, ranking, or pruning
+    hash-mismatches."""
+    import numpy as np
+
+    emb = _load(spark, sf_dir, "embeddings")
+    crows = emb.orderBy("vec_id").limit(8).collect()
+    C = np.array([[float(x) for x in r["embedding"]] for r in crows])
+    return ops.semdedup(emb, "vec_id", "embedding",
+                        threshold=0.5, centroids=C)
+
+
 def q_iceberg_changelog(spark, sf_dir):
     """Changelog / CDC read (gx_spark/iceberg.py changes): orders flow
     through four commits — two appends, a positional DELETE, and an
@@ -3838,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_audit": q_iceberg_wap_audit,
         "iceberg_merge_refs": q_iceberg_merge_refs,
         "pii_documents": q_pii_documents,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "image_metadata_violations": q_image_metadata_violations,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
@@ -3883,11 +3904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
         "audio_speed_perturb": q_audio_speed_perturb,
-        "audio_augment_noise": q_audio_augment_noise,
         # ---- driver window ends here (entry #50) ----
-        # audio_resample yielded its slot to the changelog query: its
-        # sinc-resample path stays exercised in-window by
-        # audio_pack_resample and audio_speed_perturb
+        # audio_augment_noise and audio_resample yielded their slots to
+        # the changelog and semdedup queries: both ops stay exercised
+        # in-window via audio_augment_pipeline (which chains noise +
+        # resample + stretch and pins bit-identity to the chained ops)
+        "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         # line_dedup yielded its slot to the never-driver-verified
         # spec-evolution query (line_dedup stays local-replay-verified;
@@ -5308,6 +5330,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
             "(SELECT count(*) FROM orders) AS total_count, "
             "TRUE AS pruned_old, TRUE AS pruned_new, TRUE AS spec_reused"
+        ),
+        "semdedup_embeddings": (
+            # injected centroids = the 8 lowest-vec_id embeddings, so the
+            # full SemDeDup pipeline is relational: assignment = argmax of
+            # 6-dp-rounded cosine (ties -> lowest cell), rank =
+            # (c_sim DESC, id ASC), removed = a later-ranked same-cluster
+            # member with 6-dp-rounded cosine >= 0.5 exists
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 8), "
+            "c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, "
+            "v AS cv FROM c0), "
+            "sim AS (SELECT e.id, c.cell, "
+            "ROUND(list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * "
+            "sqrt(list_dot_product(c.cv, c.cv))), 6) AS d FROM e, c), "
+            "asg AS (SELECT id, cell, d FROM (SELECT sim.*, row_number() "
+            "OVER (PARTITION BY id ORDER BY d DESC, cell ASC) AS rn "
+            "FROM sim) WHERE rn = 1), "
+            "rem AS (SELECT DISTINCT a.id FROM asg a "
+            "JOIN asg b ON a.cell = b.cell "
+            "AND (b.d < a.d OR (b.d = a.d AND b.id > a.id)) "
+            "JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id "
+            "WHERE ROUND(list_dot_product(ea.v, eb.v) / "
+            "(sqrt(list_dot_product(ea.v, ea.v)) * "
+            "sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.5) "
+            "SELECT a.id, CAST(a.cell AS INT) AS cluster, a.d AS c_sim, "
+            "(r.id IS NOT NULL) AS removed "
+            "FROM asg a LEFT JOIN rem r ON a.id = r.id"
         ),
         "iceberg_changelog": (
             # the CDC event stream reduces to modular classes over orders:

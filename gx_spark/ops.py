@@ -539,6 +539,109 @@ def embedding_dedup_clusters(
     )
 
 
+def semdedup(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 64,
+    threshold: float = 0.9, centroids=None,
+    sample_cap: int = 20_000, iters: int = 10, seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning —
+    the web-scale alternative to all-pairs embedding dedup when the LSH
+    recall curve is the wrong tool (paper: 50k clusters over LAION/C4).
+
+    1. Spherical k-means centroids (train_ivf_centroids' bounded-sample
+       Lloyd loop), or caller-supplied `centroids` (rows are
+       L2-normalized here either way) — injecting centroids makes the
+       whole operator exactly reproducible relationally, which is how the
+       driver oracle checks it.
+    2. One map-side Arrow pass tags every vector with its nearest
+       centroid (`cluster`) and its similarity to it (`c_sim`) — a single
+       (batch, dim) @ (dim, k) BLAS matmul per batch.
+    3. Within each cluster, members are ranked by (c_sim DESC, id ASC)
+       and a member is REMOVED iff some member ranked after it has
+       cosine >= threshold — exactly the paper's upper-triangular-max
+       rule of keeping, per duplicate group, the example FARTHEST from
+       the centroid (most distinctive).  Both similarities are compared
+       on 6-dp-rounded values, so assignment and verdicts are
+       bit-reproducible across engines/BLAS backends.
+
+    Returns one row per input row: (id, cluster, c_sim, removed); null /
+    ragged vectors keep cluster/c_sim null and are never removed.
+
+    Scale shape: the quadratic never leaves a cluster — the only wide
+    exchange is the self-join keyed on `cluster`, and the paper's own
+    knob applies: pick n_clusters ~ corpus/expected-cluster-size so a
+    cluster's pair block fits a task.  Training cost is one bounded
+    sample + driver matmuls; the tag pass is map-only."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, n_clusters, sample_cap, iters, seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    dim = C.shape[1]
+
+    @pandas_udf("struct<cluster:int, c_sim:double, nv:array<double>>")
+    def tag(vecs):
+        import numpy as _np
+
+        n = len(vecs)
+        M = _np.zeros((n, dim), dtype=_np.float64)
+        valid = _np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = _np.asarray(v, dtype=_np.float64)
+            if a.shape == (dim,):
+                M[i] = a
+                valid[i] = True
+        M /= _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        # 6-dp rounding BEFORE argmax: assignment ties then break on the
+        # lowest cell index on every engine, not on float noise
+        sims = _np.round(M @ C.T, 6)
+        cells = sims.argmax(axis=1).astype("int32")
+        best = sims.max(axis=1)
+        cells[~valid] = -1  # sentinel; mapped to null below
+        return pd.DataFrame({
+            "cluster": cells,
+            "c_sim": best,
+            "nv": [list(M[i]) if valid[i] else None for i in range(n)],
+        })
+
+    raw = df.select(
+        F.col(id_col).alias("id"), tag(F.col(vec_col)).alias("t")
+    ).select("id", "t.cluster", "t.c_sim", "t.nv")
+    tagged = raw.select(
+        "id",
+        F.when(F.col("cluster") >= 0, F.col("cluster")).alias("cluster"),
+        F.when(F.col("cluster") >= 0, F.col("c_sim")).alias("c_sim"),
+        "nv")
+    a = tagged.where(F.col("cluster").isNotNull()).select(
+        F.col("cluster").alias("cl"), F.col("id").alias("id_a"),
+        F.col("c_sim").alias("cs_a"), F.col("nv").alias("nv_a"))
+    b = tagged.where(F.col("cluster").isNotNull()).select(
+        F.col("cluster").alias("cl"), F.col("id").alias("id_b"),
+        F.col("c_sim").alias("cs_b"), F.col("nv").alias("nv_b"))
+    ranked_after = (F.col("cs_b") < F.col("cs_a")) | (
+        (F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") > F.col("id_a")))
+    removed_ids = (
+        a.join(b, "cl")
+        .where(ranked_after)
+        .where(F.round(_dot(F.col("nv_a"), F.col("nv_b")), 6)
+               >= F.lit(threshold))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        tagged.join(removed_ids, "id", "left")
+        .select("id", "cluster", "c_sim",
+                F.coalesce(F.col("_rm"), F.lit(False)).alias("removed"))
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.5, n_hashes: int = 32, bands: int = 8,
