@@ -632,6 +632,34 @@ def q_chisquare_mktsegment(spark, sf_dir):
                 [round(float(d["chi_squared"]), 6), int(d["dof"])])
 
 
+def q_cramers_phi_orders(spark, sf_dir):
+    """Cramér's phi association gate (gx_spark/expectations/stat_tests.py
+    CramersPhi, upstream's pandas-only
+    expect_column_pair_cramers_phi_value_to_be_less_than rebuilt as ONE
+    map-side-combined groupBy over the pruned pair projection): the
+    (o_orderpriority, o_orderstatus) contingency table's uncorrected
+    Pearson chi2 -> phi_c = sqrt(chi2/(n*min(r-1,c-1))).  The oracle
+    recomputes the full contingency/expected/chi2/phi cascade
+    relationally in DuckDB."""
+    r = _evr(
+        spark, _load(spark, sf_dir, "orders"),
+        ExpectationSuite("q").add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="o_orderpriority", column_B="o_orderstatus",
+            threshold=0.1,
+        ),
+    )
+    d = r[0].result["details"]
+    return _row(
+        spark,
+        "phi double, chi2_stat double, n long, r long, c long, "
+        "success boolean",
+        [round(float(r[0].result["observed_value"]), 6),
+         round(float(d["chi_squared"]), 6), int(d["n"]), int(d["r"]),
+         int(d["c"]), bool(r[0].success)],
+    )
+
+
 def q_ks_stat_uniform_quantity(spark, sf_dir):
     """Exact one-sample KS statistic of l_quantity vs Uniform[1, 50]
     (ECDF via a window rank — the exact baseline; the engine expectation
@@ -3863,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "expectation_diagnostics": q_expectation_diagnostics,
+        "cramers_phi_orders": q_cramers_phi_orders,
         # -- tier 1b: new in r5, never driver-verified --
         "oov_stats_documents": q_oov_stats_documents,
         "audio_qa_fused": q_audio_qa_fused,
@@ -3903,12 +3932,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mel_features": q_audio_mel_features,
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
-        "audio_speed_perturb": q_audio_speed_perturb,
         # ---- driver window ends here (entry #50) ----
-        # audio_augment_noise and audio_resample yielded their slots to
-        # the changelog and semdedup queries: both ops stay exercised
-        # in-window via audio_augment_pipeline (which chains noise +
-        # resample + stretch and pins bit-identity to the chained ops)
+        # audio_speed_perturb, audio_augment_noise, and audio_resample
+        # yielded their slots to the changelog/semdedup/cramers-phi
+        # queries: all three ops stay exercised in-window via
+        # audio_augment_pipeline (which chains noise + resample + stretch
+        # and pins bit-identity to the chained ops)
+        "audio_speed_perturb": q_audio_speed_perturb,
         "audio_augment_noise": q_audio_augment_noise,
         "audio_resample": q_audio_resample,
         # line_dedup yielded its slot to the never-driver-verified
@@ -5330,6 +5360,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
             "(SELECT count(*) FROM orders) AS total_count, "
             "TRUE AS pruned_old, TRUE AS pruned_new, TRUE AS spec_reused"
+        ),
+        "cramers_phi_orders": (
+            # full relational recompute: contingency counts, expected =
+            # row_total*col_total/n over ALL r x c cells (absent observed
+            # cells contribute E), uncorrected Pearson chi2, phi_c
+            "WITH ct AS (SELECT o_orderpriority AS a, o_orderstatus AS b, "
+            "CAST(count(*) AS DOUBLE) AS k FROM orders GROUP BY 1, 2), "
+            "tot AS (SELECT sum(k) AS n FROM ct), "
+            "rt AS (SELECT a, sum(k) AS ra FROM ct GROUP BY a), "
+            "cs AS (SELECT b, sum(k) AS cb FROM ct GROUP BY b), "
+            "cells AS (SELECT rt.a, cs.b, rt.ra, cs.cb, "
+            "coalesce(ct.k, 0) AS k FROM rt CROSS JOIN cs "
+            "LEFT JOIN ct ON ct.a = rt.a AND ct.b = cs.b), "
+            "chi AS (SELECT sum((cells.k - cells.ra * cells.cb / tot.n) "
+            "* (cells.k - cells.ra * cells.cb / tot.n) "
+            "/ (cells.ra * cells.cb / tot.n)) AS chi2 "
+            "FROM cells, tot), "
+            "dims AS (SELECT (SELECT count(*) FROM rt) AS r, "
+            "(SELECT count(*) FROM cs) AS c) "
+            "SELECT ROUND(sqrt(chi.chi2 / (tot.n * (least(dims.r, dims.c) "
+            "- 1))), 6) AS phi, ROUND(chi.chi2, 6) AS chi2_stat, "
+            "CAST(tot.n AS BIGINT) AS n, dims.r, dims.c, "
+            "sqrt(chi.chi2 / (tot.n * (least(dims.r, dims.c) - 1))) < 0.1 "
+            "AS success FROM chi, tot, dims"
         ),
         "semdedup_embeddings": (
             # injected centroids = the 8 lowest-vec_id embeddings, so the

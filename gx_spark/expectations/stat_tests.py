@@ -246,3 +246,121 @@ class BootstrappedKSTest:
             return _result(cfg, rf, mean_p > p_threshold, mean_p, details)
 
         return finalize
+
+
+@register_expectation("expect_column_pair_cramers_phi_value_to_be_less_than")
+class CramersPhi:
+    """Cramér's phi (phi_c, a.k.a. Cramér's V) of the two columns'
+    contingency table must be LESS THAN `threshold` — the column-pair
+    association gate (upstream pandas-only
+    expectations/core/expect_column_pair_cramers_phi_value_to_be_less_than.py;
+    default threshold 0.1 as there).
+
+    phi_c = sqrt(chi2 / (n * min(r-1, c-1))) with the plain Pearson
+    statistic (expected = row_total*col_total/n; NO Yates continuity
+    correction — upstream's scipy default applies it for 2x2 tables, but
+    uncorrected Pearson is the standard Cramér's V definition and keeps
+    the result one formula at every table size; documented deviation).
+    A pair where either column is constant has min(r-1, c-1) = 0: no
+    association is measurable, phi is defined as 0.0.
+
+    Optional `bins_A` / `bins_B` (sorted edge lists) bucket continuous
+    columns first, using this engine's histogram convention: left-closed
+    [e_i, e_{i+1}) with the LAST bin right-closed; out-of-range values
+    fall out of the table (upstream bins via pd.cut).  Rows where either
+    side is null (or out of its bins) are excluded, matching the
+    upstream crosstab.
+
+    Spark shape: ONE groupBy over the pruned two-column projection
+    (partial-aggregated map-side) — the driver sees only the distinct
+    cell counts, never rows.  `max_cells` (default 100_000) fails fast
+    on an accidental high-cardinality pair instead of collecting it."""
+
+    examples = [{
+        "data": {"a": ["x", "x", "y", "y"], "b": ["u", "u", "v", "v"]},
+        "schema": "a string, b string",
+        "tests": [
+            {"title": "perfect association fails",
+             "in": {"column_A": "a", "column_B": "b", "threshold": 0.5},
+             "out": {"success": False, "observed_value": 1.0}},
+        ],
+    }, {
+        "data": {"a": ["x", "x", "y", "y"], "b": ["u", "v", "u", "v"]},
+        "schema": "a string, b string",
+        "tests": [
+            {"title": "independent pair has phi 0",
+             "in": {"column_A": "a", "column_B": "b", "threshold": 0.1},
+             "out": {"success": True, "observed_value": 0.0}},
+        ],
+    }]
+
+    def plan(self, ctx: MetricContext, cfg: ExpectationConfiguration, index: int) -> Finalizer:
+        col_a = cfg.kwargs["column_A"]
+        col_b = cfg.kwargs["column_B"]
+        require_columns(ctx, col_a, col_b)
+        threshold = float(cfg.kwargs.get("threshold", 0.1))
+        bins_a = cfg.kwargs.get("bins_A")
+        bins_b = cfg.kwargs.get("bins_B")
+        max_cells = int(cfg.kwargs.get("max_cells", 100_000))
+        dk, dom = ctx.domain(cfg.kwargs.get("row_condition"))
+        rf = result_format_of(cfg, ctx.options)
+
+        def binned(col: str, edges):
+            c = F.col(col)
+            if not edges:
+                return c
+            edges = [float(e) for e in edges]
+            expr = F.lit(None).cast("int")
+            for i in range(len(edges) - 1):
+                last = i == len(edges) - 2
+                hi_ok = (c <= F.lit(edges[i + 1])) if last \
+                    else (c < F.lit(edges[i + 1]))
+                expr = F.when((c >= F.lit(edges[i])) & hi_ok,
+                              F.lit(i)).otherwise(expr)
+            return expr
+
+        def metric(df):
+            d = df
+            if dom is not None:
+                d = d.filter(dom)
+            d = d.select(binned(col_a, bins_a).alias("_a"),
+                         binned(col_b, bins_b).alias("_b"))
+            d = d.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+            cells = (d.groupBy("_a", "_b")
+                     .agg(F.count(F.lit(1)).alias("_n"))
+                     .limit(max_cells + 1)
+                     .collect())
+            if len(cells) > max_cells:
+                raise ValueError(
+                    f"contingency table of ({col_a}, {col_b}) exceeds "
+                    f"max_cells={max_cells}; bin the columns (bins_A/"
+                    f"bins_B) or raise max_cells")
+            return [(r["_a"], r["_b"], int(r["_n"])) for r in cells]
+
+        ref = ctx.data(
+            "column_pair.contingency", dk,
+            [col_a, col_b, bins_a, bins_b], metric)
+
+        def finalize(bag):
+            cells = bag[ref]
+            if not cells:
+                return _result(cfg, rf, False, None, {"error": "empty domain"})
+            a_vals = sorted({a for a, _, _ in cells}, key=str)
+            b_vals = sorted({b for _, b, _ in cells}, key=str)
+            r, c = len(a_vals), len(b_vals)
+            n = sum(k for _, _, k in cells)
+            if min(r, c) < 2:
+                details = {"chi_squared": 0.0, "n": n, "r": r, "c": c}
+                return _result(cfg, rf, 0.0 < threshold, 0.0, details)
+            ai = {v: i for i, v in enumerate(a_vals)}
+            bi = {v: i for i, v in enumerate(b_vals)}
+            O = np.zeros((r, c), dtype=np.float64)
+            for a, b, k in cells:
+                O[ai[a], bi[b]] = k
+            E = O.sum(axis=1, keepdims=True) @ O.sum(axis=0, keepdims=True) / n
+            chi2 = float(((O - E) ** 2 / E).sum())
+            phi = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+            details = {"chi_squared": chi2, "n": n, "r": r, "c": c}
+            return _result(cfg, rf, phi < threshold, phi, details)
+
+        return finalize

@@ -188,3 +188,65 @@ def test_stat_tests_fused_no_extra_jobs(spark):
     )
     b = validate(spark, df, suite, EngineOptions(collect_violations=False))
     assert all(r.success for r in b.suite_result.results)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's phi (expect_column_pair_cramers_phi_value_to_be_less_than)
+# ---------------------------------------------------------------------------
+
+def _phi(spark, df, **kw):
+    suite = ExpectationSuite("phi").add(
+        "expect_column_pair_cramers_phi_value_to_be_less_than", **kw)
+    b = validate(spark, df, suite, EngineOptions(collect_violations=False))
+    return b.suite_result.results[0]
+
+
+def test_cramers_phi_perfect_association(spark):
+    df = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string")
+    r = _phi(spark, df, column_A="a", column_B="b", threshold=0.5)
+    assert not r.success
+    assert r.result["observed_value"] == pytest.approx(1.0)
+
+
+def test_cramers_phi_independent_pair_is_zero(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in ("x", "y", "z") for b in ("u", "v") for _ in range(4)],
+        "a string, b string")
+    r = _phi(spark, df, column_A="a", column_B="b", threshold=0.1)
+    assert r.success
+    assert r.result["observed_value"] == pytest.approx(0.0)
+    assert r.result["details"]["r"] == 3 and r.result["details"]["c"] == 2
+
+
+def test_cramers_phi_constant_column_is_zero(spark):
+    df = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("x", "u")], "a string, b string")
+    r = _phi(spark, df, column_A="a", column_B="b", threshold=0.1)
+    assert r.success
+    assert r.result["observed_value"] == 0.0
+
+
+def test_cramers_phi_bins_and_nulls(spark):
+    # binned numeric side: values outside the edges and null rows fall
+    # out of the table (upstream crosstab semantics); the remaining pairs
+    # are perfectly associated through the bin labels
+    rows = [("x", 0.5), ("x", 1.5), ("y", 2.5), ("y", 3.5),
+            ("x", 99.0), (None, 1.0), ("y", None)]
+    df = spark.createDataFrame(rows, "a string, v double")
+    r = _phi(spark, df, column_A="a", column_B="v",
+             bins_B=[0.0, 2.0, 4.0], threshold=0.5)
+    assert not r.success
+    assert r.result["observed_value"] == pytest.approx(1.0)
+    assert r.result["details"]["n"] == 4
+
+
+def test_cramers_phi_max_cells_guard(spark):
+    # metric errors surface as a failed EVR with exception_info (the
+    # engine's catch_exceptions discipline), never a passing result
+    df = spark.range(200).selectExpr(
+        "cast(id as string) as a", "cast(id % 50 as string) as b")
+    r = _phi(spark, df, column_A="a", column_B="b", threshold=0.5,
+             max_cells=100)
+    assert not r.success
+    assert "max_cells" in r.exception_info["exception_message"]
