@@ -1551,6 +1551,79 @@ class IcebergLiteTable:
         self._write_metadata(meta, self._current_version() + 1)
         return stats
 
+    def remove_orphan_files(self, older_than_ms: int | None = None,
+                            dry_run: bool = False) -> list[str]:
+        """Maintenance: delete files under the table location that no
+        snapshot references (Iceberg's remove_orphan_files procedure) —
+        the debris of crashed writes: data/delete parquet laid down by a
+        task whose commit never happened, half-written manifests, stray
+        .tmp files.  expire_snapshots reclaims files that WERE committed
+        and then aged out; this reclaims files that never made it into
+        any commit.
+
+        The referenced set is every surviving snapshot's manifest list,
+        every manifest those lists name, every data/delete file those
+        manifests name (staged branch snapshots are in `snapshots`, so
+        unpublished WAP work is protected), plus the metadata.json
+        version log and the version hint.
+
+        `older_than_ms` is the in-flight-write guard, exactly as in the
+        Iceberg procedure: only files whose mtime is strictly below it
+        are eligible (default: 3 days before now — a concurrent writer's
+        just-written, not-yet-committed files must not be swept).  Pass
+        `dry_run=True` to list without deleting.  Returns the orphan
+        paths (deleted, or would-be-deleted under dry_run)."""
+        import time
+
+        if older_than_ms is None:
+            older_than_ms = int((time.time() - 3 * 86400) * 1000)
+        referenced: set[str] = set()
+        for s in self.metadata["snapshots"]:
+            lst = s["manifest-list"]
+            referenced.add(lst)
+            if not os.path.exists(lst):
+                continue
+            _, manifests = read_ocf(lst)
+            for m in manifests:
+                mp = m["manifest_path"]
+                referenced.add(mp)
+                if not os.path.exists(mp):
+                    continue
+                _, entries = read_ocf(mp)
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+        orphans: list[str] = []
+        for root in (self.data_dir, self.meta_dir):
+            if not os.path.isdir(root):
+                continue
+            for d, _sub, names in os.walk(root):
+                for name in names:
+                    if name.startswith((".", "_")):
+                        # HiddenPathFilter semantics, as in Iceberg's own
+                        # procedure: Hadoop sidecars (_SUCCESS, .crc) and
+                        # dotfiles are never candidates
+                        continue
+                    p = os.path.join(d, name)
+                    if p in referenced:
+                        continue
+                    if root is self.meta_dir and (
+                            name == "version-hint.text"
+                            or (name.startswith("v")
+                                and name.endswith(".metadata.json"))):
+                        continue  # the version log is never an orphan
+                    if os.path.getmtime(p) * 1000 >= older_than_ms:
+                        continue  # in-flight-write guard
+                    orphans.append(p)
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+                d = os.path.dirname(p)
+                while (d.startswith(self.data_dir) and d != self.data_dir
+                       and os.path.isdir(d) and not os.listdir(d)):
+                    os.rmdir(d)
+                    d = os.path.dirname(d)
+        return sorted(orphans)
+
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
                         content: int = 0, replace: bool = False,
