@@ -1413,6 +1413,108 @@ class IcebergLiteTable:
         return self._commit_entries(meta, entries, snap_id, seq, now_ms,
                                     operation="replace", replace=True)
 
+    def rewrite_manifests(self, now_ms: int | None = None) -> dict:
+        """Metadata-only manifest consolidation (Iceberg's
+        rewrite_manifests maintenance action): the current snapshot's
+        manifests — one per historical commit, because every commit
+        carries its predecessors' manifests forward — fold into ONE
+        manifest per (content kind, partition spec), committed as a
+        'replace' snapshot.  Scan planning reads O(#manifests) OCF files
+        before it prunes a single data file, so a table with 10^4 commits
+        pays 10^4 metadata reads per query until this runs; after it, one
+        per spec.  No data file moves or is rewritten.
+
+        Per-entry snapshot_id and sequence_number are PRESERVED (status
+        flips to 0 = EXISTING, the spec's marker for carried-forward
+        entries): incremental reads, changelog provenance, and
+        equality-delete sequence scoping all key on the per-entry
+        numbers, so consolidation is invisible to them — plan_files
+        prunes entries by their own sequence, and the consolidated
+        manifest's min_sequence_number keeps the manifest-level fast path
+        conservative.  The 'replace' snapshot is silent in changes(),
+        exactly like data compaction: no logical change.
+
+        Returns {"manifests_before", "manifests_after", "entries"}."""
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return {"manifests_before": 0, "manifests_after": 0,
+                    "entries": 0}
+        _, manifests = read_ocf(snap["manifest-list"])
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for m in manifests:
+            _, entries = read_ocf(m["manifest_path"])
+            key = (m.get("content", 0), m.get("partition_spec_id", 0))
+            for e in entries:
+                if e["status"] == 2:  # DELETED: drop tombstones entirely
+                    continue
+                groups.setdefault(key, []).append({
+                    "status": 0,  # EXISTING (carried forward, not added)
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": (e.get("sequence_number")
+                                        or m["sequence_number"]),
+                    "data_file": e["data_file"],
+                })
+        n_entries = sum(len(v) for v in groups.values())
+        if len(manifests) <= len(groups):
+            return {"manifests_before": len(manifests),
+                    "manifests_after": len(manifests), "entries": n_entries}
+        meta, seq, snap_id, now_ms = self._begin(now_ms)
+        new_manifests = []
+        for gi, ((content, spec_id), entries) in enumerate(sorted(
+                groups.items())):
+            pcols = [(p["name"], p["value_type"])
+                     for p in self.partition_fields_for(spec_id)]
+            man_path = os.path.join(self.meta_dir,
+                                    f"manifest-{snap_id}-{gi}.avro")
+            write_ocf(man_path, _manifest_entry_schema(pcols), entries,
+                      extra_meta={"schema": json.dumps(
+                          meta["schemas"][meta["current-schema-id"]]).encode(),
+                          "partition-spec-id": str(spec_id).encode(),
+                          "content": b"deletes" if content else b"data"})
+            new_manifests.append({
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": spec_id,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in entries),
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(entries),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries),
+                "deleted_rows_count": 0,
+            })
+        list_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
+        write_ocf(list_path, _MANIFEST_LIST_SCHEMA, new_manifests)
+        snap_rec = {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": {"operation": "replace",
+                        "rewritten-manifests": str(len(manifests)),
+                        "added-manifests": str(len(new_manifests))},
+            "schema-id": meta["current-schema-id"],
+        }
+        meta["snapshots"] = meta["snapshots"] + [snap_rec]
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+        meta["current-snapshot-id"] = snap_id
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
+        self._write_metadata(meta, self._current_version() + 1)
+        return {"manifests_before": len(manifests),
+                "manifests_after": len(new_manifests), "entries": n_entries}
+
     def rollback_to_snapshot(self, snapshot_id: int) -> int:
         """Move main BACK to an ancestor snapshot (Iceberg's
         `rollback_to_snapshot` maintenance procedure — the undo for a bad
@@ -1880,6 +1982,15 @@ class IcebergLiteTable:
             _, entries = read_ocf(m["manifest_path"])
             for e in entries:
                 if e["status"] == 2:  # DELETED
+                    continue
+                if min_seq is not None and (
+                        e.get("sequence_number")
+                        or m["sequence_number"]) <= min_seq:
+                    # entry-level pruning: a consolidated manifest
+                    # (rewrite_manifests) carries entries of MANY commits
+                    # under one new manifest sequence — each entry still
+                    # prunes by its own number, so incremental reads stay
+                    # exact after consolidation
                     continue
                 dfile = e["data_file"]
                 part = dfile.get("partition") or {}
