@@ -337,9 +337,11 @@ class CramersPhi:
                     f"bins_B) or raise max_cells")
             return [(r["_a"], r["_b"], int(r["_n"])) for r in cells]
 
+        # max_cells is part of the key: two configs on the same pair with
+        # different guards must not share one (limit-baked-in) metric
         ref = ctx.data(
             "column_pair.contingency", dk,
-            [col_a, col_b, bins_a, bins_b], metric)
+            [col_a, col_b, bins_a, bins_b, max_cells], metric)
 
         def finalize(bag):
             cells = bag[ref]

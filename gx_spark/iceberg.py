@@ -1488,30 +1488,11 @@ class IcebergLiteTable:
                     e["data_file"]["record_count"] for e in entries),
                 "deleted_rows_count": 0,
             })
-        list_path = os.path.join(
-            self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
-        write_ocf(list_path, _MANIFEST_LIST_SCHEMA, new_manifests)
-        snap_rec = {
-            "snapshot-id": snap_id,
-            "parent-snapshot-id": meta["current-snapshot-id"],
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": list_path,
-            "summary": {"operation": "replace",
-                        "rewritten-manifests": str(len(manifests)),
-                        "added-manifests": str(len(new_manifests))},
-            "schema-id": meta["current-schema-id"],
-        }
-        meta["snapshots"] = meta["snapshots"] + [snap_rec]
-        meta["last-sequence-number"] = seq
-        meta["last-updated-ms"] = now_ms
-        meta["snapshot-log"] = meta["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snap_id}]
-        meta["current-snapshot-id"] = snap_id
-        refs = dict(meta.get("refs") or {})
-        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
-        meta["refs"] = refs
-        self._write_metadata(meta, self._current_version() + 1)
+        self._finalize_snapshot(
+            meta, new_manifests, snap_id, seq, now_ms,
+            {"operation": "replace",
+             "rewritten-manifests": str(len(manifests)),
+             "added-manifests": str(len(new_manifests))})
         return {"manifests_before": len(manifests),
                 "manifests_after": len(new_manifests), "entries": n_entries}
 
@@ -1818,9 +1799,20 @@ class IcebergLiteTable:
                 # still empty (_resolve_snapshot() returns None then)
                 _, prev_manifests = read_ocf(
                     self._resolve_snapshot()["manifest-list"])
+        return self._finalize_snapshot(
+            meta, new_manifests + prev_manifests, snap_id, seq, now_ms,
+            summary, branch=branch, branch_head=branch_head)
+
+    def _finalize_snapshot(self, meta: dict, manifest_rows: list[dict],
+                           snap_id: int, seq: int, now_ms: int,
+                           summary: dict, branch: str | None = None,
+                           branch_head: int | None = None) -> int:
+        """Shared commit tail: write the manifest list, append the
+        snapshot record, advance sequence/refs/log, persist metadata.
+        Used by every commit path (_commit_manifest_groups,
+        rewrite_manifests) so bookkeeping can never diverge."""
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-1-manifest-list.avro")
-        write_ocf(list_path, _MANIFEST_LIST_SCHEMA,
-                  new_manifests + prev_manifests)
+        write_ocf(list_path, _MANIFEST_LIST_SCHEMA, manifest_rows)
         parent = (branch_head if branch is not None
                   else (meta["current-snapshot-id"]
                         if meta["current-snapshot-id"] != -1 else None))
@@ -2222,10 +2214,19 @@ class IcebergLiteTable:
                          .select(F.col("file_path").alias("_gx_dpath"),
                                  F.col("pos").alias("_gx_dpos"))
                          .distinct())
-                # pairs carry the reader's `_metadata.file_path` URI
-                # (file:/...); manifests store plain paths — normalize
-                paths = {r["_gx_dpath"].removeprefix("file:") for r in
-                         pairs.select("_gx_dpath").distinct().collect()}
+                # referenced data files straight from the (small, local)
+                # delete parquets via one pyarrow column read — no extra
+                # Spark job, no second scan of the delete files.  Stored
+                # paths are the reader's `_metadata.file_path` URI
+                # (file:/...); manifests hold plain paths — normalize.
+                import pyarrow.parquet as pq
+
+                paths: set[str] = set()
+                for d in pos:
+                    paths.update(pq.read_table(
+                        d.file_path, columns=["file_path"]
+                    ).column("file_path").to_pylist())
+                paths = {p.removeprefix("file:") for p in paths}
                 targets = [f for f in self.plan_files(snapshot_id=parent)
                            if f.file_path in paths]
                 if targets:

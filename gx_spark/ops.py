@@ -613,11 +613,14 @@ def semdedup(
     raw = df.select(
         F.col(id_col).alias("id"), tag(F.col(vec_col)).alias("t")
     ).select("id", "t.cluster", "t.c_sim", "t.nv")
+    # persisted: the plan reads `tagged` three times (output left side +
+    # both sides of the within-cluster pair join) and the Arrow tag pass
+    # is the operator's dominant map cost — never recompute it
     tagged = raw.select(
         "id",
         F.when(F.col("cluster") >= 0, F.col("cluster")).alias("cluster"),
         F.when(F.col("cluster") >= 0, F.col("c_sim")).alias("c_sim"),
-        "nv")
+        "nv").persist()
     a = tagged.where(F.col("cluster").isNotNull()).select(
         F.col("cluster").alias("cl"), F.col("id").alias("id_a"),
         F.col("c_sim").alias("cs_a"), F.col("nv").alias("nv_a"))
