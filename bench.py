@@ -444,6 +444,20 @@ def main() -> None:
         ops.ann_query(idx, q2, 10).collect()
         idx.unpersist()
 
+    @bench("embeddings_semdedup")
+    def _():
+        # SemDeDup at-scale shape: spherical k-means over a bounded
+        # sample, ONE map-side Arrow tag pass, quadratic confined to each
+        # cluster's own pair block (self-join keyed on cluster id)
+        emb = load("embeddings")
+        # 0.4 matches the corpus's planted near-dup band (the threshold
+        # the cosine_near_dup sections use), so removals really happen
+        out = ops.semdedup(emb, "vec_id", "embedding",
+                           n_clusters=64, threshold=0.4)
+        n = out.count()
+        kept = out.where("not removed").count()
+        assert 0 < kept < n == emb.count()
+
     @bench("pq_ann")
     def _():
         # PQ at-scale shape: train codebooks once, encode the corpus to
