@@ -1076,6 +1076,62 @@ def q_iceberg_spec_evolution(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_iceberg_maintenance(spark, sf_dir):
+    """Maintenance trio (gx_spark/iceberg.py): rewrite_manifests folds the
+    per-commit manifest pile into one per content kind, expire_snapshots
+    reclaims aged-out history, remove_orphan_files sweeps planted crash
+    debris — and the table reads EXACTLY the same rows afterwards.  The
+    manifest/expiry/orphan counts are deterministic by construction
+    (3 appends + 1 positional delete + 1 rewrite = 5 snapshots, 4 data+
+    delete manifests fold to 2, keep_last=1 expires 4, 2 planted debris
+    files); the oracle recomputes the surviving rows' count/sum straight
+    from orders and pins those counts as literals."""
+    import os
+    import shutil
+    import tempfile
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    base = orders.where(F.col("o_orderkey") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="gx_ice_mx_")
+    try:
+        t = IcebergLiteTable.create(f"{tmp}/orders_mx", orders.schema)
+        for r in (0, 3, 6):
+            t.append(base.where(F.col("o_orderkey") % 9 == r)
+                     .repartition(2))
+        t.delete(spark, "o_totalprice > 300000")
+        before = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        rw = t.rewrite_manifests()
+        ex = t.expire_snapshots(keep_last=1)
+        for name in ("part-crashed-a.parquet", "part-crashed-b.parquet"):
+            p = os.path.join(t.data_dir, "snap-00debris", name)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(b"debris")
+        orphans = t.remove_orphan_files(
+            older_than_ms=4102444800000)  # 2100: age guard disarmed
+        after = t.read(spark).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s")).first()
+        return _row(
+            spark,
+            "final_count long, final_sum double, manifests_before long, "
+            "manifests_after long, expired long, orphans long, "
+            "read_stable boolean",
+            [int(after["c"]), float(after["s"]),
+             rw["manifests_before"], rw["manifests_after"],
+             ex["expired_snapshots"], len(orphans),
+             (int(before["c"]), float(before["s"]))
+             == (int(after["c"]), float(after["s"]))],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_semdedup_embeddings(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, gx_spark/ops.py semdedup): semantic
     dedup by k-means clustering + within-cluster cosine pruning, keeping
@@ -3887,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_refs": q_iceberg_merge_refs,
         "pii_documents": q_pii_documents,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "iceberg_maintenance": q_iceberg_maintenance,
         "image_metadata_violations": q_image_metadata_violations,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
@@ -3929,10 +3986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_blocklist_documents": q_bloom_blocklist,
         "audio_mfcc_features": q_audio_mfcc_features,
         "tfidf_documents": q_tfidf_documents,
-        "audio_mel_features": q_audio_mel_features,
         "speaking_rate_violations": q_speaking_rate_violations,
         "edit_distance_documents": q_edit_distance_documents,
         # ---- driver window ends here (entry #50) ----
+        # audio_mel_features yielded its slot to the maintenance query:
+        # the log-mel front end stays exercised in-window through
+        # audio_mfcc_features (MFCC = DCT over the same log-mel path)
+        "audio_mel_features": q_audio_mel_features,
         # audio_speed_perturb, audio_augment_noise, and audio_resample
         # yielded their slots to the changelog/semdedup/cramers-phi
         # queries: all three ops stay exercised in-window via
@@ -5360,6 +5420,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '2-HIGH') AS prio_count, "
             "(SELECT count(*) FROM orders) AS total_count, "
             "TRUE AS pruned_old, TRUE AS pruned_new, TRUE AS spec_reused"
+        ),
+        "iceberg_maintenance": (
+            # surviving rows recomputed relationally; the maintenance
+            # counts are deterministic literals by construction (see the
+            # query docstring); read_stable is engine-verified
+            "WITH base AS (SELECT o_totalprice AS p FROM orders "
+            "WHERE o_orderkey % 3 = 0 AND o_totalprice <= 300000) "
+            "SELECT (SELECT count(*) FROM base) AS final_count, "
+            "(SELECT ROUND(sum(p), 2) FROM base) AS final_sum, "
+            "4 AS manifests_before, 2 AS manifests_after, "
+            "4 AS expired, 2 AS orphans, TRUE AS read_stable"
         ),
         "cramers_phi_orders": (
             # full relational recompute: contingency counts, expected =
