@@ -3921,8 +3921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      preferring corpus-wide shuffle ops (line dedup, unigram LM)
     #      over trivially-arithmetic map screens when forced to choose.
     #   Past the window: the r5-new queries that didn't fit (all verified
-    #   by the full local replay, tools/check_entry.py — 0 failures this
-    #   session), r4-verified entries sitting out one round, entries
+    #   by the full local replay, tools/check_entry.py — latest full
+    #   replay this session: 126 hash-OK + 2 rows-only-by-design,
+    #   0 failures across all 128), r4-verified entries sitting out one
+    #   round, entries
     #   subsumed by an in-window query (ann_* oracles embed cosine_topk;
     #   kl/psi/ks share the drift/stat-test paths; referential_custkey is
     #   the unsalted variant), and the two rows-only-by-design entries

@@ -168,3 +168,28 @@ def test_audio_suite_over_iceberg_read_keeps_binary_off_shuffles(
     assert count_nodes(plan, "Scan parquet") == 1, plan
     # column pruning still reaches the scan: the fused agg reads no bytes
     assert all("bytes" not in rs for rs in read_schemas(plan)), plan
+
+
+def test_changelog_delete_legs_broadcast_never_sortmerge(spark, tmp_path):
+    """changes() recovers equality-deleted rows via a BROADCAST semi-join
+    of the (small) key set against the parent read, and positional pairs
+    ride a broadcast inner join — neither delete leg may plan a
+    SortMergeJoin that would shuffle the parent table."""
+    from pyspark.sql import functions as F
+
+    from gx_spark.iceberg import IcebergLiteTable
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    t = IcebergLiteTable.create(str(tmp_path / "cdc"), base.schema)
+    t.append(base.repartition(4))
+    s0 = t.current_snapshot_id()
+    t.equality_delete(
+        spark, spark.createDataFrame([(i,) for i in range(50)], "k long"),
+        ["k"])
+    t.delete(spark, "k >= 990")
+    ch = t.changes(spark, from_snapshot_id=s0)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert ch.count() == 60
