@@ -1441,9 +1441,11 @@ class IcebergLiteTable:
                     "entries": 0}
         _, manifests = read_ocf(snap["manifest-list"])
         groups: dict[tuple[int, int], list[dict]] = {}
+        group_rows: dict[tuple[int, int], list[dict]] = {}
         for m in manifests:
             _, entries = read_ocf(m["manifest_path"])
             key = (m.get("content", 0), m.get("partition_spec_id", 0))
+            group_rows.setdefault(key, []).append(m)
             for e in entries:
                 if e["status"] == 2:  # DELETED: drop tombstones entirely
                     continue
@@ -1460,10 +1462,23 @@ class IcebergLiteTable:
                     "manifests_after": len(manifests), "entries": n_entries}
         meta, seq, snap_id, now_ms = self._begin(now_ms)
         new_manifests = []
+        rewrote_any = False
         for gi, ((content, spec_id), entries) in enumerate(sorted(
                 groups.items())):
             pcols = [(p["name"], p["value_type"])
                      for p in self.partition_fields_for(spec_id)]
+            stored = set()
+            for e in entries:
+                stored.update((e["data_file"].get("partition") or {}))
+            if not stored <= {n for n, _ in pcols}:
+                # a spec field's SOURCE column was dropped after this spec
+                # retired: the current schema can no longer type that
+                # partition key, so re-encoding would silently lose the
+                # stored tuples — carry the group's manifests forward
+                # untouched instead (consolidation must be lossless)
+                new_manifests.extend(group_rows[(content, spec_id)])
+                continue
+            rewrote_any = True
             man_path = os.path.join(self.meta_dir,
                                     f"manifest-{snap_id}-{gi}.avro")
             write_ocf(man_path, _manifest_entry_schema(pcols), entries,
@@ -1488,6 +1503,11 @@ class IcebergLiteTable:
                     e["data_file"]["record_count"] for e in entries),
                 "deleted_rows_count": 0,
             })
+        if not rewrote_any or len(new_manifests) >= len(manifests):
+            # nothing consolidatable (every group carried forward):
+            # don't burn a snapshot on a no-op
+            return {"manifests_before": len(manifests),
+                    "manifests_after": len(manifests), "entries": n_entries}
         self._finalize_snapshot(
             meta, new_manifests, snap_id, seq, now_ms,
             {"operation": "replace",
@@ -1619,11 +1639,7 @@ class IcebergLiteTable:
                             and p.startswith(self.location + os.sep)):
                         os.remove(p)
                         stats["deleted_data_files"] += 1
-                        d = os.path.dirname(p)
-                        while (d.startswith(self.data_dir)
-                               and d != self.data_dir and not os.listdir(d)):
-                            os.rmdir(d)
-                            d = os.path.dirname(d)
+                        self._prune_empty_dirs(os.path.dirname(p))
                 os.remove(mp)
                 stats["deleted_manifests"] += 1
             os.remove(lst)
@@ -1655,7 +1671,16 @@ class IcebergLiteTable:
         are eligible (default: 3 days before now — a concurrent writer's
         just-written, not-yet-committed files must not be swept).  Pass
         `dry_run=True` to list without deleting.  Returns the orphan
-        paths (deleted, or would-be-deleted under dry_run)."""
+        paths (deleted, or would-be-deleted under dry_run).
+
+        Safety rails for a destructive sweep: paths are compared by
+        os.path.realpath on BOTH sides, so opening the table through a
+        symlinked alias of its location cannot make every committed file
+        look unreferenced; if the table has committed files but NOT ONE
+        referenced file was seen during the walk, the sweep refuses
+        outright (path-scheme mismatch — deleting would destroy the
+        table); and files that vanish mid-walk (a concurrent writer
+        cleaning its own temp output) are skipped, not crashed on."""
         import time
 
         if older_than_ms is None:
@@ -1663,19 +1688,23 @@ class IcebergLiteTable:
         referenced: set[str] = set()
         for s in self.metadata["snapshots"]:
             lst = s["manifest-list"]
-            referenced.add(lst)
+            referenced.add(os.path.realpath(lst))
             if not os.path.exists(lst):
                 continue
             _, manifests = read_ocf(lst)
             for m in manifests:
                 mp = m["manifest_path"]
-                referenced.add(mp)
+                if os.path.realpath(mp) in referenced:
+                    continue  # carried forward by many snapshots: read once
+                referenced.add(os.path.realpath(mp))
                 if not os.path.exists(mp):
                     continue
                 _, entries = read_ocf(mp)
                 for e in entries:
-                    referenced.add(e["data_file"]["file_path"])
+                    referenced.add(
+                        os.path.realpath(e["data_file"]["file_path"]))
         orphans: list[str] = []
+        seen_referenced = 0
         for root in (self.data_dir, self.meta_dir):
             if not os.path.isdir(root):
                 continue
@@ -1687,25 +1716,42 @@ class IcebergLiteTable:
                         # dotfiles are never candidates
                         continue
                     p = os.path.join(d, name)
-                    if p in referenced:
+                    if os.path.realpath(p) in referenced:
+                        seen_referenced += 1
                         continue
                     if root is self.meta_dir and (
                             name == "version-hint.text"
                             or (name.startswith("v")
                                 and name.endswith(".metadata.json"))):
                         continue  # the version log is never an orphan
-                    if os.path.getmtime(p) * 1000 >= older_than_ms:
-                        continue  # in-flight-write guard
+                    try:
+                        if os.path.getmtime(p) * 1000 >= older_than_ms:
+                            continue  # in-flight-write guard
+                    except FileNotFoundError:
+                        continue  # vanished mid-walk: someone else's file
                     orphans.append(p)
+        if orphans and referenced and seen_referenced == 0:
+            raise RuntimeError(
+                "remove_orphan_files refusing to delete: the walk saw "
+                "NONE of the table's referenced files — the location "
+                "path scheme does not match the manifests (alias/mount "
+                "mismatch?); a sweep here would destroy the table")
         if not dry_run:
             for p in orphans:
-                os.remove(p)
-                d = os.path.dirname(p)
-                while (d.startswith(self.data_dir) and d != self.data_dir
-                       and os.path.isdir(d) and not os.listdir(d)):
-                    os.rmdir(d)
-                    d = os.path.dirname(d)
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue
+                self._prune_empty_dirs(os.path.dirname(p))
         return sorted(orphans)
+
+    def _prune_empty_dirs(self, d: str) -> None:
+        """Remove now-empty dirs up to (not including) data_dir."""
+        prefix = self.data_dir + os.sep
+        while (d.startswith(prefix) and os.path.isdir(d)
+               and not os.listdir(d)):
+            os.rmdir(d)
+            d = os.path.dirname(d)
 
     def _commit_entries(self, meta: dict, entries: list[dict], snap_id: int,
                         seq: int, now_ms: int, operation: str,
@@ -2223,9 +2269,13 @@ class IcebergLiteTable:
 
                 paths: set[str] = set()
                 for d in pos:
+                    # .unique() dedups in Arrow (paths are dictionary-
+                    # encoded, ~#files distinct) BEFORE materializing
+                    # Python strings — a 10^9-row delete commit must not
+                    # explode one string per deleted ROW on the driver
                     paths.update(pq.read_table(
                         d.file_path, columns=["file_path"]
-                    ).column("file_path").to_pylist())
+                    ).column("file_path").unique().to_pylist())
                 paths = {p.removeprefix("file:") for p in paths}
                 targets = [f for f in self.plan_files(snapshot_id=parent)
                            if f.file_path in paths]

@@ -543,6 +543,7 @@ def semdedup(
     df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 64,
     threshold: float = 0.9, centroids=None,
     sample_cap: int = 20_000, iters: int = 10, seed: int = 42,
+    cache: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine pruning —
@@ -613,14 +614,19 @@ def semdedup(
     raw = df.select(
         F.col(id_col).alias("id"), tag(F.col(vec_col)).alias("t")
     ).select("id", "t.cluster", "t.c_sim", "t.nv")
-    # persisted: the plan reads `tagged` three times (output left side +
-    # both sides of the within-cluster pair join) and the Arrow tag pass
-    # is the operator's dominant map cost — never recompute it
+    # persisted (MEMORY_AND_DISK): the plan reads `tagged` three times
+    # (output left side + both sides of the within-cluster pair join) and
+    # the Arrow tag pass is the operator's dominant map cost.  The cache
+    # holds the normalized vectors too (~corpus size) and lives until
+    # Spark's LRU evicts it — a pipeline deduping MANY corpora in one
+    # session can pass cache=False to trade recompute for storage.
     tagged = raw.select(
         "id",
         F.when(F.col("cluster") >= 0, F.col("cluster")).alias("cluster"),
         F.when(F.col("cluster") >= 0, F.col("c_sim")).alias("c_sim"),
-        "nv").persist()
+        "nv")
+    if cache:
+        tagged = tagged.persist()
     a = tagged.where(F.col("cluster").isNotNull()).select(
         F.col("cluster").alias("cl"), F.col("id").alias("id_a"),
         F.col("c_sim").alias("cs_a"), F.col("nv").alias("nv_a"))

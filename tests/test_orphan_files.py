@@ -86,3 +86,15 @@ def test_orphans_from_every_subdir_and_sorted_output(spark, table):
     b = _plant(table, "data/snap-999998/part-b.parquet")
     removed = table.remove_orphan_files(older_than_ms=FUTURE_MS)
     assert removed == sorted([a, b])
+
+
+def test_symlinked_table_location_is_not_destroyed(spark, table, tmp_path):
+    # open the SAME table through a symlink alias: manifests store the
+    # real paths, the walk sees alias paths — realpath normalization must
+    # keep every committed file recognized as referenced
+    alias = str(tmp_path / "alias")
+    os.symlink(table.location, alias)
+    t2 = IcebergLiteTable(alias)
+    assert t2.remove_orphan_files(older_than_ms=FUTURE_MS) == []
+    assert t2.read(spark).count() == 10
+    assert table.read(spark).count() == 10

@@ -126,3 +126,34 @@ def test_mixed_spec_tables_keep_one_manifest_per_spec(spark, tmp_path):
     got = sorted(map(tuple, t.read(
         spark, partition_filter={"k": 4}).collect()))
     assert got == [(4, 40)]
+
+
+def test_dropped_source_column_group_is_carried_not_lossy(spark, tmp_path):
+    # identity-partition on v, evolve to k, then DROP v: the old spec's
+    # partition key can no longer be typed by the current schema, so its
+    # manifests must be carried forward untouched (lossless), while the
+    # new-spec group still consolidates
+    t = IcebergLiteTable.create(str(tmp_path / "d"),
+                                _kv(spark, (0, 0)).schema,
+                                partition_by=["v"])
+    for i in range(2):
+        t.append(_kv(spark, (i, i * 10)).coalesce(1))
+    t.update_partition_spec(["k"])
+    for i in range(2, 5):
+        t.append(_kv(spark, (i, i * 10)).coalesce(1))
+    t.drop_column("v")
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    stats = t.rewrite_manifests()
+    assert stats["manifests_before"] == 5
+    # 2 old-spec manifests carried verbatim + 1 consolidated new-spec
+    assert stats["manifests_after"] == 3
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    # old-spec partition tuples still present in the metadata
+    from gx_spark.avro_ocf import read_ocf
+    _, manifests = read_ocf(t._resolve_snapshot()["manifest-list"])
+    old = [m for m in manifests if m["partition_spec_id"] == 0]
+    assert len(old) == 2
+    for m in old:
+        _, entries = read_ocf(m["manifest_path"])
+        assert all("v" in (e["data_file"].get("partition") or {})
+                   for e in entries)
