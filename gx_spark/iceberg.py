@@ -1457,28 +1457,37 @@ class IcebergLiteTable:
                     "data_file": e["data_file"],
                 })
         n_entries = sum(len(v) for v in groups.values())
-        if len(manifests) <= len(groups):
+        # decide which groups actually consolidate BEFORE writing anything
+        # (a no-op call must not strand manifest files on disk): a group
+        # is rewritable only if it spans >1 manifest AND every stored
+        # partition key is still typable by the current schema — a spec
+        # field whose SOURCE column was dropped can't be re-encoded
+        # losslessly, so its manifests are carried forward untouched
+        pcols_by_spec: dict[int, list[tuple[str, str]]] = {}
+        rewritable: set[tuple[int, int]] = set()
+        for key, entries in groups.items():
+            content, spec_id = key
+            if spec_id not in pcols_by_spec:
+                pcols_by_spec[spec_id] = [
+                    (p["name"], p["value_type"])
+                    for p in self.partition_fields_for(spec_id)]
+            stored = set()
+            for e in entries:
+                stored.update((e["data_file"].get("partition") or {}))
+            if (len(group_rows[key]) > 1
+                    and stored <= {n for n, _ in pcols_by_spec[spec_id]}):
+                rewritable.add(key)
+        if not rewritable:
             return {"manifests_before": len(manifests),
                     "manifests_after": len(manifests), "entries": n_entries}
         meta, seq, snap_id, now_ms = self._begin(now_ms)
         new_manifests = []
-        rewrote_any = False
         for gi, ((content, spec_id), entries) in enumerate(sorted(
                 groups.items())):
-            pcols = [(p["name"], p["value_type"])
-                     for p in self.partition_fields_for(spec_id)]
-            stored = set()
-            for e in entries:
-                stored.update((e["data_file"].get("partition") or {}))
-            if not stored <= {n for n, _ in pcols}:
-                # a spec field's SOURCE column was dropped after this spec
-                # retired: the current schema can no longer type that
-                # partition key, so re-encoding would silently lose the
-                # stored tuples — carry the group's manifests forward
-                # untouched instead (consolidation must be lossless)
+            if (content, spec_id) not in rewritable:
                 new_manifests.extend(group_rows[(content, spec_id)])
                 continue
-            rewrote_any = True
+            pcols = pcols_by_spec[spec_id]
             man_path = os.path.join(self.meta_dir,
                                     f"manifest-{snap_id}-{gi}.avro")
             write_ocf(man_path, _manifest_entry_schema(pcols), entries,
@@ -1503,11 +1512,6 @@ class IcebergLiteTable:
                     e["data_file"]["record_count"] for e in entries),
                 "deleted_rows_count": 0,
             })
-        if not rewrote_any or len(new_manifests) >= len(manifests):
-            # nothing consolidatable (every group carried forward):
-            # don't burn a snapshot on a no-op
-            return {"manifests_before": len(manifests),
-                    "manifests_after": len(manifests), "entries": n_entries}
         self._finalize_snapshot(
             meta, new_manifests, snap_id, seq, now_ms,
             {"operation": "replace",
@@ -1613,30 +1617,37 @@ class IcebergLiteTable:
                  "deleted_manifests": 0, "deleted_manifest_lists": 0}
         if not expired:
             return stats
+        # all comparisons on realpaths: a table opened through a symlink
+        # alias of its location must reclaim exactly what the real-path
+        # open would (manifests store real paths)
+        real_location = os.path.realpath(self.location)
         referenced: set[str] = set()
         kept_manifests: set[str] = set()
-        kept_lists = {s["manifest-list"] for s in keep}
+        kept_lists = {os.path.realpath(s["manifest-list"]) for s in keep}
         for s in keep:
             _, manifests = read_ocf(s["manifest-list"])
             for m in manifests:
-                kept_manifests.add(m["manifest_path"])
+                kept_manifests.add(os.path.realpath(m["manifest_path"]))
                 _, entries = read_ocf(m["manifest_path"])
                 for e in entries:
-                    referenced.add(e["data_file"]["file_path"])
+                    referenced.add(
+                        os.path.realpath(e["data_file"]["file_path"]))
         for s in expired:
             lst = s["manifest-list"]
-            if lst in kept_lists or not os.path.exists(lst):
+            if os.path.realpath(lst) in kept_lists or not os.path.exists(lst):
                 continue
             _, manifests = read_ocf(lst)
             for m in manifests:
                 mp = m["manifest_path"]
-                if mp in kept_manifests or not os.path.exists(mp):
+                if (os.path.realpath(mp) in kept_manifests
+                        or not os.path.exists(mp)):
                     continue
                 _, entries = read_ocf(mp)
                 for e in entries:
                     p = e["data_file"]["file_path"]
-                    if (p not in referenced and os.path.exists(p)
-                            and p.startswith(self.location + os.sep)):
+                    rp = os.path.realpath(p)
+                    if (rp not in referenced and os.path.exists(p)
+                            and rp.startswith(real_location + os.sep)):
                         os.remove(p)
                         stats["deleted_data_files"] += 1
                         self._prune_empty_dirs(os.path.dirname(p))
@@ -1694,9 +1705,10 @@ class IcebergLiteTable:
             _, manifests = read_ocf(lst)
             for m in manifests:
                 mp = m["manifest_path"]
-                if os.path.realpath(mp) in referenced:
+                rp = os.path.realpath(mp)
+                if rp in referenced:
                     continue  # carried forward by many snapshots: read once
-                referenced.add(os.path.realpath(mp))
+                referenced.add(rp)
                 if not os.path.exists(mp):
                     continue
                 _, entries = read_ocf(mp)
@@ -1730,6 +1742,8 @@ class IcebergLiteTable:
                     except FileNotFoundError:
                         continue  # vanished mid-walk: someone else's file
                     orphans.append(p)
+        if dry_run:
+            return sorted(orphans)  # list-only: never raises, never deletes
         if orphans and referenced and seen_referenced == 0:
             raise RuntimeError(
                 "remove_orphan_files refusing to delete: the walk saw "
@@ -1746,8 +1760,11 @@ class IcebergLiteTable:
         return sorted(orphans)
 
     def _prune_empty_dirs(self, d: str) -> None:
-        """Remove now-empty dirs up to (not including) data_dir."""
-        prefix = self.data_dir + os.sep
+        """Remove now-empty dirs up to (not including) data_dir.
+        Realpath-normalized so it works when the table was opened
+        through a symlink alias but the path came from a manifest."""
+        prefix = os.path.realpath(self.data_dir) + os.sep
+        d = os.path.realpath(d)
         while (d.startswith(prefix) and os.path.isdir(d)
                and not os.listdir(d)):
             os.rmdir(d)

@@ -98,3 +98,25 @@ def test_symlinked_table_location_is_not_destroyed(spark, table, tmp_path):
     assert t2.remove_orphan_files(older_than_ms=FUTURE_MS) == []
     assert t2.read(spark).count() == 10
     assert table.read(spark).count() == 10
+
+
+def test_dry_run_never_raises_on_alias_mismatch(spark, table):
+    # even if the refusal rail WOULD fire, dry_run is a pure listing and
+    # must return rather than raise (the diagnostic path)
+    stray = _plant(table, "data/snap-999999/part-crashed.parquet")
+    listed = table.remove_orphan_files(older_than_ms=FUTURE_MS,
+                                       dry_run=True)
+    assert listed == [stray]
+
+
+def test_expire_reclaims_through_symlink_alias(spark, table, tmp_path):
+    # expire via an alias open must reclaim exactly what the real-path
+    # open would (realpath-normalized referenced set + location prefix)
+    table.rewrite_data_files(spark, target_files=1)
+    alias = str(tmp_path / "alias2")
+    os.symlink(table.location, alias)
+    t2 = IcebergLiteTable(alias)
+    stats = t2.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshots"] >= 1
+    assert stats["deleted_data_files"] >= 1
+    assert t2.read(spark).count() == 10

@@ -157,3 +157,25 @@ def test_dropped_source_column_group_is_carried_not_lossy(spark, tmp_path):
         _, entries = read_ocf(m["manifest_path"])
         assert all("v" in (e["data_file"].get("partition") or {})
                    for e in entries)
+
+
+def test_noop_rewrite_strands_no_files(spark, tmp_path):
+    # after a rewrite that carried an untypable group forward, a SECOND
+    # call must be a clean no-op: no new snapshot AND no manifest file
+    # written then abandoned in the metadata dir
+    t = IcebergLiteTable.create(str(tmp_path / "n"),
+                                _kv(spark, (0, 0)).schema,
+                                partition_by=["v"])
+    for i in range(2):
+        t.append(_kv(spark, (i, i * 10)).coalesce(1))
+    t.update_partition_spec(["k"])
+    for i in range(2, 5):
+        t.append(_kv(spark, (i, i * 10)).coalesce(1))
+    t.drop_column("v")
+    t.rewrite_manifests()
+    n_snaps = len(t.snapshots())
+    meta_files = sorted(os.listdir(t.meta_dir))
+    stats = t.rewrite_manifests()
+    assert stats["manifests_before"] == stats["manifests_after"] == 3
+    assert len(t.snapshots()) == n_snaps
+    assert sorted(os.listdir(t.meta_dir)) == meta_files
