@@ -2170,12 +2170,17 @@ class IcebergLiteTable:
         return df
 
     def changes(self, spark, from_snapshot_id: int | None = None,
-                to_snapshot_id: int | None = None, net: bool = False):
+                to_snapshot_id: int | None = None, net: bool = False,
+                ref: str | None = None):
         """Changelog (CDC) read — Iceberg's `create_changelog_view` /
         `table_changes`: every row inserted or deleted by each commit on
         the main ancestry between `from_snapshot_id` (EXCLUSIVE; None =
         from table creation) and `to_snapshot_id` (inclusive; None =
-        current), as a DataFrame in the table's CURRENT schema plus
+        current — or pass `ref=` to use a named tag/branch head, the
+        write-audit-publish reviewer's view: the staged slice on an audit
+        branch reads as CDC events BEFORE fast_forward publishes it; with
+        from_snapshot_id = main's head, exactly the staged commits show),
+        as a DataFrame in the table's CURRENT schema plus
         `_change_type` ('insert'|'delete'), `_commit_snapshot_id`, and
         `_change_ordinal` (commit order within the range, oldest = 0).
 
@@ -2223,7 +2228,7 @@ class IcebergLiteTable:
         empty_ddl = base_ddl + ", " + meta_cols
 
         snaps = {s["snapshot-id"]: s for s in self.snapshots()}
-        head = self._resolve_snapshot(to_snapshot_id)
+        head = self._resolve_snapshot(to_snapshot_id, ref=ref)
         if head is None:
             out = spark.createDataFrame([], empty_ddl)
             return out.drop("_commit_snapshot_id", "_change_ordinal") \

@@ -149,3 +149,19 @@ def test_schema_evolution_emits_current_schema(spark, table):
     # old-era deleted row null-fills the new column; new row carries it
     assert rows[("delete", 1)] is None
     assert rows[("insert", 70)] == "x"
+
+
+def test_branch_ref_changelog_reviews_staged_work(spark, table):
+    # the WAP reviewer's view: stage two commits on an audit branch, read
+    # them as CDC events anchored at main's head — main itself shows none
+    main_head = table.current_snapshot_id()
+    table.append(spark.createDataFrame([(40, 400)], "k long, v long"),
+                 branch="audit")
+    table.append(spark.createDataFrame([(41, 410)], "k long, v long"),
+                 branch="audit")
+    staged = _events(table.changes(spark, from_snapshot_id=main_head,
+                                   ref="audit"))
+    assert staged == [(0, "insert", 40, 400), (1, "insert", 41, 410)]
+    assert table.changes(spark, from_snapshot_id=main_head).count() == 0
+    with pytest.raises(ValueError, match="ref= excludes"):
+        table.changes(spark, to_snapshot_id=main_head, ref="audit")
